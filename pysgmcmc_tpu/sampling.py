@@ -1,0 +1,142 @@
+"""User-facing sampler enumeration and reflection factory.
+
+API-parity counterpart of ``/root/reference/pysgmcmc/sampling.py:5-273``:
+``Sampler`` enumerates the supported sampling methods and ``get_sampler``
+builds any of them from keyword arguments, validating unknown parameters
+with descriptive errors via ``inspect.signature`` reflection.
+
+Differences from the reference, by design:
+
+- All four samplers are constructible here.  (The reference's
+  ``is_supported`` returns True only for SGHMC/SGLD — ``sampling.py:64`` —
+  because RSGHMC/SVGD never worked with its BNN; the TPU BNN supports
+  SGHMC, SGLD and RelativisticSGHMC, so ``is_supported`` reflects that.)
+- Samplers are constructed from ``cost_fn`` + hyperparameters only; there is
+  no session/graph. Initial parameters are passed to ``sampler.init``.
+"""
+
+from enum import Enum
+
+
+class Sampler(Enum):
+    """Enumeration of all supported sampling methods."""
+
+    SGHMC = "SGHMC"
+    RelativisticSGHMC = "RelativisticSGHMC"
+    SGLD = "SGLD"
+    SVGD = "SVGD"
+
+    @staticmethod
+    def is_burn_in_mcmc(sampling_method):
+        """True iff the method uses the scale-adapted burn-in machinery.
+
+        Examples
+        --------
+        >>> Sampler.is_burn_in_mcmc(Sampler.SGHMC)
+        True
+        >>> Sampler.is_burn_in_mcmc(Sampler.RelativisticSGHMC)
+        False
+        >>> Sampler.is_burn_in_mcmc(0)
+        False
+        >>> Sampler.is_burn_in_mcmc("test")
+        False
+        """
+        return sampling_method in (Sampler.SGHMC, Sampler.SGLD)
+
+    @staticmethod
+    def is_supported(sampling_method):
+        """True iff ``sampling_method`` can drive model training.
+
+        Examples
+        --------
+        >>> Sampler.is_supported(Sampler.SGHMC)
+        True
+        >>> Sampler.is_supported(Sampler.RelativisticSGHMC)
+        True
+        >>> Sampler.is_supported(0)
+        False
+        >>> Sampler.is_supported("test")
+        False
+        """
+        return sampling_method in (
+            Sampler.SGHMC,
+            Sampler.SGLD,
+            Sampler.RelativisticSGHMC,
+        )
+
+    @classmethod
+    def get_sampler(cls, sampling_method, **sampler_args):
+        """Construct a sampler for ``sampling_method`` with ``sampler_args``.
+
+        Unknown keyword arguments raise a ``ValueError`` listing the valid
+        parameters for the chosen method (mirroring the reference's
+        validation, ``sampling.py:195-273``).
+
+        Examples
+        --------
+        >>> import jax.numpy as jnp
+        >>> cost_fn = lambda params: jnp.sum(params)
+        >>> sampler = Sampler.get_sampler(Sampler.SGHMC, cost_fn=cost_fn)
+        >>> type(sampler).__name__
+        'SGHMCSampler'
+
+        >>> sampler = Sampler.get_sampler(Sampler.SGLD, cost_fn=cost_fn)
+        >>> type(sampler).__name__
+        'SGLDSampler'
+        """
+        if sampling_method == cls.SGHMC:
+            from pysgmcmc_tpu.samplers.sghmc import SGHMCSampler as sampler_cls
+        elif sampling_method == cls.SGLD:
+            from pysgmcmc_tpu.samplers.sgld import SGLDSampler as sampler_cls
+        elif sampling_method == cls.RelativisticSGHMC:
+            from pysgmcmc_tpu.samplers.relativistic_sghmc import (
+                RelativisticSGHMCSampler as sampler_cls,
+            )
+        elif sampling_method == cls.SVGD:
+            from pysgmcmc_tpu.samplers.svgd import SVGDSampler as sampler_cls
+        else:
+            raise ValueError(
+                "sampling.Sampler.get_sampler: unknown sampling method "
+                "{method!r}. Supported methods are enumerated in the "
+                "`Sampler` enum type.".format(method=sampling_method)
+            )
+
+        from inspect import _empty, signature
+
+        all_parameters = signature(sampler_cls.__init__).parameters
+
+        for parameter_name in sampler_args:
+            if parameter_name not in all_parameters:
+                raise ValueError(
+                    "sampling.Sampler.get_sampler: '{sampler_name}' does not "
+                    "take any parameter with name '{parameter}' which was "
+                    "specified as argument to this sampler. Please ensure "
+                    "that you only specify sampler arguments that fit the "
+                    "corresponding sampling method.\n"
+                    "For your choice of sampling method ('{method}'), "
+                    "supported parameters are:\n{valid}".format(
+                        sampler_name=sampler_cls.__name__,
+                        method=sampling_method,
+                        parameter=parameter_name,
+                        valid="\n".join(
+                            "-{}".format(name)
+                            for name in all_parameters
+                            if name != "self"
+                        ),
+                    )
+                )
+
+        for parameter_name, parameter in all_parameters.items():
+            if parameter_name == "self":
+                continue
+            if parameter_name not in sampler_args and parameter.default is _empty:
+                raise ValueError(
+                    "sampling.Sampler.get_sampler: {param} was not provided "
+                    "as a sampler argument and has no default value in "
+                    "{sampler}.__init__. Please pass an explicit value for "
+                    "this parameter.".format(
+                        param=parameter_name, sampler=sampler_cls.__name__
+                    )
+                )
+
+        return sampler_cls(**sampler_args)
