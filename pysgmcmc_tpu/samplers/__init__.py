@@ -4,8 +4,13 @@ from pysgmcmc_tpu.samplers.base import (
     SamplerInfo,
     sample_chain,
 )
+from pysgmcmc_tpu.samplers.relativistic_sghmc import (
+    RelativisticSGHMCSampler,
+    RelativisticSGHMCState,
+)
 from pysgmcmc_tpu.samplers.sghmc import SGHMCSampler, SGHMCState
 from pysgmcmc_tpu.samplers.sgld import SGLDSampler, SGLDState
+from pysgmcmc_tpu.samplers.svgd import SVGDSampler, SVGDState
 
 __all__ = [
     "MCMCSampler",
@@ -16,4 +21,8 @@ __all__ = [
     "SGHMCState",
     "SGLDSampler",
     "SGLDState",
+    "RelativisticSGHMCSampler",
+    "RelativisticSGHMCState",
+    "SVGDSampler",
+    "SVGDState",
 ]
