@@ -1,3 +1,23 @@
 from pysgmcmc_tpu.diagnostics import objective_functions
+from pysgmcmc_tpu.diagnostics.sample_chains import (
+    MultiTrace,
+    PYSGMCMCTrace,
+    pysgmcmc_multitrace,
+)
+from pysgmcmc_tpu.diagnostics.sampler_diagnostics import (
+    effective_sample_size,
+    effective_sample_sizes,
+    gelman_rubin,
+    gelman_rubin_from_sampler,
+)
 
-__all__ = ["objective_functions"]
+__all__ = [
+    "objective_functions",
+    "PYSGMCMCTrace",
+    "MultiTrace",
+    "pysgmcmc_multitrace",
+    "effective_sample_size",
+    "effective_sample_sizes",
+    "gelman_rubin",
+    "gelman_rubin_from_sampler",
+]

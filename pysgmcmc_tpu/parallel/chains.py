@@ -1,0 +1,115 @@
+"""Massively parallel chains: vmap over a sharded chain axis.
+
+This module is the TPU-native replacement for the reference's sequential
+multi-chain extraction (``/root/reference/pysgmcmc/diagnostics/
+sample_chains.py:338-384``, one fresh graph + session per chain): all chains
+advance in lockstep inside a single jitted ``vmap(scan)`` program, and the
+chain axis shards across a :func:`pysgmcmc_tpu.parallel.mesh.chain_mesh` so
+8k+ chains spread over a pod slice with zero cross-chain communication in
+the hot loop.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from pysgmcmc_tpu.parallel.mesh import CHAIN_AXIS, chain_sharding, shard_chains
+from pysgmcmc_tpu.samplers.base import sample_chain
+
+
+def _n_chains(tree):
+    leaves = jax.tree_util.tree_leaves(tree)
+    if not leaves:
+        raise ValueError("run_chains: empty initial_positions pytree")
+    return leaves[0].shape[0]
+
+
+def stack_positions(position, n_chains, jitter=0.0, key=None):
+    """Broadcast one initial position to ``n_chains`` chains.
+
+    With ``jitter > 0`` each chain starts at ``position + jitter * N(0, 1)``
+    (overdispersed initialization, which Gelman-Rubin diagnostics assume).
+    """
+    stacked = jax.tree_util.tree_map(
+        lambda leaf: jnp.broadcast_to(
+            jnp.asarray(leaf)[None], (n_chains,) + jnp.shape(leaf)
+        ),
+        position,
+    )
+    if jitter:
+        if key is None:
+            raise ValueError("stack_positions: jitter requires a PRNG key")
+        leaves, treedef = jax.tree_util.tree_flatten(stacked)
+        keys = jax.random.split(key, len(leaves))
+        leaves = [
+            leaf + jitter * jax.random.normal(k, leaf.shape, leaf.dtype)
+            for k, leaf in zip(keys, leaves)
+        ]
+        stacked = jax.tree_util.tree_unflatten(treedef, leaves)
+    return stacked
+
+
+def run_chains(
+    sampler,
+    initial_positions,
+    key,
+    n_samples,
+    batch_fn=None,
+    keep_every=1,
+    mesh=None,
+    axis_name=CHAIN_AXIS,
+):
+    """Run one chain per leading-axis slice of ``initial_positions``.
+
+    Returns ``(positions, costs)`` with shapes
+    ``(n_chains, n_samples, *param_shape)`` and ``(n_chains, n_samples)``.
+
+    Parameters
+    ----------
+    mesh : jax.sharding.Mesh, optional
+        If given, the chain axis of inputs and outputs is sharded over the
+        mesh; the per-chain scan runs SPMD on every device with no
+        collectives (chains are independent).
+    """
+    n_chains = _n_chains(initial_positions)
+    chain_keys = jax.random.split(key, n_chains)
+
+    def one_chain(position, chain_key):
+        key_init, key_run = jax.random.split(chain_key)
+        state = sampler.init(position, key_init)
+        _, positions, costs = sample_chain(
+            sampler,
+            state,
+            key_run,
+            n_samples,
+            batch_fn=batch_fn,
+            keep_every=keep_every,
+        )
+        return positions, costs
+
+    vmapped = jax.vmap(one_chain)
+
+    if mesh is None:
+        return jax.jit(vmapped)(initial_positions, chain_keys)
+
+    # shard_map over the chain axis: every device runs the identical
+    # vmapped scan on its local slice of chains — pure SPMD, zero
+    # collectives in the hot loop.  (A plain jit + NamedSharding would
+    # also work in principle, but jax's partitionable-threefry lowering
+    # rejects sharded key arrays without a surrounding mesh context; the
+    # shard_map formulation sidesteps that and is bitwise identical to
+    # the unsharded vmap.)
+    n_mesh = mesh.devices.size
+    if n_chains % n_mesh != 0:
+        raise ValueError(
+            "run_chains: n_chains ({}) must be divisible by the mesh size "
+            "({})".format(n_chains, n_mesh)
+        )
+    from jax.sharding import PartitionSpec
+
+    spec = PartitionSpec(axis_name)
+    initial_positions = shard_chains(initial_positions, mesh, axis_name)
+    chain_keys = jax.device_put(chain_keys, chain_sharding(mesh, axis_name))
+    fn = jax.jit(
+        jax.shard_map(vmapped, mesh=mesh, in_specs=spec, out_specs=spec)
+    )
+    return fn(initial_positions, chain_keys)

@@ -2,15 +2,30 @@
 
 Multi-chip TPU hardware is not available in CI, so sharding tests run
 against 8 virtual CPU devices (the standard JAX recipe for testing
-``Mesh``/``pjit`` code without a real pod slice).  Must run before the first
-``import jax`` anywhere in the test session.
+``Mesh``/``pjit`` code without a real pod slice).
+
+Note: this environment registers a tunneled TPU PJRT plugin ("axon") from
+``sitecustomize`` and pins ``JAX_PLATFORMS`` in the parent env, so setting
+the env var alone is not enough — we must also override the config after
+importing jax, before any backend is initialized.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+assert jax.default_backend() == "cpu", (
+    "tests must run on CPU, got {}".format(jax.default_backend())
+)
+assert len(jax.devices()) == 8, (
+    "expected 8 virtual CPU devices, got {}".format(len(jax.devices()))
+)
