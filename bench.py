@@ -1,0 +1,117 @@
+"""Headline benchmark: vmapped SGHMC chains on the 3-layer BNN.
+
+Workload (BASELINE.md north star): 8192 independent SGHMC chains, each
+sampling the posterior of the reference's 3x50-tanh heteroscedastic BNN on
+sinc data (batch 20), advancing in lockstep inside one jitted
+``vmap(scan)`` program on a single chip.  Metric: aggregated sampler
+update-steps per second per chip (chains x scan-steps / wall time).
+Target: > 1e6 steps/sec/chip.
+
+The reference has no throughput numbers (it performs one host<->device
+round trip per step per chain); ``vs_baseline`` is therefore reported
+against the 1M steps/sec/chip north-star target.
+
+Prints exactly one JSON line.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pysgmcmc_tpu.data_batches import batch_fn as make_batch_fn
+from pysgmcmc_tpu.diagnostics.objective_functions import sinc
+from pysgmcmc_tpu.models.architectures import default_network
+from pysgmcmc_tpu.models.bayesian_neural_network import (
+    log_variance_prior_log_like,
+    weight_prior_log_like,
+)
+from pysgmcmc_tpu.parallel.chains import run_chains, stack_positions
+from pysgmcmc_tpu.samplers.sghmc import SGHMCSampler
+from pysgmcmc_tpu.utils.numeric import safe_divide
+
+
+def build_workload(n_chains, dtype=jnp.float32, n_data=100, batch_size=20):
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.uniform(0.0, 1.0, (n_data, 1)), dtype)
+    y = jnp.asarray(np.asarray(sinc(np.asarray(x))), dtype)
+
+    init_fn, apply_fn = default_network(1, dtype=dtype)
+
+    def cost_fn(params, batch):
+        xb, yb = batch
+        out = apply_fn(params, xb)
+        f_mean, f_log_var = out[:, 0:1], out[:, 1:2]
+        f_var_inv = 1.0 / (jnp.exp(f_log_var) + 1e-16)
+        mse = jnp.square(yb - f_mean)
+        ll = jnp.sum(jnp.sum(-mse * 0.5 * f_var_inv - 0.5 * f_log_var, axis=1))
+        ll = ll / batch_size
+        ll += log_variance_prior_log_like(f_log_var) / n_data
+        ll += weight_prior_log_like(params) / n_data
+        return -ll
+
+    sampler = SGHMCSampler(
+        cost_fn,
+        stepsize_schedule=float(np.sqrt(1e-4)),
+        burn_in_steps=3000,
+        scale_grad=float(n_data),
+        dtype=dtype,
+    )
+    select_batch = make_batch_fn(x, y, batch_size)
+
+    params0 = init_fn(jax.random.PRNGKey(0))
+    positions = stack_positions(
+        params0, n_chains, jitter=0.01, key=jax.random.PRNGKey(1)
+    )
+    return sampler, positions, select_batch
+
+
+def main():
+    n_chains = 8192
+    scan_steps = 200
+    repeats = 3
+
+    sampler, positions, select_batch = build_workload(n_chains)
+
+    def run(key):
+        return run_chains(
+            sampler,
+            positions,
+            key,
+            n_samples=1,
+            batch_fn=select_batch,
+            keep_every=scan_steps,
+        )
+
+    # Warmup / compile.
+    chains, costs = run(jax.random.PRNGKey(2))
+    jax.block_until_ready(chains)
+
+    elapsed = []
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        chains, costs = run(jax.random.PRNGKey(3 + i))
+        jax.block_until_ready(chains)
+        elapsed.append(time.perf_counter() - t0)
+
+    best = min(elapsed)
+    steps_per_sec = n_chains * scan_steps / best
+
+    assert bool(np.isfinite(np.asarray(costs)).all()), "non-finite costs"
+
+    print(
+        json.dumps(
+            {
+                "metric": "SGHMC update-steps/sec/chip (8192-chain 3x50 BNN)",
+                "value": round(steps_per_sec, 1),
+                "unit": "steps/sec/chip",
+                "vs_baseline": round(steps_per_sec / 1_000_000.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
