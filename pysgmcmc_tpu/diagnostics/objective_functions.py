@@ -114,7 +114,8 @@ def bohachevski(x):
     --------
     >>> import numpy as np
     >>> optima, f_opt = [[0.0, 0.0]], 0.0
-    >>> np.allclose([bohachevski(optimum) for optimum in optima], f_opt)
+    >>> np.allclose([bohachevski(optimum) for optimum in optima], f_opt,
+    ...             atol=1e-6)
     True
     """
     y = 0.7 + x[0] ** 2 + 2.0 * x[1] ** 2

@@ -48,6 +48,69 @@ def stack_positions(position, n_chains, jitter=0.0, key=None):
     return stacked
 
 
+# jit programs are cached on callable identity, so building a fresh
+# vmap closure per call would recompile every time (minutes on a remote
+# TPU).  Cache runners keyed on the static configuration instead.
+_RUNNER_CACHE = {}
+
+
+def make_chain_runner(
+    sampler,
+    n_samples,
+    batch_fn=None,
+    keep_every=1,
+    mesh=None,
+    axis_name=CHAIN_AXIS,
+):
+    """Build (and cache) the jitted multi-chain runner.
+
+    Returns ``runner(initial_positions, chain_keys) -> (positions, costs)``.
+    Reusing the same ``sampler``/``batch_fn`` objects across calls hits the
+    compile cache.
+    """
+    cache_key = (
+        id(sampler), n_samples, id(batch_fn), keep_every,
+        None if mesh is None else id(mesh), axis_name,
+    )
+    if cache_key in _RUNNER_CACHE:
+        return _RUNNER_CACHE[cache_key]
+
+    def one_chain(position, chain_key):
+        key_init, key_run = jax.random.split(chain_key)
+        state = sampler.init(position, key_init)
+        _, positions, costs = sample_chain(
+            sampler,
+            state,
+            key_run,
+            n_samples,
+            batch_fn=batch_fn,
+            keep_every=keep_every,
+        )
+        return positions, costs
+
+    vmapped = jax.vmap(one_chain)
+
+    if mesh is None:
+        runner = jax.jit(vmapped)
+    else:
+        # shard_map over the chain axis: every device runs the identical
+        # vmapped scan on its local slice of chains — pure SPMD, zero
+        # collectives in the hot loop.  (A plain jit + NamedSharding would
+        # also work in principle, but jax's partitionable-threefry lowering
+        # rejects sharded key arrays without a surrounding mesh context; the
+        # shard_map formulation sidesteps that and is bitwise identical to
+        # the unsharded vmap.)
+        from jax.sharding import PartitionSpec
+
+        spec = PartitionSpec(axis_name)
+        runner = jax.jit(
+            jax.shard_map(vmapped, mesh=mesh, in_specs=spec, out_specs=spec)
+        )
+
+    _RUNNER_CACHE[cache_key] = runner
+    return runner
+
+
 def run_chains(
     sampler,
     initial_positions,
@@ -73,43 +136,19 @@ def run_chains(
     n_chains = _n_chains(initial_positions)
     chain_keys = jax.random.split(key, n_chains)
 
-    def one_chain(position, chain_key):
-        key_init, key_run = jax.random.split(chain_key)
-        state = sampler.init(position, key_init)
-        _, positions, costs = sample_chain(
-            sampler,
-            state,
-            key_run,
-            n_samples,
-            batch_fn=batch_fn,
-            keep_every=keep_every,
+    if mesh is not None:
+        n_mesh = mesh.devices.size
+        if n_chains % n_mesh != 0:
+            raise ValueError(
+                "run_chains: n_chains ({}) must be divisible by the mesh "
+                "size ({})".format(n_chains, n_mesh)
+            )
+        initial_positions = shard_chains(initial_positions, mesh, axis_name)
+        chain_keys = jax.device_put(
+            chain_keys, chain_sharding(mesh, axis_name)
         )
-        return positions, costs
 
-    vmapped = jax.vmap(one_chain)
-
-    if mesh is None:
-        return jax.jit(vmapped)(initial_positions, chain_keys)
-
-    # shard_map over the chain axis: every device runs the identical
-    # vmapped scan on its local slice of chains — pure SPMD, zero
-    # collectives in the hot loop.  (A plain jit + NamedSharding would
-    # also work in principle, but jax's partitionable-threefry lowering
-    # rejects sharded key arrays without a surrounding mesh context; the
-    # shard_map formulation sidesteps that and is bitwise identical to
-    # the unsharded vmap.)
-    n_mesh = mesh.devices.size
-    if n_chains % n_mesh != 0:
-        raise ValueError(
-            "run_chains: n_chains ({}) must be divisible by the mesh size "
-            "({})".format(n_chains, n_mesh)
-        )
-    from jax.sharding import PartitionSpec
-
-    spec = PartitionSpec(axis_name)
-    initial_positions = shard_chains(initial_positions, mesh, axis_name)
-    chain_keys = jax.device_put(chain_keys, chain_sharding(mesh, axis_name))
-    fn = jax.jit(
-        jax.shard_map(vmapped, mesh=mesh, in_specs=spec, out_specs=spec)
+    runner = make_chain_runner(
+        sampler, n_samples, batch_fn, keep_every, mesh, axis_name
     )
-    return fn(initial_positions, chain_keys)
+    return runner(initial_positions, chain_keys)
