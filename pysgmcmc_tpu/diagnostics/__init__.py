@@ -1,4 +1,4 @@
-from pysgmcmc_tpu.diagnostics import objective_functions
+from pysgmcmc_tpu.diagnostics import model_diagnostics, objective_functions
 from pysgmcmc_tpu.diagnostics.sample_chains import (
     MultiTrace,
     PYSGMCMCTrace,
@@ -13,6 +13,7 @@ from pysgmcmc_tpu.diagnostics.sampler_diagnostics import (
 
 __all__ = [
     "objective_functions",
+    "model_diagnostics",
     "PYSGMCMCTrace",
     "MultiTrace",
     "pysgmcmc_multitrace",

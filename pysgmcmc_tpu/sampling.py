@@ -7,10 +7,11 @@ with descriptive errors via ``inspect.signature`` reflection.
 
 Differences from the reference, by design:
 
-- All four samplers are constructible here.  (The reference's
-  ``is_supported`` returns True only for SGHMC/SGLD — ``sampling.py:64`` —
-  because RSGHMC/SVGD never worked with its BNN; the TPU BNN supports
-  SGHMC, SGLD and RelativisticSGHMC, so ``is_supported`` reflects that.)
+- All four samplers are constructible here AND usable for model training.
+  (The reference's ``is_supported`` returns True only for SGHMC/SGLD —
+  ``sampling.py:64`` — because RSGHMC/SVGD never worked with its BNN; the
+  TPU BNN supports all four, including SVGD via a vmapped particle ensemble
+  of networks, fixing the reference's ``svgd.py:7-10`` interface wart.)
 - Samplers are constructed from ``cost_fn`` + hyperparameters only; there is
   no session/graph. Initial parameters are passed to ``sampler.init``.
 """
@@ -53,6 +54,8 @@ class Sampler(Enum):
         True
         >>> Sampler.is_supported(Sampler.RelativisticSGHMC)
         True
+        >>> Sampler.is_supported(Sampler.SVGD)
+        True
         >>> Sampler.is_supported(0)
         False
         >>> Sampler.is_supported("test")
@@ -62,6 +65,7 @@ class Sampler(Enum):
             Sampler.SGHMC,
             Sampler.SGLD,
             Sampler.RelativisticSGHMC,
+            Sampler.SVGD,
         )
 
     @classmethod
