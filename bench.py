@@ -28,7 +28,7 @@ from pysgmcmc_tpu.models.bayesian_neural_network import (
     log_variance_prior_log_like,
     weight_prior_log_like,
 )
-from pysgmcmc_tpu.parallel.chains import run_chains, stack_positions
+from pysgmcmc_tpu.parallel.chains import run_chains
 from pysgmcmc_tpu.samplers.sghmc import SGHMCSampler
 from pysgmcmc_tpu.utils.numeric import safe_divide
 
@@ -62,8 +62,16 @@ def build_workload(n_chains, dtype=jnp.float32, n_data=100, batch_size=20):
     select_batch = make_batch_fn(x, y, batch_size)
 
     params0 = init_fn(jax.random.PRNGKey(0))
-    positions = stack_positions(
-        params0, n_chains, jitter=0.01, key=jax.random.PRNGKey(1)
+    # Build the stacked positions host-side in one pass (eager broadcast +
+    # jitter ops through the device tunnel are pathologically slow).
+    host_rng = np.random.RandomState(1)
+    positions = jax.tree_util.tree_map(
+        lambda leaf: jnp.asarray(
+            np.asarray(leaf)[None]
+            + 0.01 * host_rng.standard_normal((n_chains,) + leaf.shape),
+            dtype,
+        ),
+        params0,
     )
     return sampler, positions, select_batch
 
