@@ -1,0 +1,134 @@
+"""Reference-headline benchmark: RSGHMC ESS-vs-stepsize sweep, on TPU.
+
+Reproduces the measurement protocol behind the reference's only published
+numbers (``/root/repo/BASELINE.md``): Relativistic SGHMC, 20 chains x 10^4
+kept samples per chain, keep_every=10, per-variable ESS, swept over
+stepsizes.  The reference ran every (stepsize, chain) pair sequentially in
+a fresh TF graph; here the ENTIRE sweep — all stepsizes x all chains —
+executes as one jitted program: stepsizes ride in the traced schedule
+state (``TracedStepsizeSchedule``), chains vmap, and ESS is computed on
+device over the (n_eps, n_chains, n_samples, dim) history.
+
+Usage: python benchmarks/ess_sweep_tpu.py [banana|gmm1|gmm2|gmm3] [-o out.json]
+"""
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pysgmcmc_tpu.diagnostics.objective_functions import (
+    banana_log_likelihood,
+    gmm1_log_likelihood,
+    gmm2_log_likelihood,
+    gmm3_log_likelihood,
+    to_negative_log_likelihood,
+)
+from pysgmcmc_tpu.diagnostics.sampler_diagnostics import effective_sample_size
+from pysgmcmc_tpu.samplers.base import sample_chain
+from pysgmcmc_tpu.samplers.relativistic_sghmc import RelativisticSGHMCSampler
+from pysgmcmc_tpu.stepsize_schedules import TracedStepsizeSchedule
+
+BENCHMARKS = {
+    # (log_likelihood, dim, stepsize range) — ranges follow BASELINE.md.
+    "banana": (banana_log_likelihood, 2, (0.01, 4.01)),
+    "gmm1": (gmm1_log_likelihood, 1, (0.01, 8.01)),
+    "gmm2": (gmm2_log_likelihood, 1, (0.01, 8.01)),
+    "gmm3": (gmm3_log_likelihood, 1, (0.01, 8.01)),
+}
+
+
+def sweep(benchmark, n_chains=20, samples_per_chain=10_000, keep_every=10,
+          stepsize_step=0.05, seed=0):
+    log_like, dim, (eps_min, eps_max) = BENCHMARKS[benchmark]
+    cost_fn = to_negative_log_likelihood(log_like)
+    stepsizes = np.arange(eps_min, eps_max, stepsize_step, dtype=np.float32)
+    n_eps = len(stepsizes)
+
+    sampler = RelativisticSGHMCSampler(
+        cost_fn, stepsize_schedule=TracedStepsizeSchedule(0.001)
+    )
+
+    def one_chain(eps, position, chain_key):
+        key_init, key_run = jax.random.split(chain_key)
+        state = sampler.init(position, key_init)
+        state = state._replace(schedule_state=eps)
+        _, positions, _ = sample_chain(
+            sampler, state, key_run, samples_per_chain, keep_every=keep_every
+        )
+        return positions
+
+    # grid: (n_eps, n_chains)
+    key = jax.random.PRNGKey(seed)
+    key_pos, key_run = jax.random.split(key)
+    positions0 = jax.random.normal(key_pos, (n_eps, n_chains, dim))
+    chain_keys = jax.random.split(key_run, n_eps * n_chains).reshape(
+        n_eps, n_chains, -1
+    )
+    eps_grid = jnp.asarray(stepsizes)[:, None].repeat(n_chains, axis=1)
+
+    run = jax.jit(jax.vmap(jax.vmap(one_chain)))
+
+    t0 = time.perf_counter()
+    chains = run(eps_grid, positions0, chain_keys)
+    jax.block_until_ready(chains)
+    compile_and_run = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    # ESS per stepsize (vmapped over the sweep axis), mean over dims
+    ess = jax.jit(jax.vmap(effective_sample_size))(chains)
+    ess = np.atleast_2d(np.asarray(ess).reshape(n_eps, -1))
+    ess_time = time.perf_counter() - t0
+
+    total_steps = n_eps * n_chains * samples_per_chain * keep_every
+    return {
+        "benchmark": benchmark,
+        "protocol": {
+            "sampler": "RelativisticSGHMC",
+            "n_chains": n_chains,
+            "samples_per_chain": samples_per_chain,
+            "keep_every": keep_every,
+        },
+        "stepsizes": stepsizes.tolist(),
+        "mean_ess": ess.mean(axis=1).tolist(),
+        "best": {
+            "stepsize": float(stepsizes[int(ess.mean(axis=1).argmax())]),
+            "mean_ess": float(ess.mean(axis=1).max()),
+        },
+        "wall_seconds_total": compile_and_run + ess_time,
+        "total_sampler_steps": total_steps,
+    }
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("benchmark", nargs="?", default="banana",
+                        choices=sorted(BENCHMARKS))
+    parser.add_argument("-o", "--output", default=None)
+    parser.add_argument("--n-chains", type=int, default=20)
+    parser.add_argument("--samples-per-chain", type=int, default=10_000)
+    parser.add_argument("--keep-every", type=int, default=10)
+    parser.add_argument("--stepsize-increment", type=float, default=0.05)
+    args = parser.parse_args()
+
+    result = sweep(
+        args.benchmark,
+        n_chains=args.n_chains,
+        samples_per_chain=args.samples_per_chain,
+        keep_every=args.keep_every,
+        stepsize_step=args.stepsize_increment,
+    )
+    print(json.dumps(
+        {k: result[k] for k in
+         ("benchmark", "best", "wall_seconds_total", "total_sampler_steps")}
+    ))
+    if args.output:
+        with open(args.output, "w") as handle:
+            json.dump(result, handle, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -11,6 +11,7 @@ at ``objective_functions.py:62-85``).
 import functools
 
 import jax.numpy as jnp
+import numpy as np
 from jax.scipy.special import logsumexp
 
 
@@ -174,11 +175,11 @@ def goldstein_price(x):
     return a * b
 
 
-_HARTMANN3_ALPHA = jnp.array([1.0, 1.2, 3.0, 3.2])
-_HARTMANN3_A = jnp.array(
+_HARTMANN3_ALPHA = np.array([1.0, 1.2, 3.0, 3.2])
+_HARTMANN3_A = np.array(
     [[3.0, 10.0, 30.0], [0.1, 10.0, 35.0], [3.0, 10.0, 30.0], [0.1, 10.0, 35.0]]
 )
-_HARTMANN3_P = 0.0001 * jnp.array(
+_HARTMANN3_P = 0.0001 * np.array(
     [[3689, 1170, 2673], [4699, 4387, 7470], [1090, 8732, 5547], [381, 5743, 8828]]
 )
 
@@ -198,8 +199,8 @@ def hartmann3(x):
     return -jnp.sum(_HARTMANN3_ALPHA * jnp.exp(-inner))
 
 
-_HARTMANN6_ALPHA = jnp.array([1.00, 1.20, 3.00, 3.20])
-_HARTMANN6_A = jnp.array(
+_HARTMANN6_ALPHA = np.array([1.00, 1.20, 3.00, 3.20])
+_HARTMANN6_A = np.array(
     [
         [10.00, 3.00, 17.00, 3.50, 1.70, 8.00],
         [0.05, 10.00, 17.00, 0.10, 8.00, 14.00],
@@ -207,7 +208,7 @@ _HARTMANN6_A = jnp.array(
         [17.00, 8.00, 0.05, 10.00, 0.10, 14.00],
     ]
 )
-_HARTMANN6_P = 0.0001 * jnp.array(
+_HARTMANN6_P = 0.0001 * np.array(
     [
         [1312, 1696, 5569, 124, 8283, 5886],
         [2329, 4135, 8307, 3736, 1004, 9991],

@@ -75,6 +75,28 @@ class ConstantStepsizeSchedule(StepsizeSchedule):
         return "ConstantStepsizeSchedule(stepsize={})".format(self.initial_value)
 
 
+class TracedStepsizeSchedule(StepsizeSchedule):
+    """Constant stepsize carried in the (traced) schedule state.
+
+    Unlike :class:`ConstantStepsizeSchedule` — whose value is a Python
+    float baked into the compiled program — this schedule reads the
+    stepsize from ``schedule_state``, so one compiled sampler program
+    serves *any* stepsize: replace ``state.schedule_state`` (or vmap over
+    it) to sweep stepsizes with zero recompilation.  This is what lets the
+    whole ESS-vs-stepsize experiment (81 stepsizes x 20 chains in the
+    reference, run sequentially there) execute as a single device program.
+    """
+
+    def init(self):
+        return jnp.asarray(self.initial_value, jnp.float32)
+
+    def value(self, state, step):
+        return state
+
+    def __str__(self):
+        return "TracedStepsizeSchedule(initial={})".format(self.initial_value)
+
+
 class PolynomialDecaySchedule(StepsizeSchedule):
     """``a / (b + t)**gamma`` — the classic Welling & Teh SGLD decay.
 
