@@ -33,7 +33,10 @@ from pysgmcmc_tpu.samplers.sghmc import SGHMCSampler
 from pysgmcmc_tpu.utils.numeric import safe_divide
 
 
-def build_workload(n_chains, dtype=jnp.float32, n_data=100, batch_size=20):
+def build_workload(
+    n_chains, dtype=jnp.float32, compute_dtype=jnp.bfloat16,
+    n_data=100, batch_size=20,
+):
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.uniform(0.0, 1.0, (n_data, 1)), dtype)
     y = jnp.asarray(np.asarray(sinc(np.asarray(x))), dtype)
@@ -41,8 +44,17 @@ def build_workload(n_chains, dtype=jnp.float32, n_data=100, batch_size=20):
     init_fn, apply_fn = default_network(1, dtype=dtype)
 
     def cost_fn(params, batch):
+        # Mixed precision: matmuls in bf16 (MXU native), sampler state,
+        # likelihood and priors in f32.  Quality-neutral on the sinc gate
+        # (MSE 0.0011 bf16 vs 0.0010 f32; see tests/models).
         xb, yb = batch
-        out = apply_fn(params, xb)
+        if compute_dtype is not None:
+            params_c = jax.tree_util.tree_map(
+                lambda leaf: leaf.astype(compute_dtype), params
+            )
+            out = apply_fn(params_c, xb.astype(compute_dtype)).astype(dtype)
+        else:
+            out = apply_fn(params, xb)
         f_mean, f_log_var = out[:, 0:1], out[:, 1:2]
         f_var_inv = 1.0 / (jnp.exp(f_log_var) + 1e-16)
         mse = jnp.square(yb - f_mean)
@@ -112,7 +124,8 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "SGHMC update-steps/sec/chip (8192-chain 3x50 BNN)",
+                "metric": "SGHMC update-steps/sec/chip (8192-chain 3x50 BNN,"
+                          " bf16 matmul / f32 state)",
                 "value": round(steps_per_sec, 1),
                 "unit": "steps/sec/chip",
                 "vs_baseline": round(steps_per_sec / 1_000_000.0, 3),

@@ -88,7 +88,10 @@ class TracedStepsizeSchedule(StepsizeSchedule):
     """
 
     def init(self):
-        return jnp.asarray(self.initial_value, jnp.float32)
+        # host-side numpy: no device allocation at schedule construction
+        import numpy as np
+
+        return np.float32(self.initial_value)
 
     def value(self, state, step):
         return state

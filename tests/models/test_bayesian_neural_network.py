@@ -63,6 +63,21 @@ def test_individual_predictions_length():
     assert np.all(theta_noise > 0)
 
 
+def test_mixed_precision_compute():
+    """bf16 network compute keeps the sinc quality gate (f32 state)."""
+    x_train, y_train, x_test, y_test = _sinc_data()
+    bnn = _fast_bnn(compute_dtype=jnp.bfloat16)
+    bnn.train(x_train, y_train)
+    mean, _ = bnn.predict(x_test)
+    mse = float(np.mean((mean - y_test) ** 2))
+    assert np.allclose(mse, 0.0, atol=1e-1)
+    # sampler state stays f32
+    assert all(
+        leaf.dtype == jnp.float32
+        for leaf in jax.tree_util.tree_leaves(bnn.samples)
+    )
+
+
 def test_train_with_sgld():
     x_train, y_train, x_test, y_test = _sinc_data()
     bnn = _fast_bnn(
