@@ -1,4 +1,5 @@
 from pysgmcmc_tpu.diagnostics import model_diagnostics, objective_functions
+from pysgmcmc_tpu.diagnostics.chain_health import check_chains, divergence_step
 from pysgmcmc_tpu.diagnostics.sample_chains import (
     MultiTrace,
     PYSGMCMCTrace,
@@ -14,6 +15,8 @@ from pysgmcmc_tpu.diagnostics.sampler_diagnostics import (
 __all__ = [
     "objective_functions",
     "model_diagnostics",
+    "check_chains",
+    "divergence_step",
     "PYSGMCMCTrace",
     "MultiTrace",
     "pysgmcmc_multitrace",
