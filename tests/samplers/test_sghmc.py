@@ -90,6 +90,33 @@ def test_iterator_facade():
     assert not it.is_burning_in or it.n_iterations < 3
 
 
+def test_iterator_with_host_batch_generator():
+    """Reference-style host-side batch generators feed the iterator facade
+    (cf. ``data_batches.py`` generators driving ``session.run`` feeds)."""
+    from pysgmcmc_tpu.data_batches import generate_batches
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(50, 2)).astype(np.float32)
+    y = rng.normal(size=(50,)).astype(np.float32)
+
+    def cost_fn(params, batch):
+        xb, yb = batch
+        pred = xb @ params
+        return jnp.sum((yb[:, 0] - pred) ** 2)
+
+    sampler = SGHMCSampler(cost_fn, stepsize_schedule=1e-3, burn_in_steps=5)
+    it = IterativeSampler(
+        sampler,
+        params=jnp.zeros(2),
+        key=0,
+        batch_generator=generate_batches(x, y, batch_size=10, seed=3),
+    )
+    for _ in range(5):
+        sample, cost = next(it)
+        assert sample.shape == (2,)
+        assert np.isfinite(float(cost))
+
+
 def test_invalid_inputs():
     with pytest.raises(ValueError):
         SGHMCSampler("not a callable")
