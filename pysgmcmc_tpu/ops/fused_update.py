@@ -60,22 +60,35 @@ def _block_shape(n_rows, n_cols, n_buffers):
     return block_rows, block_cols
 
 
+def _uniform_from_bits(shape):
+    """uint32 PRNG bits -> uniform in [0, 1) via exponent stuffing."""
+    bits = pltpu.prng_random_bits(shape)
+    mantissa = jax.lax.shift_right_logical(
+        pltpu.bitcast(bits, jnp.uint32), jnp.uint32(9)
+    )
+    return pltpu.bitcast(mantissa | jnp.uint32(0x3F800000), jnp.float32) - 1.0
+
+
 def _normal_from_bits(shape):
-    """Standard normal samples from the in-kernel PRNG via Box-Muller."""
-    bits1 = pltpu.prng_random_bits(shape)
-    bits2 = pltpu.prng_random_bits(shape)
-    # uint32 -> uniform in [0, 1): set exponent to 1.0's, mantissa random.
-    shift = jnp.uint32(9)
-    mantissa1 = jax.lax.shift_right_logical(
-        pltpu.bitcast(bits1, jnp.uint32), shift
-    )
-    mantissa2 = jax.lax.shift_right_logical(
-        pltpu.bitcast(bits2, jnp.uint32), shift
-    )
-    exponent = jnp.uint32(0x3F800000)
-    u1 = pltpu.bitcast(mantissa1 | exponent, jnp.float32) - 1.0
-    u2 = pltpu.bitcast(mantissa2 | exponent, jnp.float32) - 1.0
-    radius = jnp.sqrt(-2.0 * jnp.log1p(-u1))  # log(1-u1), u1 in [0,1)
+    """Standard normal samples from the in-kernel PRNG via Box-Muller.
+
+    Uses BOTH Box-Muller outputs (cos and sin) when the sublane count is
+    even, halving the per-element transcendental cost; each (u1, u2) pair
+    yields two independent normals.
+    """
+    rows, cols = shape
+    if rows % 2 == 0:
+        half = rows // 2
+        u1 = _uniform_from_bits((half, cols))
+        u2 = _uniform_from_bits((half, cols))
+        radius = jnp.sqrt(-2.0 * jnp.log1p(-u1))  # log(1-u1), u1 in [0,1)
+        angle = 2.0 * jnp.pi * u2
+        return jnp.concatenate(
+            [radius * jnp.cos(angle), radius * jnp.sin(angle)], axis=0
+        )
+    u1 = _uniform_from_bits(shape)
+    u2 = _uniform_from_bits(shape)
+    radius = jnp.sqrt(-2.0 * jnp.log1p(-u1))
     return radius * jnp.cos(2.0 * jnp.pi * u2)
 
 
