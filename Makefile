@@ -12,10 +12,11 @@ test-fast:
 	$(PYTEST) tests/ -q -x --ignore=tests/models
 
 # Executable documentation (the reference runs its notebooks via nbval).
+# PYTHONPATH=. drops the TPU-plugin site dir so JAX_PLATFORMS=cpu holds.
 examples:
-	JAX_PLATFORMS=cpu python examples/api_quickstart.py
-	JAX_PLATFORMS=cpu python examples/svgd_mixture.py
-	JAX_PLATFORMS=cpu python examples/relativistic_sghmc_banana.py
+	PYTHONPATH=. JAX_PLATFORMS=cpu python examples/api_quickstart.py
+	PYTHONPATH=. JAX_PLATFORMS=cpu python examples/svgd_mixture.py
+	PYTHONPATH=. JAX_PLATFORMS=cpu python examples/relativistic_sghmc_banana.py
 
 bench:
 	python bench.py

@@ -63,8 +63,9 @@ def main():
         keep_every=5, jitter=3.0, varnames=["x"],
     )
     chains = multitrace.chains_array("x")
-    print("4 chains: ESS {:.0f}, R-hat {:.3f}".format(
-        float(effective_sample_size(chains)), float(gelman_rubin(chains))))
+    ess = np.asarray(effective_sample_size(chains)).ravel()[0]
+    r_hat = np.asarray(gelman_rubin(chains)).ravel()[0]
+    print("4 chains: ESS {:.0f}, R-hat {:.3f}".format(float(ess), float(r_hat)))
 
 
 if __name__ == "__main__":

@@ -225,6 +225,8 @@ class BayesianNeuralNetwork(BaseModel):
         if Sampler.is_burn_in_mcmc(self.sampling_method):
             kwargs.setdefault("scale_grad", float(n_datapoints))
             kwargs.setdefault("burn_in_steps", self.burn_in_steps)
+        elif self.sampling_method == Sampler.PSGLD:
+            kwargs.setdefault("scale_grad", float(n_datapoints))
         return Sampler.get_sampler(self.sampling_method, **kwargs)
 
     def _n_collect(self, target=None):

@@ -8,6 +8,7 @@ from pysgmcmc_tpu.samplers.relativistic_sghmc import (
     RelativisticSGHMCSampler,
     RelativisticSGHMCState,
 )
+from pysgmcmc_tpu.samplers.psgld import PSGLDSampler, PSGLDState
 from pysgmcmc_tpu.samplers.sghmc import SGHMCSampler, SGHMCState
 from pysgmcmc_tpu.samplers.sgld import SGLDSampler, SGLDState
 from pysgmcmc_tpu.samplers.svgd import SVGDSampler, SVGDState
@@ -25,4 +26,6 @@ __all__ = [
     "RelativisticSGHMCState",
     "SVGDSampler",
     "SVGDState",
+    "PSGLDSampler",
+    "PSGLDState",
 ]

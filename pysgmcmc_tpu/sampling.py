@@ -26,6 +26,8 @@ class Sampler(Enum):
     RelativisticSGHMC = "RelativisticSGHMC"
     SGLD = "SGLD"
     SVGD = "SVGD"
+    # beyond the reference: RMSprop-preconditioned SGLD (Li et al. 2016)
+    PSGLD = "PSGLD"
 
     @staticmethod
     def is_burn_in_mcmc(sampling_method):
@@ -66,6 +68,7 @@ class Sampler(Enum):
             Sampler.SGLD,
             Sampler.RelativisticSGHMC,
             Sampler.SVGD,
+            Sampler.PSGLD,
         )
 
     @classmethod
@@ -98,6 +101,8 @@ class Sampler(Enum):
             )
         elif sampling_method == cls.SVGD:
             from pysgmcmc_tpu.samplers.svgd import SVGDSampler as sampler_cls
+        elif sampling_method == cls.PSGLD:
+            from pysgmcmc_tpu.samplers.psgld import PSGLDSampler as sampler_cls
         else:
             raise ValueError(
                 "sampling.Sampler.get_sampler: unknown sampling method "

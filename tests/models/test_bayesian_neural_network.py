@@ -204,3 +204,17 @@ def test_default_network_seeded_init():
     assert float(p1["log_variance_bias"][0, 0]) == pytest.approx(np.log(1e-3))
     out = apply(p1, jnp.zeros((4, 3)))
     assert out.shape == (4, 2)
+
+
+def test_train_with_psgld():
+    """pSGLD (beyond-reference) trains the BNN."""
+    x_train, y_train, x_test, _ = _sinc_data()
+    bnn = _fast_bnn(
+        sampling_method=Sampler.PSGLD,
+        stepsize_schedule=1e-3,
+        burn_in_steps=0,
+        n_nets=5,
+    )
+    bnn.train(x_train, y_train)
+    mean, _ = bnn.predict(x_test)
+    assert np.all(np.isfinite(mean))

@@ -38,3 +38,27 @@ def test_burn_in_zero_steps():
     np.testing.assert_array_equal(
         np.asarray(state.stats.minv), np.ones_like(np.asarray(state.stats.minv))
     )
+
+
+def test_psgld_samples_target_gaussian():
+    """pSGLD (beyond-reference) on a standard normal."""
+    from pysgmcmc_tpu.samplers.psgld import PSGLDSampler
+
+    cost_fn = lambda x: 0.5 * jnp.sum(x**2)
+    sampler = PSGLDSampler(cost_fn, stepsize_schedule=0.01)
+    state = sampler.init(jnp.zeros(1))
+    _, positions, _ = sample_chain(sampler, state, jax.random.PRNGKey(5), 30000)
+    draws = np.asarray(positions)[10000:, 0]
+    assert abs(draws.mean()) < 0.2
+    assert abs(draws.std() - 1.0) < 0.25
+
+
+def test_psgld_through_factory():
+    from pysgmcmc_tpu.sampling import Sampler
+
+    sampler = Sampler.get_sampler(
+        Sampler.PSGLD, cost_fn=lambda x: 0.5 * jnp.sum(x**2)
+    )
+    assert type(sampler).__name__ == "PSGLDSampler"
+    assert Sampler.is_supported(Sampler.PSGLD)
+    assert not Sampler.is_burn_in_mcmc(Sampler.PSGLD)
