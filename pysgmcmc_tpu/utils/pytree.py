@@ -35,35 +35,13 @@ def tree_cast(tree, dtype):
 def normal_like_tree(key, tree):
     """Draw a standard-normal sample for every leaf of ``tree``.
 
-    This replaces the reference's per-op seeded ``tf.random_normal``
-    (``samplers/base_classes.py:199-220``) with explicit threefry keys,
-    which is what makes chains bit-reproducible under ``vmap``/``pjit``.
-
-    All leaves share ONE packed threefry stream, sliced and reshaped per
-    leaf: under ``vmap`` over thousands of chains, per-leaf key splits and
-    draws fragment into a dozen tiny kernels per step, while the packed
-    draw is a single hash stream (measured ~15% of whole-step time on the
-    8192-chain BNN workload).  Leaves of distinct dtypes fall back to
-    per-leaf draws.
+    One fold of the key per leaf keeps draws independent across leaves while
+    staying deterministic in the leaf ordering of the pytree.  This replaces
+    the reference's per-op seeded ``tf.random_normal``
+    (``samplers/base_classes.py:199-220``) with explicit threefry keys, which
+    is what makes chains bit-reproducible under ``vmap``/``pjit``.
     """
     leaves, treedef = jax.tree_util.tree_flatten(tree)
-    if len(leaves) == 1:
-        leaf = leaves[0]
-        return jax.tree_util.tree_unflatten(
-            treedef, [jax.random.normal(key, leaf.shape, dtype=leaf.dtype)]
-        )
-
-    dtypes = {leaf.dtype for leaf in leaves}
-    if len(dtypes) == 1:
-        dtype = dtypes.pop()
-        total = sum(leaf.size for leaf in leaves)
-        flat = jax.random.normal(key, (total,), dtype=dtype)
-        samples, offset = [], 0
-        for leaf in leaves:
-            samples.append(flat[offset:offset + leaf.size].reshape(leaf.shape))
-            offset += leaf.size
-        return jax.tree_util.tree_unflatten(treedef, samples)
-
     keys = jax.random.split(key, len(leaves))
     samples = [
         jax.random.normal(k, leaf.shape, dtype=leaf.dtype)
