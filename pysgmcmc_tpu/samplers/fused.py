@@ -51,6 +51,8 @@ class FusedSGHMC:
         scale_grad=1.0,
         seed=0,
         interpret=False,
+        backend="pallas",
+        compute_dtype=None,
     ):
         flat, unravel = ravel_pytree(template_params)
         self.dim = int(flat.size)
@@ -63,6 +65,16 @@ class FusedSGHMC:
         self.scale_grad = float(scale_grad)
         self.seed = int(seed)
         self.interpret = bool(interpret)
+        if backend not in ("pallas", "xla"):
+            raise ValueError("FusedSGHMC: backend must be 'pallas' or 'xla'")
+        # 'pallas': one-kernel update with in-kernel RNG.  'xla': the same
+        # flat update math as plain jnp ops (XLA's fusion of the flat layout
+        # measured slightly faster than the hand kernel on v5e; both beat
+        # the per-leaf pytree path, whose leaf fragmentation costs ~20%).
+        self.backend = backend
+        # Run the cost function's network in this dtype (bf16 = MXU native),
+        # gradients land back in f32 via the cast's transpose.
+        self.compute_dtype = compute_dtype
 
     #  State ------------------------------------------------------------------
 
@@ -92,13 +104,20 @@ class FusedSGHMC:
     #  Stepping ----------------------------------------------------------------
 
     def _grads(self, theta, batch):
+        def maybe_cast(params):
+            if self.compute_dtype is None:
+                return params
+            return jax.tree_util.tree_map(
+                lambda leaf: leaf.astype(self.compute_dtype), params
+            )
+
         def flat_cost(row, batch):
-            return self.cost_fn(self.unravel(row[: self.dim]), batch)
+            return self.cost_fn(maybe_cast(self.unravel(row[: self.dim])), batch)
 
         if batch is None:
             costs, grads = jax.vmap(
                 jax.value_and_grad(lambda row: self.cost_fn(
-                    self.unravel(row[: self.dim])
+                    maybe_cast(self.unravel(row[: self.dim]))
                 ))
             )(theta)
         else:
@@ -107,30 +126,51 @@ class FusedSGHMC:
             )(theta, batch)
         return costs, grads
 
-    def step(self, state, batch=None):
-        """Advance all chains one step.  ``batch`` has a leading chain axis."""
+    def step(self, state, batch=None, key=None):
+        """Advance all chains one step.  ``batch`` has a leading chain axis.
+
+        ``key`` is required for the 'xla' backend (host-of-scan threefry
+        noise); the 'pallas' backend derives its noise from the in-kernel
+        PRNG seeded by the step counter.
+        """
         costs, grads = self._grads(state.theta, batch)
         burning_in = state.step < self.burn_in_steps
-        # Per-step seed: a distinct odd-stride sequence per step keeps block
-        # seeds disjoint across steps.
-        seed = jnp.asarray(self.seed, jnp.int32) + state.step * jnp.int32(
-            2654435761 & 0x7FFFFFFF
-        )
-        theta, v, tau, g, v_hat, minv = fused_sghmc_update(
-            state.theta,
-            state.momentum,
-            state.tau,
-            state.g,
-            state.v_hat,
-            state.minv,
-            grads,
-            self.stepsize,
-            burning_in,
-            seed,
-            mdecay=self.mdecay,
-            scale_grad=self.scale_grad,
-            interpret=self.interpret,
-        )
+
+        if self.backend == "xla":
+            if key is None:
+                raise ValueError("FusedSGHMC.step: backend='xla' needs a key")
+            from pysgmcmc_tpu.ops.fused_update import _update_math
+
+            eta = jax.random.normal(key, state.theta.shape, state.theta.dtype)
+            eps = jnp.asarray(self.stepsize, jnp.float32)
+            eps_scaled = eps / jnp.sqrt(jnp.asarray(self.scale_grad, jnp.float32))
+            theta, v, tau, g, v_hat, minv = _update_math(
+                state.theta, state.momentum, state.tau, state.g,
+                state.v_hat, state.minv, grads, eta,
+                eps, eps_scaled, jnp.asarray(self.mdecay, jnp.float32),
+                burning_in,
+            )
+        else:
+            # Per-step seed: a distinct odd-stride sequence per step keeps
+            # block seeds disjoint across steps.
+            seed = jnp.asarray(self.seed, jnp.int32) + state.step * jnp.int32(
+                2654435761 & 0x7FFFFFFF
+            )
+            theta, v, tau, g, v_hat, minv = fused_sghmc_update(
+                state.theta,
+                state.momentum,
+                state.tau,
+                state.g,
+                state.v_hat,
+                state.minv,
+                grads,
+                self.stepsize,
+                burning_in,
+                seed,
+                mdecay=self.mdecay,
+                scale_grad=self.scale_grad,
+                interpret=self.interpret,
+            )
         return (
             FusedSGHMCState(theta, v, tau, g, v_hat, minv, state.step + 1),
             costs,
@@ -148,7 +188,7 @@ class FusedSGHMC:
 
         def one_step(carry, _):
             state, key = carry
-            key, key_batch = jax.random.split(key)
+            key, key_batch, key_noise = jax.random.split(key, 3)
             if batch_fn is None:
                 batch = None
             elif per_chain_batches:
@@ -161,7 +201,7 @@ class FusedSGHMC:
                     ),
                     single,
                 )
-            state, costs = self.step(state, batch)
+            state, costs = self.step(state, batch, key=key_noise)
             return (state, key), costs
 
         (state, _), costs = jax.lax.scan(
