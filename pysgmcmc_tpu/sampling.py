@@ -7,11 +7,13 @@ with descriptive errors via ``inspect.signature`` reflection.
 
 Differences from the reference, by design:
 
-- All four samplers are constructible here AND usable for model training.
+- Every sampler is constructible here AND usable for model training.
   (The reference's ``is_supported`` returns True only for SGHMC/SGLD —
   ``sampling.py:64`` — because RSGHMC/SVGD never worked with its BNN; the
-  TPU BNN supports all four, including SVGD via a vmapped particle ensemble
-  of networks, fixing the reference's ``svgd.py:7-10`` interface wart.)
+  TPU BNN supports all of them, including SVGD via a vmapped particle
+  ensemble of networks, fixing the reference's ``svgd.py:7-10`` interface
+  wart.)
+- One addition: ``PSGLD`` (RMSprop-preconditioned SGLD, Li et al. 2016).
 - Samplers are constructed from ``cost_fn`` + hyperparameters only; there is
   no session/graph. Initial parameters are passed to ``sampler.init``.
 """
