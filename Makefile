@@ -17,6 +17,7 @@ examples:
 	PYTHONPATH=. JAX_PLATFORMS=cpu python examples/api_quickstart.py
 	PYTHONPATH=. JAX_PLATFORMS=cpu python examples/svgd_mixture.py
 	PYTHONPATH=. JAX_PLATFORMS=cpu python examples/relativistic_sghmc_banana.py
+	PYTHONPATH=. JAX_PLATFORMS=cpu python examples/bnn_sinc.py
 
 bench:
 	python bench.py
