@@ -280,6 +280,11 @@ class BayesianNeuralNetwork(BaseModel):
         else:
             init_fn, apply_fn = self.get_net
         self._apply_fn = apply_fn
+        # jitted ensemble forward for predict() — an eager vmap would
+        # dispatch op-by-op (slow on remote devices)
+        self._ensemble_fn = jax.jit(
+            jax.vmap(apply_fn, in_axes=(0, None))
+        )
 
         def cost_fn(params, batch):
             x_batch, y_batch = batch
@@ -457,7 +462,7 @@ class BayesianNeuralNetwork(BaseModel):
             )
         x_dev = jnp.asarray(x_test, self.dtype)
 
-        outputs = jax.vmap(lambda p: self._apply_fn(p, x_dev))(self.samples)
+        outputs = self._ensemble_fn(self.samples, x_dev)
         f_out = np.asarray(outputs[:, :, 0])
         theta_noise = np.exp(np.asarray(outputs[:, :, 1]))
 
