@@ -54,6 +54,21 @@ def test_momentum_marginal_large_mass():
     assert abs(draws.var() - true_var) / true_var < 0.05
 
 
+def test_momentum_marginal_heavy_mass():
+    """The tilted envelope keeps acceptance O(1) even for large m*c^2
+    (a naive Laplace envelope would accept ~e^-12 of proposals here)."""
+    m, c = 3.0, 2.0
+    draws = np.asarray(
+        sample_relativistic_momentum(jax.random.PRNGKey(5), (100_000,), m=m, c=c)
+    )
+    grid = np.linspace(-60, 60, 400001)
+    pdf = np.exp(-m * c**2 * np.sqrt(grid**2 / (m**2 * c**2) + 1))
+    pdf /= np.trapezoid(pdf, grid)
+    true_var = np.trapezoid(grid**2 * pdf, grid)
+    assert abs(draws.mean()) < 0.02
+    assert abs(draws.var() - true_var) / true_var < 0.05
+
+
 def test_kinetic_energy():
     np.testing.assert_allclose(
         float(relativistic_kinetic_energy(jnp.asarray(0.0))), 1.0
