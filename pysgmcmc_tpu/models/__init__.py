@@ -1,4 +1,8 @@
 from pysgmcmc_tpu.models.architectures import default_network
+from pysgmcmc_tpu.models.bayesian_linear_regression import (
+    BayesianLinearRegression,
+    exact_posterior,
+)
 from pysgmcmc_tpu.models.base_model import (
     BaseModel,
     zero_mean_unit_var_normalization,
@@ -15,6 +19,8 @@ from pysgmcmc_tpu.models.bayesian_neural_network import (
 __all__ = [
     "BaseModel",
     "BayesianNeuralNetwork",
+    "BayesianLinearRegression",
+    "exact_posterior",
     "default_network",
     "log_variance_prior_log_like",
     "weight_prior_log_like",
