@@ -1,0 +1,58 @@
+"""Smoke tests for the driver-facing artifacts.
+
+bench.py executes only on real TPU hardware at the end of a round; these
+tests exercise its workload builder and one tiny measured run on CPU so
+API drift cannot silently break the benchmark (or the graft entry points).
+"""
+
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+
+sys.path.insert(0, "/root/repo")
+
+
+def test_bench_workload_tiny_run():
+    from bench import build_workload
+    from pysgmcmc_tpu.parallel.chains import run_chains
+
+    sampler, positions, select_batch = build_workload(n_chains=4)
+    chains, costs = run_chains(
+        sampler, positions, jax.random.PRNGKey(0), 1,
+        batch_fn=select_batch, keep_every=3,
+    )
+    assert costs.shape == (4, 1)
+    assert np.isfinite(np.asarray(costs)).all()
+
+
+def test_bench_workload_f32_variant():
+    import jax.numpy as jnp
+
+    from bench import build_workload
+    from pysgmcmc_tpu.parallel.chains import run_chains
+
+    sampler, positions, select_batch = build_workload(
+        n_chains=2, compute_dtype=None
+    )
+    chains, costs = run_chains(
+        sampler, positions, jax.random.PRNGKey(1), 1,
+        batch_fn=select_batch, keep_every=2,
+    )
+    assert np.isfinite(np.asarray(costs)).all()
+
+
+def test_graft_entry_single_chip():
+    import __graft_entry__
+
+    fn, args = __graft_entry__.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (64, 2)
+
+
+def test_graft_dryrun_multichip():
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)
