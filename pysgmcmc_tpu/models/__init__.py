@@ -3,6 +3,9 @@ from pysgmcmc_tpu.models.bayesian_linear_regression import (
     BayesianLinearRegression,
     exact_posterior,
 )
+from pysgmcmc_tpu.models.bayesian_logistic_regression import (
+    BayesianLogisticRegression,
+)
 from pysgmcmc_tpu.models.base_model import (
     BaseModel,
     zero_mean_unit_var_normalization,
@@ -20,6 +23,7 @@ __all__ = [
     "BaseModel",
     "BayesianNeuralNetwork",
     "BayesianLinearRegression",
+    "BayesianLogisticRegression",
     "exact_posterior",
     "default_network",
     "log_variance_prior_log_like",
