@@ -1,0 +1,49 @@
+"""The committed TPU benchmark artifacts must beat the reference's numbers.
+
+These tests pin the repository's measured results (benchmarks/*.json,
+produced on a real v5e chip under the reference's own protocol) against the
+reference's published values from BASELINE.md, so any regression in a
+re-measured artifact fails CI.
+"""
+
+import json
+import os
+
+import pytest
+
+BENCH_DIR = os.path.join(os.path.dirname(__file__), "..", "benchmarks")
+
+REFERENCE_BEST_ESS = {
+    # target: (reference best mean ESS, its best stepsize) — BASELINE.md
+    "banana": 73725.0,
+    "gmm2": 181077.0,
+    "gmm3": 172501.0,
+}
+
+
+def _load(name):
+    path = os.path.join(BENCH_DIR, name)
+    if not os.path.exists(path):
+        pytest.skip("benchmark artifact {} not present".format(name))
+    with open(path) as handle:
+        return json.load(handle)
+
+
+@pytest.mark.parametrize("target", sorted(REFERENCE_BEST_ESS))
+def test_ess_beats_reference(target):
+    result = _load("results_ess_{}.json".format(target))
+    assert result["protocol"]["n_chains"] == 20
+    assert result["protocol"]["samples_per_chain"] == 10_000
+    assert result["protocol"]["keep_every"] == 10
+    assert result["best"]["mean_ess"] > REFERENCE_BEST_ESS[target]
+
+
+def test_gmm1_establishes_number():
+    result = _load("results_ess_gmm1.json")
+    assert result["best"]["mean_ess"] > 0  # the reference has no value at all
+
+
+def test_bnn_ess_per_sec_recorded():
+    result = _load("results_bnn_ess_per_sec.json")
+    assert result["ess_per_sec"] > 0
+    assert result["mean_ess"] > 0
