@@ -24,14 +24,12 @@ from pysgmcmc_tpu.samplers.svgd import SVGDState, _ravel_particles
 from pysgmcmc_tpu.utils.numeric import median
 
 
-def _sharded_step_fn(sampler, batch_is_none, axis_name):
+def _sharded_step_fn(sampler, unravel_one, batch_is_none, axis_name):
     """Build the per-shard step: local particles against the gathered ensemble."""
 
     def step_shard(flat_local, hist_local, sched_state, step, key, batch):
-        nl = flat_local.shape[0]
-
         def flat_cost(row, batch):
-            params = sampler._unravel_one(row)
+            params = unravel_one(row)
             if batch_is_none:
                 return sampler.cost_fn(params)
             return sampler.cost_fn(params, batch)
@@ -109,14 +107,15 @@ def run_svgd_sharded(sampler, state, key, n_steps, mesh,
             "mesh size ({})".format(n, n_devices)
         )
 
-    # expose a row-unraveler (single-particle template) for the shard step
+    # row-unraveler from a single-particle template
     from jax.flatten_util import ravel_pytree
 
     template = jax.tree_util.tree_map(lambda leaf: leaf[0], state.position)
     _, unravel_one = ravel_pytree(template)
-    sampler._unravel_one = unravel_one
 
-    step_shard = _sharded_step_fn(sampler, batch_fn is None, axis_name)
+    step_shard = _sharded_step_fn(
+        sampler, unravel_one, batch_fn is None, axis_name
+    )
     spec = PartitionSpec(axis_name)
     replicated = PartitionSpec()
 
