@@ -5,6 +5,7 @@ from pysgmcmc_tpu.ops.pairwise import (
     squareform,
     svgd_kernel,
 )
+from pysgmcmc_tpu.ops.svgd_streaming import svgd_phi_streaming
 from pysgmcmc_tpu.ops.relativistic import (
     relativistic_kinetic_energy,
     sample_relativistic_momentum,
@@ -17,6 +18,7 @@ __all__ = [
     "squared_distance_matrix",
     "median_bandwidth",
     "svgd_kernel",
+    "svgd_phi_streaming",
     "sample_relativistic_momentum",
     "sample_relativistic_momentum_tree",
     "relativistic_kinetic_energy",

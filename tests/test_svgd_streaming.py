@@ -1,0 +1,34 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pysgmcmc_tpu.ops.pairwise import median_bandwidth, squared_distance_matrix
+from pysgmcmc_tpu.ops.svgd_streaming import svgd_phi_streaming
+
+
+def _xla_phi(x, g, h):
+    d2 = squared_distance_matrix(x)
+    kernel = jnp.exp(-d2 / (2 * h**2))
+    ksum = kernel.sum(axis=1)
+    grad_kernel = (x * ksum[:, None] - kernel @ x) / h**2
+    return (kernel @ (-g) + grad_kernel) / x.shape[0]
+
+
+@pytest.mark.parametrize("n,d,tile", [(256, 3, 64), (128, 130, 32)])
+def test_streaming_matches_xla(n, d, tile):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    h = float(median_bandwidth(squared_distance_matrix(x), n))
+    expected = _xla_phi(x, g, h)
+    got = svgd_phi_streaming(x, g, h, tile=tile, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(expected), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_tile_divisibility_error():
+    x = jnp.zeros((100, 2))
+    with pytest.raises(ValueError):
+        svgd_phi_streaming(x, x, 1.0, tile=64, interpret=True)
