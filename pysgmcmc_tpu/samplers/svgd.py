@@ -88,14 +88,32 @@ class SVGDSampler(MCMCSampler):
         alpha=0.9,
         fudge_factor=1e-6,
         dtype=jnp.float32,
+        kernel_impl="dense",
+        bandwidth_subsample=4096,
+        streaming_tile=512,
+        streaming_interpret=False,
     ):
         if not isinstance(alpha, (int, float)):
             raise ValueError("SVGDSampler: alpha must be a number")
         if not isinstance(fudge_factor, (int, float)):
             raise ValueError("SVGDSampler: fudge_factor must be a number")
+        if kernel_impl not in ("dense", "streaming"):
+            raise ValueError(
+                "SVGDSampler: kernel_impl must be 'dense' or 'streaming'"
+            )
         super().__init__(cost_fn, stepsize_schedule, dtype)
         self.alpha = float(alpha)
         self.fudge_factor = float(fudge_factor)
+        # 'dense' materializes the kernel matrix (one MXU Gram matmul) —
+        # right up to ~32k particles.  'streaming' uses the flash-style
+        # Pallas kernel (ops/svgd_streaming.py): O(n d) memory, validated
+        # to 131k particles; the median bandwidth is then estimated from
+        # the first `bandwidth_subsample` particles (exact when
+        # n <= bandwidth_subsample).
+        self.kernel_impl = kernel_impl
+        self.bandwidth_subsample = int(bandwidth_subsample)
+        self.streaming_tile = int(streaming_tile)
+        self.streaming_interpret = bool(streaming_interpret)
 
     def init(self, particles, key=None):
         if isinstance(particles, (list, tuple)):
@@ -126,12 +144,30 @@ class SVGDSampler(MCMCSampler):
         flat_grads, _ = _ravel_particles(grads)
         n = flat_particles.shape[0]
 
-        kernel, grad_kernel = svgd_kernel(flat_particles)
-        # grad_logp = -grad_cost; repulsion added per Liu & Wang (2016).
-        phi = (
-            jnp.dot(kernel, -flat_grads, preferred_element_type=flat_grads.dtype)
-            + grad_kernel
-        ) / n
+        if self.kernel_impl == "streaming":
+            from pysgmcmc_tpu.ops.pairwise import (
+                median_bandwidth,
+                squared_distance_matrix,
+            )
+            from pysgmcmc_tpu.ops.svgd_streaming import svgd_phi_streaming
+
+            sub = flat_particles[: min(n, self.bandwidth_subsample)]
+            h = median_bandwidth(squared_distance_matrix(sub), n)
+            phi = svgd_phi_streaming(
+                flat_particles, flat_grads, h,
+                tile=min(self.streaming_tile, n),
+                interpret=self.streaming_interpret,
+            )
+        else:
+            kernel, grad_kernel = svgd_kernel(flat_particles)
+            # grad_logp = -grad_cost; repulsion per Liu & Wang (2016).
+            phi = (
+                jnp.dot(
+                    kernel, -flat_grads,
+                    preferred_element_type=flat_grads.dtype,
+                )
+                + grad_kernel
+            ) / n
 
         flat_hist, _ = _ravel_particles(state.historical_grad)
         hist_new = self.alpha * flat_hist + (1.0 - self.alpha) * phi**2

@@ -28,6 +28,31 @@ def test_streaming_matches_xla(n, d, tile):
     )
 
 
+def test_sampler_streaming_impl_matches_dense():
+    """SVGDSampler(kernel_impl='streaming') reproduces the dense step when
+    the bandwidth subsample covers all particles."""
+    from pysgmcmc_tpu.samplers.svgd import SVGDSampler
+
+    cost_fn = lambda x: 0.5 * jnp.sum(x**2)
+    particles = jax.random.normal(jax.random.PRNGKey(0), (64, 2)) * 2.0
+
+    dense = SVGDSampler(cost_fn, stepsize_schedule=0.3)
+    stream = SVGDSampler(
+        cost_fn, stepsize_schedule=0.3, kernel_impl="streaming",
+        streaming_tile=32, streaming_interpret=True,
+    )
+    state_d = dense.init(particles)
+    state_s = stream.init(particles)
+    for i in range(5):
+        key = jax.random.PRNGKey(i)
+        state_d, _ = dense.step(state_d, key)
+        state_s, _ = stream.step(state_s, key)
+    np.testing.assert_allclose(
+        np.asarray(state_s.position), np.asarray(state_d.position),
+        rtol=1e-4, atol=1e-6,
+    )
+
+
 def test_tile_divisibility_error():
     x = jnp.zeros((100, 2))
     with pytest.raises(ValueError):
