@@ -140,3 +140,29 @@ def test_fused_flatten_roundtrip():
     back = fused.unflatten_positions(flat)
     np.testing.assert_array_equal(np.asarray(back["w"]), np.asarray(stacked["w"]))
     np.testing.assert_array_equal(np.asarray(back["b"]), np.asarray(stacked["b"]))
+
+
+def test_fused_run_shared_batches():
+    """per_chain_batches=False broadcasts one minibatch to all chains."""
+    import numpy as np
+
+    from pysgmcmc_tpu.data_batches import batch_fn as make_batch_fn
+
+    template = {"w": jnp.zeros((2,))}
+
+    def cost_fn(p, batch):
+        xb, yb = batch
+        return jnp.sum((yb[:, 0] - xb @ p["w"]) ** 2)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(30, 2)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(30,)).astype(np.float32))
+    fused = FusedSGHMC(
+        cost_fn, template, stepsize=1e-3, burn_in_steps=5, interpret=True,
+    )
+    state = fused.init({"w": jnp.zeros((4, 2))})
+    state, costs = fused.run(
+        state, jax.random.PRNGKey(0), 10,
+        batch_fn=make_batch_fn(x, y, 5), per_chain_batches=False,
+    )
+    assert np.isfinite(np.asarray(costs)).all()

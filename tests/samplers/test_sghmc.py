@@ -135,3 +135,25 @@ def test_samples_target_gaussian():
     draws = np.asarray(positions)[5000:, 0]
     assert abs(draws.mean()) < 0.15
     assert abs(draws.std() - 1.0) < 0.25
+
+
+def test_iterator_with_callable_batch_fn():
+    """IterativeSampler accepts pure (key) -> batch selectors too."""
+    from pysgmcmc_tpu.data_batches import batch_fn as make_batch_fn
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(40, 2)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(40,)).astype(np.float32))
+
+    def cost_fn(params, batch):
+        xb, yb = batch
+        return jnp.sum((yb[:, 0] - xb @ params) ** 2)
+
+    sampler = SGHMCSampler(cost_fn, stepsize_schedule=1e-3, burn_in_steps=2)
+    it = IterativeSampler(
+        sampler, params=jnp.zeros(2), key=1,
+        batch_generator=make_batch_fn(x, y, batch_size=8),
+    )
+    for _ in range(4):
+        sample, cost = next(it)
+        assert np.isfinite(float(cost))
