@@ -2,6 +2,11 @@
 # Fast/full test split, mirroring the reference's CI layout
 # (/root/reference/ci_scripts/run_tests.sh: full BNN end-to-end tests run
 # only in the daily cron, the fast suite on every push).
+#
+# fast: excludes @pytest.mark.slow (statistical, KS, long-scan,
+#       interpret-mode Pallas and BNN end-to-end tests) — target <2 min.
+# full: the whole suite, then every example under examples/ (the analog of
+#       the reference's nbval notebook run, pysgmcmc/Makefile:10-14).
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -9,6 +14,7 @@ MODE="${1:-fast}"
 
 if [ "$MODE" = "full" ]; then
     python -m pytest tests/ -q
+    make examples
 else
-    python -m pytest tests/ -q --ignore=tests/models
+    python -m pytest tests/ -q -m "not slow"
 fi

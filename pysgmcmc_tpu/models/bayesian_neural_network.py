@@ -324,17 +324,22 @@ class BayesianNeuralNetwork(BaseModel):
             def one_chain(position, chain_key):
                 k_init, k_burn, k_sample = jax.random.split(chain_key, 3)
                 state = sampler.init(position, k_init)
+                # The scan is split at the burn-in boundary so each side is
+                # statically specialized (the sampling scan drops the frozen
+                # adaptation stats from its per-step HBM traffic).
                 if self.burn_in_steps > 0:
                     state, _ = sample_chain(
                         sampler, state, k_burn, 1,
                         batch_fn=select_batch,
                         keep_every=self.burn_in_steps,
                         collect_costs=False,
+                        phase="burn_in",
                     )
                 state, samples, costs = sample_chain(
                     sampler, state, k_sample, per_chain,
                     batch_fn=select_batch,
                     keep_every=self.sample_steps,
+                    phase="sampling",
                 )
                 return samples, costs
 
@@ -383,11 +388,13 @@ class BayesianNeuralNetwork(BaseModel):
                     batch_fn=select_batch,
                     keep_every=self.burn_in_steps,
                     collect_costs=False,
+                    phase="burn_in",
                 )
             state, samples, costs = sample_chain(
                 sampler, state, key_sample, n_collect,
                 batch_fn=select_batch,
                 keep_every=self.sample_steps,
+                phase="sampling",
             )
             return samples, costs
 

@@ -27,9 +27,11 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 
 
-def _kernel(h_ref, x_i_ref, x_j_ref, g_j_ref, phi_ref, acc_ref):
+def _kernel(scalar_ref, x_i_ref, x_j_ref, g_j_ref, phi_ref, acc_ref):
     """Grid (i, j): row tile of particles against column tile j.
 
+    scalar: (2,) prefetched [h, n_valid]; columns >= n_valid are padding
+            and masked out of every reduction.
     x_i:  (TI, d)  current row-tile particles
     x_j:  (TJ, d)  column-tile particles
     g_j:  (TJ, d)  column-tile gradients (of the COST, i.e. -grad log p)
@@ -38,11 +40,13 @@ def _kernel(h_ref, x_i_ref, x_j_ref, g_j_ref, phi_ref, acc_ref):
     """
     j = pl.program_id(1)
     n_j = pl.num_programs(1)
-    h = h_ref[0]
+    h = scalar_ref[0]
+    n_valid = scalar_ref[1]
     inv_two_h2 = 1.0 / (2.0 * h * h)
 
     x_i = x_i_ref[:]
     x_j = x_j_ref[:]
+    tile_j = x_j.shape[0]
 
     @pl.when(j == 0)
     def _():
@@ -54,6 +58,11 @@ def _kernel(h_ref, x_i_ref, x_j_ref, g_j_ref, phi_ref, acc_ref):
         - 2.0 * jnp.dot(x_i, x_j.T, preferred_element_type=jnp.float32)
     )
     kernel = jnp.exp(-jnp.maximum(d2, 0.0) * inv_two_h2)  # (TI, TJ)
+    # zero out padded columns so they contribute to no reduction
+    col_ids = jnp.float32(j * tile_j) + jax.lax.broadcasted_iota(
+        jnp.float32, kernel.shape, dimension=1
+    )
+    kernel = jnp.where(col_ids < n_valid, kernel, 0.0)
 
     d = x_i.shape[1]
     acc_ref[:, :d] += jnp.dot(
@@ -66,12 +75,11 @@ def _kernel(h_ref, x_i_ref, x_j_ref, g_j_ref, phi_ref, acc_ref):
 
     @pl.when(j == n_j - 1)
     def _():
-        n_total = jnp.float32(x_j.shape[0] * n_j)
         k_dot_g = acc_ref[:, :d]
         k_dot_x = acc_ref[:, d:2 * d]
         ksum = acc_ref[:, 2 * d][:, None]
         repulsion = (x_i * ksum - k_dot_x) / (h * h)
-        phi_ref[:] = (k_dot_g + repulsion) / n_total
+        phi_ref[:] = (k_dot_g + repulsion) / n_valid
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))
@@ -80,8 +88,10 @@ def svgd_phi_streaming(particles, cost_grads, h, tile=512, interpret=False):
 
     Parameters
     ----------
-    particles : (n, d) float32, ``d`` a multiple of 128 is fastest (padded
-        automatically otherwise)
+    particles : (n, d) float32.  Any ``n`` and ``d`` are accepted: ``d`` is
+        padded to the 128-lane tile width and ``n`` to a multiple of
+        ``tile`` (padded rows are masked out of every reduction in-kernel);
+        multiples are fastest.
     cost_grads : (n, d) float32 — gradients of the COST (negative log
         density); the attraction term uses ``-cost_grads``.
     h : scalar bandwidth.
@@ -95,13 +105,15 @@ def svgd_phi_streaming(particles, cost_grads, h, tile=512, interpret=False):
         particles = jnp.pad(particles, pad)
         cost_grads = jnp.pad(cost_grads, pad)
     tile = min(tile, n)
-    if n % tile != 0:
-        raise ValueError(
-            "svgd_phi_streaming: n ({}) must be divisible by tile ({})".format(
-                n, tile
-            )
-        )
-    grid = (n // tile, n // tile)
+    # pad the particle count up to a tile multiple; padded rows are masked
+    # out of every kernel reduction in-kernel (they read back as garbage phi
+    # rows that we slice away)
+    n_pad = ((n + tile - 1) // tile) * tile
+    if n_pad != n:
+        pad = ((0, n_pad - n), (0, 0))
+        particles = jnp.pad(particles, pad)
+        cost_grads = jnp.pad(cost_grads, pad)
+    grid = (n_pad // tile, n_pad // tile)
 
     row_spec = pl.BlockSpec(
         (tile, d_pad), lambda i, j, *_: (i, 0), memory_space=pltpu.VMEM
@@ -121,10 +133,10 @@ def svgd_phi_streaming(particles, cost_grads, h, tile=512, interpret=False):
     phi = pl.pallas_call(
         _kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, d_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_pad, d_pad), jnp.float32),
         interpret=interpreter,
     )(
-        jnp.asarray([h], jnp.float32),
+        jnp.stack([jnp.asarray(h, jnp.float32), jnp.float32(n)]),
         particles, particles, cost_grads,
     )
-    return phi[:, :d]
+    return phi[:n, :d]

@@ -9,6 +9,8 @@ chain axis shards across a :func:`pysgmcmc_tpu.parallel.mesh.chain_mesh` so
 the hot loop.
 """
 
+import weakref
+
 import jax
 import jax.numpy as jnp
 
@@ -51,7 +53,27 @@ def stack_positions(position, n_chains, jitter=0.0, key=None):
 # jit programs are cached on callable identity, so building a fresh
 # vmap closure per call would recompile every time (minutes on a remote
 # TPU).  Cache runners keyed on the static configuration instead.
+#
+# Keys hold *weak* references to the sampler / batch_fn / mesh: ``id()``
+# keys would be unsafe (a garbage-collected object's id can be reused by a
+# new object, silently returning a runner closed over stale
+# hyperparameters), and strong references would leak every sampler ever
+# run.  A dead entry is evicted by the weakref callback; a new object at
+# the same address gets a distinct ``weakref.ref`` and therefore a fresh
+# runner.
 _RUNNER_CACHE = {}
+
+
+def _cache_ref(obj, evict):
+    """A hashable identity token for ``obj`` that dies with it."""
+    if obj is None:
+        return None
+    try:
+        return weakref.ref(obj, evict)
+    except TypeError:
+        # Not weakref-able (e.g. builtins): hold it strongly.  Identity
+        # stays valid for the lifetime of the cache entry, so no id reuse.
+        return obj
 
 
 def make_chain_runner(
@@ -61,6 +83,7 @@ def make_chain_runner(
     keep_every=1,
     mesh=None,
     axis_name=CHAIN_AXIS,
+    phase=None,
 ):
     """Build (and cache) the jitted multi-chain runner.
 
@@ -68,10 +91,19 @@ def make_chain_runner(
     Reusing the same ``sampler``/``batch_fn`` objects across calls hits the
     compile cache.
     """
+    key_box = []
+
+    # bind the cache as a default arg: at interpreter shutdown module
+    # globals are cleared to None before pending weakref callbacks run
+    def evict(_ref, _box=key_box, _cache=_RUNNER_CACHE):
+        if _box and _cache is not None:
+            _cache.pop(_box[0], None)
+
     cache_key = (
-        id(sampler), n_samples, id(batch_fn), keep_every,
-        None if mesh is None else id(mesh), axis_name,
+        _cache_ref(sampler, evict), n_samples, _cache_ref(batch_fn, evict),
+        keep_every, _cache_ref(mesh, evict), axis_name, phase,
     )
+    key_box.append(cache_key)
     if cache_key in _RUNNER_CACHE:
         return _RUNNER_CACHE[cache_key]
 
@@ -85,6 +117,7 @@ def make_chain_runner(
             n_samples,
             batch_fn=batch_fn,
             keep_every=keep_every,
+            phase=phase,
         )
         return positions, costs
 
@@ -120,6 +153,7 @@ def run_chains(
     keep_every=1,
     mesh=None,
     axis_name=CHAIN_AXIS,
+    phase=None,
 ):
     """Run one chain per leading-axis slice of ``initial_positions``.
 
@@ -132,6 +166,9 @@ def run_chains(
         If given, the chain axis of inputs and outputs is sharded over the
         mesh; the per-chain scan runs SPMD on every device with no
         collectives (chains are independent).
+    phase : str, optional
+        Static burn-in/sampling specialization forwarded to
+        :func:`pysgmcmc_tpu.samplers.base.sample_chain`.
     """
     n_chains = _n_chains(initial_positions)
     chain_keys = jax.random.split(key, n_chains)
@@ -149,6 +186,6 @@ def run_chains(
         )
 
     runner = make_chain_runner(
-        sampler, n_samples, batch_fn, keep_every, mesh, axis_name
+        sampler, n_samples, batch_fn, keep_every, mesh, axis_name, phase
     )
     return runner(initial_positions, chain_keys)

@@ -46,14 +46,36 @@ def init_stats(params):
     return AdaptiveStats(tau=ones, g=ones, v_hat=ones, minv=ones)
 
 
-def update_stats(stats, grads, burning_in):
+def update_stats(stats, grads, burning_in, phase=None):
     """One burn-in EMA update; frozen (except minv tracking) after burn-in.
 
     Returns ``(new_stats, minv_used)`` where ``minv_used`` is the
     mass-matrix inverse the *current* step must use: the freshly computed
     ``1/sqrt(old v_hat)`` during burn-in, the frozen value afterwards —
     mirroring the reference's minv feed (``base_classes.py:432-454``).
+
+    ``phase`` statically specializes the step when the caller knows which
+    side of the burn-in boundary it is on (the scan is split there, see
+    :func:`pysgmcmc_tpu.samplers.base.sample_chain`):
+
+    - ``None``: dynamic ``jnp.where`` on ``burning_in`` (default; reference
+      trajectory parity for a single scan crossing the boundary).
+    - ``"burn_in"``: always-adapting — skips the frozen-minv read.
+    - ``"sampling"``: fully frozen — returns ``(stats, stats.minv)``
+      untouched, so the stats tensors become loop invariants and the
+      sampling-phase scan carries ~half the HBM traffic of the dynamic
+      step.  Positions are bitwise identical to the dynamic path (the
+      post-burn-in EMA updates never influence the update; cf. the
+      reference where the assign chain keeps running harmlessly while the
+      frozen minv is fed).
     """
+    if phase == "sampling":
+        return stats, stats.minv
+    if phase not in (None, "burn_in"):
+        raise ValueError(
+            "update_stats: phase must be None, 'burn_in' or 'sampling'; "
+            "got {!r}".format(phase)
+        )
 
     # EMA stats keep updating after burn-in in the reference too (the assign
     # chain still executes when minv is fed); they simply no longer influence
@@ -61,13 +83,19 @@ def update_stats(stats, grads, burning_in):
     # preserves trajectory parity.  Separate tree_maps below: XLA CSE merges
     # the shared subexpressions, so this traces to one fused elementwise pass.
     tree_map = jax.tree_util.tree_map
-    minv_used = tree_map(
-        lambda v_hat, frozen: jnp.where(
-            burning_in, safe_divide(1.0, safe_sqrt(v_hat)), frozen
-        ),
-        stats.v_hat,
-        stats.minv,
-    )
+    if phase == "burn_in":
+        # statically adapting: no frozen-minv read, no select
+        minv_used = tree_map(
+            lambda v_hat: safe_divide(1.0, safe_sqrt(v_hat)), stats.v_hat
+        )
+    else:
+        minv_used = tree_map(
+            lambda v_hat, frozen: jnp.where(
+                burning_in, safe_divide(1.0, safe_sqrt(v_hat)), frozen
+            ),
+            stats.v_hat,
+            stats.minv,
+        )
     tau_new = tree_map(
         lambda tau, g, v_hat: tau + safe_divide(-g * g * tau, v_hat) + 1.0,
         stats.tau,

@@ -73,7 +73,7 @@ class MCMCSampler:
     def init(self, params, key=None):
         raise NotImplementedError
 
-    def step(self, state, key, batch=None):
+    def step(self, state, key, batch=None, phase=None):
         raise NotImplementedError
 
     @staticmethod
@@ -101,6 +101,7 @@ def sample_chain(
     batch_fn=None,
     keep_every=1,
     collect_costs=True,
+    phase=None,
 ):
     """Run ``n_samples * keep_every`` sampler steps as one ``lax.scan``.
 
@@ -121,6 +122,15 @@ def sample_chain(
         Pure ``(key) -> batch`` minibatch selector (see
         :mod:`pysgmcmc_tpu.data_batches`).  ``None`` means the cost function
         needs no minibatch.
+    phase : str, optional
+        Statically specialize every step of this scan to one side of a
+        burn-in sampler's adaptation boundary: ``"burn_in"`` while
+        ``state.step < burn_in_steps`` throughout the scan, ``"sampling"``
+        when the scan starts at or after the boundary.  The sampling-phase
+        scan stops carrying the frozen adaptation statistics through HBM —
+        ~2x faster steps — with bitwise-identical positions.  ``None``
+        (default) keeps the dynamic in-scan branch, correct for scans that
+        cross the boundary.
     """
     if keep_every < 1:
         raise ValueError("sample_chain: keep_every must be >= 1")
@@ -129,7 +139,7 @@ def sample_chain(
         state, key = carry
         key, key_step, key_batch = jax.random.split(key, 3)
         batch = batch_fn(key_batch) if batch_fn is not None else None
-        state, info = sampler.step(state, key_step, batch)
+        state, info = sampler.step(state, key_step, batch, phase=phase)
         return (state, key), info
 
     def thinned_step(carry, _):

@@ -72,10 +72,15 @@ class PSGLDSampler(MCMCSampler):
             schedule_state=self.stepsize_schedule.init(),
         )
 
-    def step(self, state, key, batch=None):
+    def step(self, state, key, batch=None, noise=None, phase=None):
+        """One pSGLD step.  ``phase`` is accepted for driver uniformity and
+        ignored: the RMSprop preconditioner adapts continuously, so there is
+        no burn-in boundary to specialize on."""
+        del phase
         eps = self._stepsize(state)
         cost, grads = self._cost_and_grad(state.position, batch)
-        noise = normal_like_tree(key, state.position)
+        if noise is None:
+            noise = normal_like_tree(key, state.position)
 
         def v_new_leaf(v, grad):
             return self.alpha * v + (1.0 - self.alpha) * grad * grad

@@ -88,14 +88,18 @@ class RelativisticSGHMCSampler(MCMCSampler):
             schedule_state=self.stepsize_schedule.init(),
         )
 
-    def step(self, state, key, batch=None):
+    def step(self, state, key, batch=None, noise=None, phase=None):
+        """One relativistic SGHMC step.  ``phase`` is accepted for driver
+        uniformity and ignored (no burn-in adaptation to specialize)."""
+        del phase
         eps = self._stepsize(state)
         cost, grads = self._cost_and_grad(state.position, batch)
         # The dynamics use the gradient of the log-likelihood = -cost
         # (cf. relativistic_sghmc.py:97-103).
         loglik_grads = jax.tree_util.tree_map(jnp.negative, grads)
 
-        noise = normal_like_tree(key, state.position)
+        if noise is None:
+            noise = normal_like_tree(key, state.position)
         noise_scale = jnp.sqrt(eps * (2.0 * self.D - eps * self.Bhat))
 
         def momentum_leaf(p, grad, eta):

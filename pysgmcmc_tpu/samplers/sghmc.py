@@ -81,15 +81,31 @@ class SGHMCSampler(MCMCSampler):
             schedule_state=self.stepsize_schedule.init(),
         )
 
-    def step(self, state, key, batch=None):
+    def step(self, state, key, batch=None, noise=None, phase=None):
+        """One SGHMC step.
+
+        ``noise`` optionally injects the standard-normal draw (a pytree
+        shaped like the position) instead of drawing from ``key`` — used by
+        parity tests to compare bitwise against the fused Pallas kernel
+        (:func:`pysgmcmc_tpu.ops.fused_update.fused_sghmc_update`, which
+        accepts the same ``noise=`` argument).
+
+        ``phase`` statically specializes the step to one side of the
+        burn-in boundary (``"burn_in"`` / ``"sampling"``); ``None`` keeps
+        the dynamic step-counter branch.  See
+        :func:`pysgmcmc_tpu.samplers._adaptive.update_stats` — positions
+        are bitwise identical, the sampling phase just stops carrying the
+        (frozen) adaptation statistics through HBM every step.
+        """
         eps = self._stepsize(state)
         eps_scaled = eps / jnp.sqrt(jnp.asarray(self.scale_grad, self.dtype))
         cost, grads = self._cost_and_grad(state.position, batch)
 
         burning_in = state.step < self.burn_in_steps
-        stats, minv = update_stats(state.stats, grads, burning_in)
+        stats, minv = update_stats(state.stats, grads, burning_in, phase)
 
-        noise = normal_like_tree(key, state.position)
+        if noise is None:
+            noise = normal_like_tree(key, state.position)
 
         def momentum_leaf(v, grad, minv_leaf, eta):
             noise_var = (

@@ -70,14 +70,17 @@ class SGLDSampler(MCMCSampler):
             schedule_state=self.stepsize_schedule.init(),
         )
 
-    def step(self, state, key, batch=None):
+    def step(self, state, key, batch=None, noise=None, phase=None):
+        """One SGLD step.  ``noise``/``phase`` as in
+        :meth:`pysgmcmc_tpu.samplers.sghmc.SGHMCSampler.step`."""
         eps = self._stepsize(state)
         cost, grads = self._cost_and_grad(state.position, batch)
 
         burning_in = state.step < self.burn_in_steps
-        stats, minv = update_stats(state.stats, grads, burning_in)
+        stats, minv = update_stats(state.stats, grads, burning_in, phase)
 
-        noise = normal_like_tree(key, state.position)
+        if noise is None:
+            noise = normal_like_tree(key, state.position)
 
         def update_leaf(theta, grad, minv_leaf, eta):
             sigma = safe_sqrt(

@@ -107,9 +107,10 @@ class SVGDSampler(MCMCSampler):
         # 'dense' materializes the kernel matrix (one MXU Gram matmul) —
         # right up to ~32k particles.  'streaming' uses the flash-style
         # Pallas kernel (ops/svgd_streaming.py): O(n d) memory, validated
-        # to 131k particles; the median bandwidth is then estimated from
-        # the first `bandwidth_subsample` particles (exact when
-        # n <= bandwidth_subsample).
+        # to 131k particles; the median bandwidth is then estimated from a
+        # *uniformly random* subsample of `bandwidth_subsample` particles
+        # drawn fresh each step from the step key (exact when
+        # n <= bandwidth_subsample), so an ordered ensemble carries no bias.
         self.kernel_impl = kernel_impl
         self.bandwidth_subsample = int(bandwidth_subsample)
         self.streaming_tile = int(streaming_tile)
@@ -128,7 +129,10 @@ class SVGDSampler(MCMCSampler):
             schedule_state=self.stepsize_schedule.init(),
         )
 
-    def step(self, state, key, batch=None):
+    def step(self, state, key, batch=None, phase=None):
+        """One SVGD transport step.  ``phase`` is accepted for driver
+        uniformity and ignored (no burn-in adaptation to specialize)."""
+        del phase
         eps = self._stepsize(state)
 
         if batch is None:
@@ -151,7 +155,14 @@ class SVGDSampler(MCMCSampler):
             )
             from pysgmcmc_tpu.ops.svgd_streaming import svgd_phi_streaming
 
-            sub = flat_particles[: min(n, self.bandwidth_subsample)]
+            if n <= self.bandwidth_subsample:
+                sub = flat_particles
+            else:
+                idx = jax.random.randint(
+                    jax.random.fold_in(key, 1),
+                    (self.bandwidth_subsample,), 0, n,
+                )
+                sub = flat_particles[idx]
             h = median_bandwidth(squared_distance_matrix(sub), n)
             phi = svgd_phi_streaming(
                 flat_particles, flat_grads, h,

@@ -1,8 +1,11 @@
 """Cross-validate the FFT-based ESS against a direct O(n^2) implementation."""
 
+import pytest
 import numpy as np
 
 from pysgmcmc_tpu.diagnostics.sampler_diagnostics import effective_sample_size
+
+pytestmark = pytest.mark.slow
 
 
 def _direct_ess(chains):

@@ -1,3 +1,4 @@
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -11,6 +12,7 @@ from pysgmcmc_tpu.diagnostics.sampler_diagnostics import (
 from pysgmcmc_tpu.samplers.sghmc import SGHMCSampler
 
 
+@pytest.mark.slow
 def test_ess_iid_chains():
     """Independent draws: ESS should be close to the total draw count."""
     m, n = 4, 2000
@@ -19,6 +21,7 @@ def test_ess_iid_chains():
     assert 0.75 * m * n < ess <= m * n
 
 
+@pytest.mark.slow
 def test_ess_correlated_chain():
     """AR(1) with autocorrelation phi: ESS ~ m*n*(1-phi)/(1+phi)."""
     phi = 0.9
@@ -32,6 +35,7 @@ def test_ess_correlated_chain():
     assert 0.5 * expected < ess < 2.0 * expected
 
 
+@pytest.mark.slow
 def test_ess_multidimensional_variable():
     chains = jax.random.normal(jax.random.PRNGKey(1), (2, 500, 3, 2))
     ess = effective_sample_size(chains)
@@ -58,6 +62,7 @@ def test_gelman_rubin_requires_two_chains():
         gelman_rubin(jnp.zeros((1, 100)))
 
 
+@pytest.mark.slow
 def test_from_sampler_entrypoints():
     """Reference-style entry points run chains in parallel and return pytrees."""
     cost_fn = lambda x: 0.5 * jnp.sum(x**2)

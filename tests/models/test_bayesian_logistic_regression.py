@@ -30,6 +30,7 @@ def test_classification_accuracy():
     assert accuracy > oracle - 0.03
 
 
+@pytest.mark.slow
 def test_posterior_mean_matches_map():
     """Posterior mean weights land near the sklearn MAP solution."""
     from sklearn.linear_model import LogisticRegression
@@ -48,6 +49,7 @@ def test_posterior_mean_matches_map():
     np.testing.assert_allclose(w_mc, w_map, atol=0.5)
 
 
+@pytest.mark.slow
 def test_uncertainty_grows_away_from_data():
     X, y = _data()
     model = BayesianLogisticRegression(

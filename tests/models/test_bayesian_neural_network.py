@@ -25,6 +25,7 @@ def _fast_bnn(**kwargs):
 
 @pytest.mark.parametrize("normalize_input", [True, False])
 @pytest.mark.parametrize("normalize_output", [True, False])
+@pytest.mark.slow
 def test_train_predict_performance(normalize_input, normalize_output):
     """Sinc regression MSE close to 0 for all normalization combos.
 
@@ -50,6 +51,7 @@ def test_predict_before_train_raises():
         bnn.predict(x_test)
 
 
+@pytest.mark.slow
 def test_individual_predictions_length():
     """return_individual_predictions yields n_nets member predictions
     (cf. reference ``test_train_predict.py:74-113``)."""
@@ -63,6 +65,7 @@ def test_individual_predictions_length():
     assert np.all(theta_noise > 0)
 
 
+@pytest.mark.slow
 def test_mixed_precision_compute():
     """bf16 network compute keeps the sinc quality gate (f32 state)."""
     x_train, y_train, x_test, y_test = _sinc_data()
@@ -78,6 +81,7 @@ def test_mixed_precision_compute():
     )
 
 
+@pytest.mark.slow
 def test_train_with_sgld():
     x_train, y_train, x_test, y_test = _sinc_data()
     bnn = _fast_bnn(
@@ -91,6 +95,7 @@ def test_train_with_sgld():
     assert np.all(np.isfinite(mean))
 
 
+@pytest.mark.slow
 def test_train_with_relativistic_sghmc():
     x_train, y_train, x_test, _ = _sinc_data()
     bnn = _fast_bnn(
@@ -104,6 +109,7 @@ def test_train_with_relativistic_sghmc():
     assert np.all(np.isfinite(mean))
 
 
+@pytest.mark.slow
 def test_train_with_svgd_ensemble():
     """SVGD trains the whole particle-network ensemble jointly — the
     capability the reference's BNN explicitly lacked (``svgd.py:7-10``)."""
@@ -125,6 +131,7 @@ def test_train_with_svgd_ensemble():
     assert np.std(f_out, axis=0).mean() > 1e-6
 
 
+@pytest.mark.slow
 def test_seeding_reproducible():
     """Same seed -> identical posterior samples and predictions
     (cf. reference ``test_seeding.py:14-46``, strengthened to exact)."""
@@ -156,6 +163,7 @@ def test_invalid_inputs():
         BayesianNeuralNetwork(sampling_method="not a sampler")
 
 
+@pytest.mark.slow
 def test_iteration_budget():
     """n_iters caps collection; too-small budgets raise."""
     x_train, y_train, _, _ = _sinc_data()
@@ -172,6 +180,7 @@ def test_iteration_budget():
         bad.train(x_train, y_train)
 
 
+@pytest.mark.slow
 def test_update_appends_and_retrains():
     x_train, y_train, x_test, _ = _sinc_data(n=50)
     bnn = _fast_bnn(n_nets=3, burn_in_steps=100, sample_steps=10)
@@ -183,6 +192,7 @@ def test_update_appends_and_retrains():
     assert mean.shape == (100,)
 
 
+@pytest.mark.slow
 def test_get_incumbent():
     x_train, y_train, _, _ = _sinc_data(n=30)
     bnn = _fast_bnn(n_nets=2, burn_in_steps=50, sample_steps=5)
@@ -206,6 +216,7 @@ def test_default_network_seeded_init():
     assert out.shape == (4, 2)
 
 
+@pytest.mark.slow
 def test_train_with_psgld():
     """pSGLD (beyond-reference) trains the BNN."""
     x_train, y_train, x_test, _ = _sinc_data()

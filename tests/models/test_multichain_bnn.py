@@ -16,6 +16,7 @@ def _sinc_data(seed=1, n=100):
     return x_train, y_train, x_test, y_test
 
 
+@pytest.mark.slow
 def test_multichain_training_pools_samples():
     x_train, y_train, x_test, y_test = _sinc_data()
     bnn = BayesianNeuralNetwork(
@@ -32,6 +33,7 @@ def test_multichain_training_pools_samples():
     assert mse < 0.2
 
 
+@pytest.mark.slow
 def test_multichain_on_mesh():
     x_train, y_train, x_test, _ = _sinc_data()
     mesh = chain_mesh(8)

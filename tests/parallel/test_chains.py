@@ -69,6 +69,53 @@ def test_pooled_diagnostics_on_sharded_chains():
     assert float(np.asarray(r_hat)[0]) < 2.0
 
 
+def test_runner_cache_no_collision_between_same_config_samplers():
+    """Two distinct sampler objects must not share a cached runner."""
+    from pysgmcmc_tpu.parallel.chains import make_chain_runner
+
+    a = _gaussian_sampler()
+    b = _gaussian_sampler()
+    runner_a = make_chain_runner(a, n_samples=3)
+    runner_b = make_chain_runner(b, n_samples=3)
+    assert runner_a is not runner_b
+    # same object -> cache hit
+    assert make_chain_runner(a, n_samples=3) is runner_a
+
+
+def test_runner_cache_gc_does_not_recycle_slot():
+    """A GC'd sampler's cache slot must not serve a new sampler that happens
+    to land at the same memory address (the classic ``id()`` reuse hazard)."""
+    import gc
+
+    from pysgmcmc_tpu.parallel.chains import _RUNNER_CACHE, make_chain_runner
+
+    stale = _gaussian_sampler()
+    runner_stale = make_chain_runner(stale, n_samples=3)
+    stale_id = id(stale)
+    del stale
+    gc.collect()
+    # the weakref callback must have evicted the dead entry
+    import weakref
+
+    assert not any(
+        isinstance(k[0], weakref.ref) and k[0]() is None
+        for k in list(_RUNNER_CACHE)
+    )
+    # allocate until we (very likely) reuse the freed address; even when the
+    # address differs the assertion below must hold for a correct cache
+    fresh = None
+    for _ in range(64):
+        candidate = SGHMCSampler(
+            lambda x: jnp.sum(jnp.abs(x)), stepsize_schedule=0.9, burn_in_steps=0
+        )
+        if id(candidate) == stale_id:
+            fresh = candidate
+            break
+        fresh = candidate
+    runner_fresh = make_chain_runner(fresh, n_samples=3)
+    assert runner_fresh is not runner_stale
+
+
 def test_stack_positions_jitter():
     stacked = stack_positions(
         {"w": jnp.zeros((2, 2))}, 4, jitter=0.5, key=jax.random.PRNGKey(0)

@@ -5,6 +5,7 @@ Mosaic on TPU (exercised by bench.py).
 """
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -67,33 +68,15 @@ def test_fused_step_matches_xla_path():
 
         state_f = FusedSGHMCState(*outs, step=state_f.step + 1)
 
-        # drive the pytree sampler with the same noise, chain by chain
-        import pysgmcmc_tpu.utils.pytree as ptu
-
-        orig_normal = ptu.normal_like_tree
-        new_states = []
-        for c in range(n_chains):
-            chain_state = jax.tree_util.tree_map(lambda x: x[c], states_x)
-            flat_noise_row = noise_flat[c]
-            chain_noise = {
-                "a": flat_noise_row[:3],
-                "b": flat_noise_row[3:5],
-            }
-            ptu.normal_like_tree = lambda key, tree: chain_noise
-            try:
-                import pysgmcmc_tpu.samplers.sghmc as sghmc_mod
-
-                sghmc_mod.normal_like_tree = ptu.normal_like_tree
-                new_state, _ = sampler.step(chain_state, jax.random.PRNGKey(0))
-            finally:
-                ptu.normal_like_tree = orig_normal
-                import pysgmcmc_tpu.samplers.sghmc as sghmc_mod
-
-                sghmc_mod.normal_like_tree = orig_normal
-            new_states.append(new_state)
-        states_x = jax.tree_util.tree_map(
-            lambda *leaves: jnp.stack(leaves), *new_states
-        )
+        # drive the pytree sampler with the same noise injected via the
+        # step's noise= parameter (no module-global mutation)
+        chain_noise = {
+            "a": noise_flat[:, :3],
+            "b": noise_flat[:, 3:5],
+        }
+        states_x, _ = jax.vmap(
+            lambda s, eta: sampler.step(s, jax.random.PRNGKey(0), noise=eta)
+        )(states_x, chain_noise)
 
         # compare positions
         theta_x = jnp.concatenate(
@@ -105,6 +88,7 @@ def test_fused_step_matches_xla_path():
         )
 
 
+@pytest.mark.slow
 def test_fused_run_converges_to_mode():
     """Structural check of the full fused run loop in interpret mode.
 
@@ -122,7 +106,7 @@ def test_fused_run_converges_to_mode():
     n_chains = 16
     positions = {"x": jnp.full((n_chains, 2), 3.0)}
     state = fused.init(positions)
-    state, costs = fused.run(state, jax.random.PRNGKey(0), 1200)
+    state, costs = fused.run(state, jax.random.PRNGKey(0), 600)
     draws = np.asarray(state.theta[:, :2])
     assert np.abs(draws).max() < 0.1  # all chains at the mode
     assert np.isfinite(np.asarray(costs)).all()
@@ -142,6 +126,7 @@ def test_fused_flatten_roundtrip():
     np.testing.assert_array_equal(np.asarray(back["b"]), np.asarray(stacked["b"]))
 
 
+@pytest.mark.slow
 def test_fused_run_shared_batches():
     """per_chain_batches=False broadcasts one minibatch to all chains."""
     import numpy as np

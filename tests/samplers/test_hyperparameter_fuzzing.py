@@ -27,6 +27,8 @@ from pysgmcmc_tpu.samplers import (
     sample_chain,
 )
 
+pytestmark = pytest.mark.slow
+
 COST = lambda x: 0.5 * jnp.sum(x**2)
 
 

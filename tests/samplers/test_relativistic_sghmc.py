@@ -86,6 +86,7 @@ def test_samples_target_gaussian():
     assert abs(draws.std() - 1.0) < 0.25
 
 
+@pytest.mark.slow
 def test_pytree_params():
     """Unlike the reference (scalar-only momenta), pytree params work."""
     params = {"a": jnp.zeros((2, 3)), "b": jnp.zeros(4)}

@@ -137,6 +137,7 @@ def test_samples_target_gaussian():
     assert abs(draws.std() - 1.0) < 0.25
 
 
+@pytest.mark.slow
 def test_iterator_with_callable_batch_fn():
     """IterativeSampler accepts pure (key) -> batch selectors too."""
     from pysgmcmc_tpu.data_batches import batch_fn as make_batch_fn

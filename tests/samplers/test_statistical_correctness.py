@@ -8,6 +8,7 @@ discretization.
 """
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 import scipy.stats
@@ -18,6 +19,8 @@ from pysgmcmc_tpu.samplers import (
     SGLDSampler,
     sample_chain,
 )
+
+pytestmark = pytest.mark.slow
 
 STD_NORMAL_COST = lambda x: 0.5 * jnp.sum(x**2)
 

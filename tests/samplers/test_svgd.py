@@ -1,4 +1,5 @@
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 import scipy.spatial.distance
@@ -7,6 +8,7 @@ from pysgmcmc_tpu.ops.pairwise import pdist, squared_distance_matrix, squareform
 from pysgmcmc_tpu.samplers.svgd import SVGDSampler
 
 
+@pytest.mark.slow
 def test_pdist_matches_scipy():
     rng = np.random.default_rng(0)
     x = rng.normal(size=(12, 5)).astype(np.float32)
@@ -15,6 +17,7 @@ def test_pdist_matches_scipy():
     np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_squareform_roundtrip():
     rng = np.random.default_rng(1)
     x = rng.normal(size=(9, 3)).astype(np.float32)
@@ -32,6 +35,7 @@ def test_squared_distance_matrix_nonnegative():
     assert float(d2.min()) >= 0.0
 
 
+@pytest.mark.slow
 def test_svgd_gaussian_moments():
     """Particles approximate a 2D standard normal after convergence."""
     cost_fn = lambda x: 0.5 * jnp.sum(x**2)  # NLL of N(0, I)

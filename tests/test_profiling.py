@@ -1,6 +1,7 @@
 import logging
 
 import jax
+import pytest
 import jax.numpy as jnp
 
 from pysgmcmc_tpu.utils.profiling import StepTimer, log_progress, trace
@@ -12,6 +13,7 @@ def test_step_timer():
     assert best > 0.0
 
 
+@pytest.mark.slow
 def test_trace_writes_profile(tmp_path):
     with trace(tmp_path):
         jax.block_until_ready(jnp.ones((16, 16)) * 2)

@@ -53,7 +53,52 @@ def test_sampler_streaming_impl_matches_dense():
     )
 
 
-def test_tile_divisibility_error():
-    x = jnp.zeros((100, 2))
-    with pytest.raises(ValueError):
-        svgd_phi_streaming(x, x, 1.0, tile=64, interpret=True)
+@pytest.mark.parametrize("n,d,tile", [(100, 2, 64), (97, 5, 32), (130, 3, 128)])
+def test_arbitrary_n_padded_and_masked(n, d, tile):
+    """n that does not divide the tile is padded; padded rows must not
+    perturb the result (in-kernel column masking)."""
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    h = float(median_bandwidth(squared_distance_matrix(x), n))
+    expected = _xla_phi(x, g, h)
+    got = svgd_phi_streaming(x, g, h, tile=tile, interpret=True)
+    assert got.shape == (n, d)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(expected), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_bandwidth_subsample_unbiased_under_ordering():
+    """With a random subsample, a sorted ensemble estimates (approximately)
+    the same bandwidth as the exact all-particle median; the old first-k
+    subsample was badly biased on ordered ensembles."""
+    from pysgmcmc_tpu.samplers.svgd import SVGDSampler
+
+    rng = np.random.default_rng(2)
+    n, d = 512, 2
+    particles = np.sort(rng.normal(size=(n, d)).astype(np.float32), axis=0)
+
+    cost_fn = lambda x: 0.5 * jnp.sum(x**2)
+    sampler = SVGDSampler(
+        cost_fn, kernel_impl="streaming", bandwidth_subsample=128,
+        streaming_tile=128, streaming_interpret=True,
+    )
+    x = jnp.asarray(particles)
+    h_exact = float(median_bandwidth(squared_distance_matrix(x), n))
+
+    # reproduce the sampler's subsample draw for a fixed step key
+    key = jax.random.PRNGKey(7)
+    idx = jax.random.randint(jax.random.fold_in(key, 1), (128,), 0, n)
+    sub = x[idx]
+    h_sub = float(median_bandwidth(squared_distance_matrix(sub), n))
+    assert abs(h_sub - h_exact) / h_exact < 0.25
+
+    # first-k on the sorted ensemble is the failure mode we removed
+    h_firstk = float(median_bandwidth(squared_distance_matrix(x[:128]), n))
+    assert abs(h_firstk - h_exact) / h_exact > abs(h_sub - h_exact) / h_exact
+
+    # and the full sampler step runs on the ordered ensemble
+    state = sampler.init(x)
+    state, _ = sampler.step(state, key)
+    assert np.isfinite(np.asarray(state.position)).all()
