@@ -7,9 +7,11 @@ from pysgmcmc_tpu.diagnostics.sample_chains import (
 )
 from pysgmcmc_tpu.diagnostics.sampler_diagnostics import (
     effective_sample_size,
+    effective_sample_size_bulk,
     effective_sample_sizes,
     gelman_rubin,
     gelman_rubin_from_sampler,
+    gelman_rubin_split,
 )
 
 __all__ = [
@@ -21,7 +23,9 @@ __all__ = [
     "MultiTrace",
     "pysgmcmc_multitrace",
     "effective_sample_size",
+    "effective_sample_size_bulk",
     "effective_sample_sizes",
     "gelman_rubin",
     "gelman_rubin_from_sampler",
+    "gelman_rubin_split",
 ]

@@ -21,6 +21,7 @@ the same estimators pymc3 implements):
 
 import jax
 import jax.numpy as jnp
+from jax.scipy.special import ndtri
 
 
 def _autocovariance(x):
@@ -116,6 +117,86 @@ def gelman_rubin(chains):
 
     shape = jnp.shape(chains)[2:]
     return r_hat.reshape(shape) if shape else r_hat[0]
+
+
+#  Rank-normalized split diagnostics (Vehtari, Gelman, Simpson, Carpenter &
+#  Buerkner, "Rank-normalization, folding, and localization: an improved
+#  R-hat for assessing convergence of MCMC", Bayesian Analysis 2021) — the
+#  estimators modern pymc/arviz report.  They serve here as an *independent*
+#  second implementation for cross-validating the classic Gelman et al.
+#  estimators above (see tests/diagnostics/test_ess_external.py: both are
+#  tested against closed-form AR(1)/offset ground truth), and as a
+#  capability addition: split-R_hat detects within-chain nonstationarity
+#  (e.g. a still-drifting chain) that classic R_hat structurally cannot.
+
+
+def _split_chains(matrix):
+    """(m, n, v) -> (2m, n//2, v): split every chain into halves."""
+    m, n = matrix.shape[:2]
+    half = n // 2
+    first = matrix[:, :half]
+    second = matrix[:, n - half:]
+    return jnp.concatenate([first, second], axis=0)
+
+
+def _rank_normalize(matrix):
+    """Fractional-rank normal transform over pooled draws (per variable).
+
+    ranks are averaged-tie-free (argsort of argsort); the normal scores use
+    the Blom offset ``(r - 3/8) / (S + 1/4)`` as in the published method.
+    """
+    m, n, v = matrix.shape
+    pooled = matrix.reshape(m * n, v)
+    order = jnp.argsort(pooled, axis=0)
+    # scatter ranks: rank[order[i], col] = i + 1
+    iota = jnp.arange(1, m * n + 1, dtype=pooled.dtype)[:, None]
+    cols = jnp.broadcast_to(jnp.arange(v)[None, :], order.shape)
+    ranks = jnp.zeros((m * n, v), pooled.dtype).at[order, cols].set(
+        jnp.broadcast_to(iota, order.shape)
+    )
+    z = ndtri((ranks - 0.375) / (m * n + 0.25))
+    return z.reshape(m, n, v)
+
+
+def gelman_rubin_split(chains, rank_normalized=True):
+    """Split-R_hat (rank-normalized by default) per variable dimension.
+
+    Accepts ``(n_chains, n_samples, *variable_shape)`` arrays (or pytrees);
+    unlike classic :func:`gelman_rubin`, a single chain is allowed (its two
+    halves form the comparison), and within-chain drift inflates the
+    statistic.  Values near 1.01 or below indicate convergence.
+    """
+    if not _is_array_like(chains):
+        return jax.tree_util.tree_map(
+            lambda leaf: gelman_rubin_split(leaf, rank_normalized), chains
+        )
+    matrix = _split_chains(_chains_matrix(chains))
+    if rank_normalized:
+        matrix = _rank_normalize(matrix)
+    m, n, v = matrix.shape
+    chain_means = jnp.mean(matrix, axis=1)
+    between = n * jnp.var(chain_means, axis=0, ddof=1)
+    within = jnp.mean(jnp.var(matrix, axis=1, ddof=1), axis=0)
+    var_plus = (n - 1.0) / n * within + between / n
+    r_hat = jnp.sqrt(var_plus / within)
+    shape = jnp.shape(chains)[2:]
+    return r_hat.reshape(shape) if shape else r_hat[0]
+
+
+def effective_sample_size_bulk(chains):
+    """Bulk-ESS: rank-normalized split-chain effective sample size.
+
+    The Vehtari et al. (2021) estimator reported by modern pymc/arviz as
+    ``ess_bulk``: chains are split in half, rank-normal transformed, and the
+    classic multi-chain autocorrelation ESS is taken on the transformed
+    draws.  Robust to heavy tails and to within-chain trend.
+    """
+    if not _is_array_like(chains):
+        return jax.tree_util.tree_map(effective_sample_size_bulk, chains)
+    matrix = _rank_normalize(_split_chains(_chains_matrix(chains)))
+    ess = jax.vmap(_scalar_ess, in_axes=2)(matrix)
+    shape = jnp.shape(chains)[2:]
+    return ess.reshape(shape) if shape else ess[0]
 
 
 def effective_sample_sizes(
