@@ -3,25 +3,36 @@
 
 PYTEST ?= python -m pytest
 
-.PHONY: test test-fast examples bench clean
+.PHONY: test test-fast examples docs bench clean
 
 test:
 	$(PYTEST) tests/ -q
 
 test-fast:
-	$(PYTEST) tests/ -q -x --ignore=tests/models
+	$(PYTEST) tests/ -q -x -m "not slow"
 
-# Executable documentation (the reference runs its notebooks via nbval).
+# Executable documentation (the reference runs its notebooks via nbval;
+# ci/run_tests.sh full mode runs this target).
 # PYTHONPATH=. drops the TPU-plugin site dir so JAX_PLATFORMS=cpu holds.
 examples:
 	PYTHONPATH=. JAX_PLATFORMS=cpu python examples/api_quickstart.py
 	PYTHONPATH=. JAX_PLATFORMS=cpu python examples/svgd_mixture.py
 	PYTHONPATH=. JAX_PLATFORMS=cpu python examples/relativistic_sghmc_banana.py
 	PYTHONPATH=. JAX_PLATFORMS=cpu python examples/bnn_sinc.py
+	PYTHONPATH=. JAX_PLATFORMS=cpu python examples/checkpoint_resume.py
+	PYTHONPATH=. JAX_PLATFORMS=cpu python examples/compute_ess.py banana \
+	    --stepsize 0.5 --n-chains 2 --samples-per-chain 500 \
+	    -o /tmp/ess_banana_ci.json
+
+# Generated HTML API documentation (the counterpart of the reference's
+# Sphinx tree, /root/reference/docs/source/api.rst) — one page per module
+# from the package docstrings, whose examples the doctest suite executes.
+docs:
+	PYTHONPATH=. JAX_PLATFORMS=cpu python docs/gen_api_docs.py
 
 bench:
 	python bench.py
 
 clean:
 	find . -name __pycache__ -type d -exec rm -rf {} +
-	rm -rf .pytest_cache
+	rm -rf .pytest_cache docs/_build

@@ -42,18 +42,37 @@ from pysgmcmc_tpu.utils.numeric import safe_divide
 
 def build_workload(
     n_chains, dtype=jnp.float32, compute_dtype=jnp.bfloat16,
-    n_data=100, batch_size=20,
+    n_data=100, batch_size=20, fold_weight_prior=True, noise_bits=None,
 ):
+    """The north-star posterior: 3x50 heteroscedastic BNN on sinc data.
+
+    Measured configuration choices (benchmarks/sampling_ab_tpu.py — full-step
+    A/B on the chip, which overruled two component-probe predictions):
+
+    - ``compute_dtype=bfloat16``: bf16 matmuls win ~1 ms/step end to end
+      (5.89 vs 6.87 ms) even though an isolated gradient probe said
+      otherwise.
+    - threefry everywhere: every use of the XLA RngBitGenerator inside the
+      full vmapped scan (rbg keys, or threefry keys with rbg draw bits)
+      measured 40% *slower* end to end, despite a 2.1x win in an isolated
+      noise probe — RngBitGenerator composes badly with this program.
+    - ``fold_weight_prior=True``: the L2 weight prior's gradient is folded
+      analytically into the sampler update (``gaussian_prior_scale``) —
+      identical dynamics, less autodiff traffic (~0.4 ms/step).  The
+      reported per-step cost omits the (tiny, slowly-varying) weight-prior
+      term.
+    """
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.uniform(0.0, 1.0, (n_data, 1)), dtype)
     y = jnp.asarray(np.asarray(sinc(np.asarray(x))), dtype)
 
     init_fn, apply_fn = default_network(1, dtype=dtype)
+    params0 = init_fn(jax.random.PRNGKey(0))
+    n_params = sum(
+        leaf.size for leaf in jax.tree_util.tree_leaves(params0)
+    )
 
     def cost_fn(params, batch):
-        # Mixed precision: matmuls in bf16 (MXU native), sampler state,
-        # likelihood and priors in f32.  Quality-neutral on the sinc gate
-        # (MSE 0.0011 bf16 vs 0.0010 f32; see tests/models).
         xb, yb = batch
         if compute_dtype is not None:
             params_c = jax.tree_util.tree_map(
@@ -68,8 +87,13 @@ def build_workload(
         ll = jnp.sum(jnp.sum(-mse * 0.5 * f_var_inv - 0.5 * f_log_var, axis=1))
         ll = ll / batch_size
         ll += log_variance_prior_log_like(f_log_var) / n_data
-        ll += weight_prior_log_like(params) / n_data
+        if not fold_weight_prior:
+            ll += weight_prior_log_like(params) / n_data
         return -ll
+
+    # cost = -ll; the omitted prior term is wdecay/2 ||theta||^2 / (P N),
+    # so its cost gradient is theta * wdecay / (P N) with wdecay = 1.
+    prior_scale = 1.0 / (n_params * n_data) if fold_weight_prior else 0.0
 
     sampler = SGHMCSampler(
         cost_fn,
@@ -77,10 +101,10 @@ def build_workload(
         burn_in_steps=3000,
         scale_grad=float(n_data),
         dtype=dtype,
+        gaussian_prior_scale=prior_scale,
+        noise_bits=noise_bits,
     )
     select_batch = make_batch_fn(x, y, batch_size)
-
-    params0 = init_fn(jax.random.PRNGKey(0))
     # Build the stacked positions host-side in one pass (eager broadcast +
     # jitter ops through the device tunnel are pathologically slow).
     host_rng = np.random.RandomState(1)
@@ -132,18 +156,21 @@ def main():
 
         return jax.vmap(one_chain)(states, jax.random.split(key, n_chains))
 
+    def key(i):
+        return jax.random.PRNGKey(i)
+
     # Full self-tuning burn-in (one compiled scan), then time steady state.
-    states = init_and_burn(positions, jax.random.PRNGKey(2))
+    states = init_and_burn(positions, key(2))
     jax.block_until_ready(states)
 
     # Warmup / compile of the sampling-phase program.
-    states, costs = sampling_scan(states, jax.random.PRNGKey(3))
+    states, costs = sampling_scan(states, key(3))
     jax.block_until_ready(states)
 
     elapsed = []
     for i in range(repeats):
         t0 = time.perf_counter()
-        states, costs = sampling_scan(states, jax.random.PRNGKey(4 + i))
+        states, costs = sampling_scan(states, key(4 + i))
         jax.block_until_ready(states)
         elapsed.append(time.perf_counter() - t0)
 

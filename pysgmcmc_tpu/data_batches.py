@@ -17,6 +17,18 @@ Two layers are provided:
   generators with the reference's signature shape for API parity; they yield
   ``(x_batch, y_batch)`` numpy-compatible arrays instead of feed-dicts
   (there are no placeholders in JAX).
+
+Examples
+--------
+>>> import jax, jax.numpy as jnp
+>>> x = jnp.arange(10.0).reshape(10, 1)
+>>> y = jnp.arange(10.0)
+>>> select = batch_fn(x, y, batch_size=4)
+>>> xb, yb = select(jax.random.PRNGKey(0))
+>>> (xb.shape, yb.shape)
+((4, 1), (4, 1))
+>>> bool((xb[1:, 0] - xb[:-1, 0] == 1.0).all())  # contiguous window
+True
 """
 
 import logging

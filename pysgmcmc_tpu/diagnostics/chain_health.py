@@ -6,6 +6,17 @@ detects a diverged or stuck chain after the fact.  These helpers run on
 device over ``(n_chains, n_samples, ...)`` histories and return a compact
 report suitable for gating long runs (e.g. abort-and-restart from the last
 checkpoint when chains diverge).
+
+Examples
+--------
+>>> import numpy as np
+>>> good = np.random.default_rng(0).standard_normal((2, 50, 1))
+>>> health = check_chains(good)
+>>> (bool(health.ok), bool(health.diverged.any()))
+(True, False)
+>>> costs = np.array([[1.0, 2.0, np.inf, 3.0], [1.0, 1.0, 1.0, 1.0]])
+>>> divergence_step(costs).tolist()  # 4 == never diverged
+[2, 4]
 """
 
 from typing import NamedTuple

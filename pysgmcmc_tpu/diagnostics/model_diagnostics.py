@@ -6,6 +6,16 @@ provides the standard predictive metrics for Bayesian regression ensembles
 (as produced by :class:`pysgmcmc_tpu.models.BayesianNeuralNetwork` with
 ``return_individual_predictions=True``): predictive log likelihood,
 calibration curves, and RMSE — all plain jnp, jit/vmap friendly.
+
+Examples
+--------
+>>> import numpy as np
+>>> round(float(rmse(np.array([1.0, 2.0]), np.array([1.0, 4.0]))), 3)
+1.414
+>>> f_out = np.zeros((3, 4)); var = np.ones((3, 4))
+>>> ll = float(predictive_log_likelihood(f_out, var, np.zeros(4)))
+>>> round(ll, 3)  # standard normal log density at 0
+-0.919
 """
 
 import jax.numpy as jnp

@@ -17,6 +17,17 @@ multi-chain container.  Two deliberate departures:
 There is no pymc3 dependency; diagnostics consume the raw
 ``(n_chains, n_samples, ...)`` arrays directly
 (:mod:`pysgmcmc_tpu.diagnostics.sampler_diagnostics`).
+
+Examples
+--------
+>>> import numpy as np
+>>> trace = PYSGMCMCTrace(0, {"x": np.arange(10.0)}, varnames=["x"])
+>>> len(trace)
+10
+>>> trace.get_values("x", burn=2, thin=2)
+array([2., 4., 6., 8.])
+>>> trace.point(3)
+{'x': array(3.)}
 """
 
 import logging

@@ -17,6 +17,18 @@ the same estimators pymc3 implements):
   ``sampler_diagnostics.py:76-82``).
 - PSRF: ``R_hat = sqrt(var_plus / W)``, ``var_plus = (n-1)/n W + B/n``
   (cf. ``sampler_diagnostics.py:150-161``).
+
+Examples
+--------
+>>> import numpy as np
+>>> chains = np.random.default_rng(0).standard_normal((2, 500))
+>>> ess = float(effective_sample_size(chains))
+>>> bool(600 < ess <= 1000)  # iid draws: ESS near the total draw count
+True
+>>> bool(float(gelman_rubin(chains)) < 1.05)
+True
+>>> bool(float(gelman_rubin_split(chains)) < 1.05)
+True
 """
 
 import jax

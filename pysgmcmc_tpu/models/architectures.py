@@ -11,6 +11,15 @@ framework dependency, so the same params flow through samplers, Pallas
 kernels, and ``vmap`` ensembles untouched.  Matmuls use
 ``preferred_element_type`` so the MXU accumulates in float32 even under
 bfloat16 params.
+
+Examples
+--------
+>>> import jax, jax.numpy as jnp
+>>> init, apply = default_network(n_inputs=1)
+>>> params = init(jax.random.PRNGKey(0))
+>>> out = apply(params, jnp.zeros((5, 1)))
+>>> out.shape  # column 0: mean, column 1: log predictive variance
+(5, 2)
 """
 
 import jax

@@ -4,6 +4,19 @@ Capability-parity counterpart of
 ``/root/reference/pysgmcmc/models/base_model.py``: the ``train``/``predict``
 contract, incremental ``update``, incumbent extraction, JSON export, and the
 zero-one / zero-mean-unit-variance normalization pairs used by the BNN.
+
+Examples
+--------
+>>> import numpy as np
+>>> xn, mean, std = zero_mean_unit_var_normalization(np.array([[0.0], [2.0]]))
+>>> (float(mean[0]), float(std[0]))
+(1.0, 1.0)
+>>> bool(np.allclose(
+...     zero_mean_unit_var_unnormalization(xn, mean, std), [[0.0], [2.0]]))
+True
+>>> xu, lo, hi = zero_one_normalization(np.array([2.0, 4.0]))
+>>> xu.tolist()
+[0.0, 1.0]
 """
 
 import abc

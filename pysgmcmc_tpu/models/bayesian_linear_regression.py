@@ -18,6 +18,19 @@ reference (whose only model is the non-conjugate BNN) cannot perform.
 Training follows the same design as the BNN: minibatch NLL + prior as the
 cost, the whole run as one compiled scan, predictions via the vmapped
 sample ensemble.
+
+Examples
+--------
+Closed-form posterior used as ground truth by the tests:
+
+>>> import numpy as np
+>>> X = np.array([[1.0], [2.0], [3.0]])
+>>> y = 2.0 * X[:, 0]
+>>> mean, cov = exact_posterior(X, y, alpha=1.0, beta=100.0)
+>>> round(float(mean[0]), 2)  # shrunk slightly toward the prior
+2.0
+>>> cov.shape
+(1, 1)
 """
 
 import jax

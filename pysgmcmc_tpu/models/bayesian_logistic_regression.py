@@ -9,6 +9,13 @@ trained by SG-MCMC over the minibatch-unbiased negative log posterior and
 predicting with the full posterior ensemble (mean probability + epistemic
 uncertainty), the same design as the other models: one compiled scan for
 training, one vmap for prediction.
+
+Examples
+--------
+>>> model = BayesianLogisticRegression(n_nets=2, n_iters=200,
+...                                    burn_in_steps=10)
+>>> model.is_trained
+False
 """
 
 import jax

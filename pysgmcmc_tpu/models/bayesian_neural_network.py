@@ -21,6 +21,17 @@ Priors and likelihood match the reference exactly
 (``bayesian_neural_network.py:77-141`` and ``:337-388``): heteroscedastic
 Gaussian log likelihood scaled by 1/batch_size, a Gaussian prior on the log
 predictive variance and an L2 weight prior, both scaled by 1/N.
+
+Examples
+--------
+The priors match the reference bit-for-bit (pinned by golden tests):
+
+>>> import jax.numpy as jnp
+>>> round(float(weight_prior_log_like({"w": jnp.ones((2, 2))})), 3)
+-0.5
+>>> round(float(log_variance_prior_log_like(
+...     jnp.full((1, 1), jnp.log(1e-6)))), 3)
+2.303
 """
 
 import logging

@@ -22,6 +22,13 @@ Noise modes:
   but not bitwise-equal to the ``jax.random.normal`` stream of the XLA path.
 - explicit ``noise`` array: deterministic math only — bitwise-testable
   against a pure-jnp replica (used by the parity tests).
+
+Examples
+--------
+>>> pad_dim(5)
+128
+>>> pad_dim(200)
+256
 """
 
 import functools

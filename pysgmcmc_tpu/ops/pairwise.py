@@ -12,6 +12,17 @@ particles are cheap.  The median-heuristic bandwidth is one device-side sort.
 
 ``pdist``/``squareform`` equivalents are provided for API parity with the
 reference's tensor_utils.
+
+Examples
+--------
+>>> import jax.numpy as jnp
+>>> x = jnp.asarray([[0.0], [3.0], [4.0]])
+>>> [round(float(v), 1) for v in pdist(x)]  # pairs (0,1), (0,2), (1,2)
+[3.0, 4.0, 1.0]
+>>> squareform(pdist(x)).shape
+(3, 3)
+>>> float(squareform(pdist(x))[0, 2])
+4.0
 """
 
 import jax.numpy as jnp

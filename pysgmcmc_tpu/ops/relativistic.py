@@ -22,6 +22,15 @@ Choosing the optimal tilt — the root of ``beta / (1 - beta^2) = m c^2`` —
 keeps the acceptance rate O(1) for *any* mass and speed of light (for
 m = c = 1 it is ~0.7 per round; a naive untilted Laplace envelope decays
 like ``exp(-m c^2)``).  The ``while_loop`` redraws only unaccepted slots.
+
+Examples
+--------
+>>> import jax
+>>> p = sample_relativistic_momentum(jax.random.PRNGKey(0), (500,))
+>>> p.shape
+(500,)
+>>> bool(abs(float(p.mean())) < 0.2)  # symmetric marginal
+True
 """
 
 import jax

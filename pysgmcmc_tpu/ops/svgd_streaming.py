@@ -15,6 +15,14 @@ row-tile sweep and ensembles of 10^5+ particles fit trivially.
 The bandwidth ``h`` is an input (compute it once from
 :func:`pysgmcmc_tpu.ops.pairwise.median_bandwidth`, or a streaming
 quantile estimate for very large n).
+
+Examples
+--------
+>>> import jax, jax.numpy as jnp
+>>> x = jax.random.normal(jax.random.PRNGKey(0), (8, 2))
+>>> phi = svgd_phi_streaming(x, -x, 1.0, tile=8, interpret=True)
+>>> phi.shape
+(8, 2)
 """
 
 import functools

@@ -7,6 +7,17 @@ advance in lockstep inside a single jitted ``vmap(scan)`` program, and the
 chain axis shards across a :func:`pysgmcmc_tpu.parallel.mesh.chain_mesh` so
 8k+ chains spread over a pod slice with zero cross-chain communication in
 the hot loop.
+
+Examples
+--------
+>>> import jax, jax.numpy as jnp
+>>> from pysgmcmc_tpu.samplers.sgld import SGLDSampler
+>>> sampler = SGLDSampler(lambda x: 0.5 * jnp.sum(x**2),
+...                       stepsize_schedule=0.05, burn_in_steps=0)
+>>> positions = stack_positions(jnp.zeros(2), 4)
+>>> chains, costs = run_chains(sampler, positions, jax.random.PRNGKey(0), 3)
+>>> (chains.shape, costs.shape)
+((4, 3, 2), (4, 3))
 """
 
 import weakref

@@ -8,6 +8,14 @@ chains are embarrassingly parallel, so the natural layout is a 1-D mesh with
 the chain axis sharded across devices; pooled diagnostics (between-chain
 variance in Gelman-Rubin, pooled ESS) become XLA collectives over ICI that
 GSPMD inserts automatically from the array shardings.
+
+Examples
+--------
+>>> mesh = chain_mesh(2)
+>>> mesh.devices.shape
+(2,)
+>>> chain_sharding(mesh).spec
+PartitionSpec('chains',)
 """
 
 import jax

@@ -13,6 +13,18 @@ This is the TPU-native answer to the reference's scalability ceiling: the
 O(n^2) Python-loop ``pdist`` (``/root/reference/pysgmcmc/tensor_utils.py:
 405-409``) capped ensembles at a few dozen particles; here the quadratic
 work is MXU matmuls distributed over the mesh.
+
+Examples
+--------
+>>> import jax, jax.numpy as jnp
+>>> from pysgmcmc_tpu.parallel.mesh import chain_mesh
+>>> from pysgmcmc_tpu.samplers.svgd import SVGDSampler
+>>> sampler = SVGDSampler(lambda x: 0.5 * jnp.sum(x**2))
+>>> state = sampler.init(jax.random.normal(jax.random.PRNGKey(0), (8, 2)))
+>>> state, costs = run_svgd_sharded(
+...     sampler, state, jax.random.PRNGKey(1), 2, chain_mesh(2))
+>>> state.position.shape
+(8, 2)
 """
 
 import jax

@@ -21,6 +21,18 @@ After ``burn_in_steps`` the reference freezes ``minv`` by feeding the stored
 arrays back into the graph (``base_classes.py:449-454``) while the EMA ops
 keep running harmlessly.  Here the freeze is a ``jnp.where`` on the step
 counter — no host involvement, fully ``vmap``/``scan`` compatible.
+
+Examples
+--------
+One update with old tau = g = v_hat = 1 and grad = 2 (so r = 1/2):
+
+>>> import jax.numpy as jnp
+>>> stats = init_stats(jnp.ones(1))
+>>> stats, minv = update_stats(stats, jnp.full(1, 2.0), burning_in=True)
+>>> [round(float(leaf[0]), 3) for leaf in (stats.tau, stats.g, stats.v_hat)]
+[1.0, 1.5, 2.5]
+>>> round(float(minv[0]), 3)  # 1/sqrt(old v_hat)
+1.0
 """
 
 from typing import NamedTuple

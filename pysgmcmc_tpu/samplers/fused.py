@@ -12,6 +12,18 @@ Equivalent math to :class:`pysgmcmc_tpu.samplers.sghmc.SGHMCSampler`
 (reference semantics ``/root/reference/pysgmcmc/samplers/sghmc.py:109-253``);
 the pytree sampler remains the reference implementation and the parity
 tests pin this path against it.
+
+Examples
+--------
+>>> import jax.numpy as jnp
+>>> fused = FusedSGHMC(lambda p: jnp.sum(p["x"] ** 2),
+...                    {"x": jnp.zeros(2)}, interpret=True)
+>>> state = fused.init({"x": jnp.zeros((4, 2))})
+>>> state.theta.shape  # 4 chains, dim padded to the 128-lane tile
+(4, 128)
+>>> back = fused.unflatten_positions(state.theta)
+>>> back["x"].shape
+(4, 2)
 """
 
 from typing import Any, NamedTuple

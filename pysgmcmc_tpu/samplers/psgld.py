@@ -15,6 +15,18 @@ burn-in phase, pSGLD continuously adapts a diagonal RMSprop preconditioner
 Noise scaling follows the same ``scale_grad`` convention as
 :class:`~pysgmcmc_tpu.samplers.sgld.SGLDSampler` so the two are drop-in
 interchangeable on minibatch problems.
+
+Examples
+--------
+>>> import jax, jax.numpy as jnp
+>>> sampler = PSGLDSampler(lambda x: 0.5 * jnp.sum(x**2),
+...                        stepsize_schedule=0.01)
+>>> state = sampler.init(jnp.zeros(2))
+>>> state, info = sampler.step(state, jax.random.PRNGKey(0))
+>>> int(state.step)
+1
+>>> bool((state.v >= 0).all())  # RMSprop accumulator
+True
 """
 
 from typing import Any, NamedTuple

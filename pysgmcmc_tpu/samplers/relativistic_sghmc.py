@@ -22,6 +22,18 @@ reference's host-side arspy adaptive rejection sampling
 scalar momentum per parameter tensor and therefore only supports scalar
 parameters — momenta here are elementwise, so arbitrary pytree parameters
 work.
+
+Examples
+--------
+>>> import jax, jax.numpy as jnp
+>>> sampler = RelativisticSGHMCSampler(
+...     lambda x: 0.5 * jnp.sum(x**2), stepsize_schedule=0.001)
+>>> state = sampler.init(jnp.zeros(2), key=jax.random.PRNGKey(0))
+>>> state, info = sampler.step(state, jax.random.PRNGKey(1))
+>>> state.momentum.shape
+(2,)
+>>> bool(jnp.isfinite(state.position).all())
+True
 """
 
 from typing import Any, NamedTuple

@@ -23,6 +23,18 @@ Where the reference chains `tf.assign` ops under control dependencies and
 pays a ``session.run`` per step, this step is one pure function XLA fuses
 into a handful of elementwise kernels; :mod:`pysgmcmc_tpu.ops.fused_update`
 offers a hand-fused Pallas variant of the same math for the hot path.
+
+Examples
+--------
+>>> import jax, jax.numpy as jnp
+>>> sampler = SGHMCSampler(lambda x: 0.5 * jnp.sum(x**2),
+...                        stepsize_schedule=0.1, burn_in_steps=2)
+>>> state = sampler.init(jnp.asarray([1.0]))
+>>> state, info = sampler.step(state, jax.random.PRNGKey(0))
+>>> (int(state.step), round(float(info.stepsize), 3))
+(1, 0.1)
+>>> state.momentum.shape
+(1,)
 """
 
 from typing import Any, NamedTuple
@@ -63,6 +75,8 @@ class SGHMCSampler(MCMCSampler):
         mdecay=0.05,
         scale_grad=1.0,
         dtype=jnp.float32,
+        gaussian_prior_scale=0.0,
+        noise_bits=None,
     ):
         super().__init__(cost_fn, stepsize_schedule, dtype)
         if burn_in_steps < 0:
@@ -70,6 +84,18 @@ class SGHMCSampler(MCMCSampler):
         self.burn_in_steps = int(burn_in_steps)
         self.mdecay = float(mdecay)
         self.scale_grad = float(scale_grad)
+        # noise_bits="rbg": generate the injected noise's random bits with
+        # the XLA RngBitGenerator instead of threefry (2.1x faster on TPU;
+        # stream separation still threefry) — see
+        # :func:`pysgmcmc_tpu.utils.pytree.normal_like_tree`.
+        self.noise_bits = noise_bits
+        # With gaussian_prior_scale = s > 0 the update uses the analytic
+        # gradient of an isotropic Gaussian prior, grad += s * theta,
+        # instead of differentiating a quadratic prior term inside cost_fn.
+        # Mathematically identical dynamics, but the term fuses into the
+        # (theta-reading) update kernel instead of costing an extra
+        # autodiff pass over every parameter (~14% of the flagship step).
+        self.gaussian_prior_scale = float(gaussian_prior_scale)
 
     def init(self, params, key=None):
         params = tree_cast(params, self.dtype)
@@ -80,6 +106,19 @@ class SGHMCSampler(MCMCSampler):
             step=jnp.zeros((), jnp.int32),
             schedule_state=self.stepsize_schedule.init(),
         )
+
+    def partition_frozen(self, state, phase=None):
+        """Post-burn-in, the adaptation stats (incl. the frozen mass-matrix
+        inverse) are scan invariants — hoist them out of the carry."""
+        if phase != "sampling":
+            return state, None
+        return state._replace(stats=None), state.stats
+
+    @staticmethod
+    def merge_frozen(dynamic, frozen):
+        if frozen is None:
+            return dynamic
+        return dynamic._replace(stats=frozen)
 
     def step(self, state, key, batch=None, noise=None, phase=None):
         """One SGHMC step.
@@ -100,12 +139,19 @@ class SGHMCSampler(MCMCSampler):
         eps = self._stepsize(state)
         eps_scaled = eps / jnp.sqrt(jnp.asarray(self.scale_grad, self.dtype))
         cost, grads = self._cost_and_grad(state.position, batch)
+        if self.gaussian_prior_scale:
+            scale = jnp.asarray(self.gaussian_prior_scale, self.dtype)
+            grads = jax.tree_util.tree_map(
+                lambda g, theta: g + scale * theta, grads, state.position
+            )
 
         burning_in = state.step < self.burn_in_steps
         stats, minv = update_stats(state.stats, grads, burning_in, phase)
 
         if noise is None:
-            noise = normal_like_tree(key, state.position)
+            noise = normal_like_tree(
+                key, state.position, bits_impl=self.noise_bits
+            )
 
         def momentum_leaf(v, grad, minv_leaf, eta):
             noise_var = (

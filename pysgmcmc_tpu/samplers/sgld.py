@@ -13,6 +13,18 @@ Per-step update (reference ``sgld.py:183-204``, noise constant = 0):
 The whole update is a pure function over a ``SGLDState`` pytree; one sampling
 run is a single ``lax.scan`` and multi-chain execution is ``vmap`` over the
 state (cf. :mod:`pysgmcmc_tpu.parallel.chains`).
+
+Examples
+--------
+>>> import jax, jax.numpy as jnp
+>>> sampler = SGLDSampler(lambda x: 0.5 * jnp.sum(x**2),
+...                       stepsize_schedule=0.05, burn_in_steps=1)
+>>> state = sampler.init(jnp.zeros(3))
+>>> state, info = sampler.step(state, jax.random.PRNGKey(0))
+>>> state.position.shape
+(3,)
+>>> bool(jnp.isfinite(info.cost))
+True
 """
 
 from typing import Any, NamedTuple
@@ -53,6 +65,8 @@ class SGLDSampler(MCMCSampler):
         A=1.0,
         scale_grad=1.0,
         dtype=jnp.float32,
+        gaussian_prior_scale=0.0,
+        noise_bits=None,
     ):
         super().__init__(cost_fn, stepsize_schedule, dtype)
         if burn_in_steps < 0:
@@ -60,6 +74,10 @@ class SGLDSampler(MCMCSampler):
         self.burn_in_steps = int(burn_in_steps)
         self.A = float(A)
         self.scale_grad = float(scale_grad)
+        # Analytic Gaussian-prior fold: see SGHMCSampler.gaussian_prior_scale.
+        self.gaussian_prior_scale = float(gaussian_prior_scale)
+        # Fast RngBitGenerator noise bits: see SGHMCSampler.noise_bits.
+        self.noise_bits = noise_bits
 
     def init(self, params, key=None):
         params = tree_cast(params, self.dtype)
@@ -70,17 +88,36 @@ class SGLDSampler(MCMCSampler):
             schedule_state=self.stepsize_schedule.init(),
         )
 
+    def partition_frozen(self, state, phase=None):
+        """Post-burn-in, the adaptation stats are scan invariants."""
+        if phase != "sampling":
+            return state, None
+        return state._replace(stats=None), state.stats
+
+    @staticmethod
+    def merge_frozen(dynamic, frozen):
+        if frozen is None:
+            return dynamic
+        return dynamic._replace(stats=frozen)
+
     def step(self, state, key, batch=None, noise=None, phase=None):
         """One SGLD step.  ``noise``/``phase`` as in
         :meth:`pysgmcmc_tpu.samplers.sghmc.SGHMCSampler.step`."""
         eps = self._stepsize(state)
         cost, grads = self._cost_and_grad(state.position, batch)
+        if self.gaussian_prior_scale:
+            scale = jnp.asarray(self.gaussian_prior_scale, self.dtype)
+            grads = jax.tree_util.tree_map(
+                lambda g, theta: g + scale * theta, grads, state.position
+            )
 
         burning_in = state.step < self.burn_in_steps
         stats, minv = update_stats(state.stats, grads, burning_in, phase)
 
         if noise is None:
-            noise = normal_like_tree(key, state.position)
+            noise = normal_like_tree(
+                key, state.position, bits_impl=self.noise_bits
+            )
 
         def update_leaf(theta, grad, minv_leaf, eta):
             sigma = safe_sqrt(

@@ -25,6 +25,18 @@ The reference's known interface wart — particles had to be a flat list of
 scalars, making SVGD unusable with the BNN (``svgd.py:7-10`` XXX) — is fixed:
 particles are any pytree with a leading particle axis; kernel geometry is
 computed on per-particle raveled vectors.
+
+Examples
+--------
+>>> import jax, jax.numpy as jnp
+>>> sampler = SVGDSampler(lambda x: 0.5 * jnp.sum(x**2))
+>>> particles = jax.random.normal(jax.random.PRNGKey(0), (8, 2))
+>>> state = sampler.init(particles)
+>>> state, info = sampler.step(state, jax.random.PRNGKey(1))
+>>> state.position.shape
+(8, 2)
+>>> info.cost.shape  # one cost per particle
+(8,)
 """
 
 from typing import Any, NamedTuple

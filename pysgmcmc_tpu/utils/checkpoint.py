@@ -13,6 +13,15 @@ Usage::
 
     save_checkpoint(path, {"state": state, "key": key, "samples": samples})
     restored = restore_checkpoint(path, like={"state": state, ...})
+
+Examples
+--------
+>>> import os, tempfile
+>>> import numpy as np, jax.numpy as jnp
+>>> path = os.path.join(tempfile.mkdtemp(), "ckpt")
+>>> save_checkpoint(path, {"x": jnp.ones(2)})
+>>> bool(np.allclose(restore_checkpoint(path)["x"], 1.0))
+True
 """
 
 import os

@@ -7,6 +7,15 @@ reference's Python deque (``bayesian_neural_network.py:290``).
 
 The shared library is compiled on first use (g++, a few hundred ms) and
 cached next to the source.
+
+Examples
+--------
+>>> import numpy as np
+>>> store = SampleStore(capacity=4, width=2)
+>>> store.append(np.ones((3, 2), np.float32))
+>>> (len(store), store.asarray().shape)
+(3, (3, 2))
+>>> store.close()
 """
 
 import ctypes

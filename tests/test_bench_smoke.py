@@ -30,20 +30,51 @@ def test_bench_workload_tiny_run():
     assert np.isfinite(np.asarray(costs)).all()
 
 
-def test_bench_workload_f32_variant():
+def test_bench_workload_bf16_variant():
     import jax.numpy as jnp
 
     from bench import build_workload
     from pysgmcmc_tpu.parallel.chains import run_chains
 
     sampler, positions, select_batch = build_workload(
-        n_chains=2, compute_dtype=None
+        n_chains=2, compute_dtype=jnp.bfloat16
     )
     chains, costs = run_chains(
         sampler, positions, jax.random.PRNGKey(1), 1,
         batch_fn=select_batch, keep_every=2,
     )
     assert np.isfinite(np.asarray(costs)).all()
+
+
+def test_bench_workload_prior_fold_matches_autodiff():
+    """gaussian_prior_scale fold == differentiating the prior inside cost_fn.
+
+    Same seed, same noise keys: positions must agree to float32 tolerance
+    after several steps crossing nothing but op order.
+    """
+    from bench import build_workload
+    from pysgmcmc_tpu.samplers.base import sample_chain
+
+    folded, positions, select_batch = build_workload(
+        n_chains=2, fold_weight_prior=True)
+    explicit, _, _ = build_workload(n_chains=2, fold_weight_prior=False)
+
+    def run(sampler):
+        state = jax.vmap(sampler.init)(
+            positions, jax.random.split(jax.random.PRNGKey(0), 2))
+        runner = jax.vmap(
+            lambda st, k: sample_chain(
+                sampler, st, k, 1, batch_fn=select_batch, keep_every=10)[1]
+        )
+        return runner(state, jax.random.split(jax.random.PRNGKey(1), 2))
+
+    pos_fold = run(folded)
+    pos_expl = run(explicit)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-7),
+        pos_fold, pos_expl,
+    )
 
 
 def test_graft_entry_single_chip():
