@@ -130,6 +130,7 @@ class BayesianNeuralNetwork(BaseModel):
         compute_dtype=None,
         n_chains=1,
         mesh=None,
+        log_every=512,
         **sampler_kwargs,
     ):
         super().__init__()
@@ -178,6 +179,19 @@ class BayesianNeuralNetwork(BaseModel):
             )
         self.n_chains = n_chains
         self.mesh = mesh
+        # In-training telemetry (reference parity,
+        # ``bayesian_neural_network.py:472-519``): full-training-set NLL/MSE
+        # is logged every ``log_every`` burn-in iterations and at every
+        # collected sample.  The training scan is chunked at log boundaries
+        # (an outer Python loop over identically-shaped compiled segments, so
+        # compilation happens once per segment shape).  ``log_every=None``
+        # recovers the single-scan program; chunking re-keys the PRNG per
+        # segment, so the two settings draw different (equally valid) chains.
+        if log_every is not None and (
+            not isinstance(log_every, int) or log_every <= 0
+        ):
+            raise ValueError("log_every must be a positive integer or None")
+        self.log_every = log_every
         # Mixed precision: run the network's matmuls in ``compute_dtype``
         # (e.g. bfloat16 — the TPU MXU's native format, ~2x faster) while
         # the sampler state, priors, and likelihood arithmetic stay in
@@ -325,6 +339,14 @@ class BayesianNeuralNetwork(BaseModel):
 
         sampler = self._build_sampler(cost_fn, n_datapoints)
 
+        if self.log_every is not None:
+            self._train_chunked(
+                sampler, init_fn, apply_fn, select_batch,
+                key_net, key_init, key_burn, key_sample,
+                x_dev, y_dev, n_datapoints, start_time,
+            )
+            return
+
         if self.n_chains > 1:
             # Parallel-chain training: each chain burns in and collects its
             # share of the ensemble; chains vmap (and optionally shard over
@@ -416,6 +438,160 @@ class BayesianNeuralNetwork(BaseModel):
             "BayesianNeuralNetwork: collected %d samples in %.2fs "
             "(final minibatch NLL %.4e)",
             n_collect, time.time() - start_time, float(np.asarray(costs)[-1]),
+        )
+
+    def _train_chunked(
+        self, sampler, init_fn, apply_fn, select_batch,
+        key_net, key_init, key_burn, key_sample,
+        x_dev, y_dev, n_datapoints, start_time,
+    ):
+        """Chunked training run with in-training telemetry.
+
+        Reference parity for the training logs
+        (``bayesian_neural_network.py:472-519``): the full-training-set
+        NLL/MSE is logged at iteration 0, every ``log_every`` burn-in
+        iterations, and at every collected sample.  The run is an outer
+        Python loop over identically-shaped compiled scan segments — one
+        compile per segment shape, so the telemetry costs only the segment
+        dispatches plus one jitted full-data forward per log point (and the
+        forward is skipped entirely unless INFO logging is enabled).
+
+        The reference's log line swaps its ``Samples =`` field between the
+        two phases (``:497-508`` logs the sample count during burn-in, when
+        it is always zero); here the count is logged during sampling.
+        """
+        multi = self.n_chains > 1
+        n_collect = self._n_collect(
+            self.n_nets // self.n_chains if multi else None
+        )
+
+        if multi:
+            positions = jax.vmap(init_fn)(
+                jax.random.split(key_net, self.n_chains)
+            )
+            init_keys = jax.random.split(key_init, self.n_chains)
+        else:
+            positions = init_fn(key_net)
+            init_keys = key_init
+
+        def wrap(fn):
+            """vmap over chains (multi) and shard over the mesh if given."""
+            if not multi:
+                return jax.jit(fn)
+            vm = jax.vmap(fn)
+            if self.mesh is not None:
+                from jax.sharding import PartitionSpec
+
+                from pysgmcmc_tpu.parallel.mesh import CHAIN_AXIS, shard_chains
+
+                if self.n_chains % self.mesh.devices.size != 0:
+                    raise ValueError(
+                        "n_chains must be divisible by the mesh size"
+                    )
+                spec = PartitionSpec(CHAIN_AXIS)
+                vm = jax.shard_map(
+                    vm, mesh=self.mesh, in_specs=spec, out_specs=spec
+                )
+            return jax.jit(vm)
+
+        if multi and self.mesh is not None:
+            from pysgmcmc_tpu.parallel.mesh import shard_chains
+
+            positions = shard_chains(positions, self.mesh)
+
+        state = wrap(sampler.init)(positions, init_keys)
+
+        # Burn-in segment plan: full log_every segments plus a remainder.
+        n_full, rem = divmod(self.burn_in_steps, self.log_every)
+        seg_lengths = [self.log_every] * n_full + ([rem] if rem else [])
+
+        def make_advance(n_steps):
+            def advance(state, key):
+                state, _ = sample_chain(
+                    sampler, state, key, 1, batch_fn=select_batch,
+                    keep_every=n_steps, collect_costs=False, phase="burn_in",
+                )
+                return state
+            return wrap(advance)
+
+        advance_fns = {n: make_advance(n) for n in set(seg_lengths)}
+
+        def collect(state, key):
+            return sample_chain(
+                sampler, state, key, 1, batch_fn=select_batch,
+                keep_every=self.sample_steps, phase="sampling",
+            )
+        collect_fn = wrap(collect)
+
+        # Per-segment keys, derived in one jitted call each.
+        n_segments = len(seg_lengths)
+
+        def make_keys(key, n):
+            if multi:
+                return jax.vmap(lambda c: jax.random.split(c, n))(
+                    jax.random.split(key, self.n_chains)
+                )  # (n_chains, n, 2); index [:, i]
+            return jax.random.split(key, n)
+
+        burn_keys = (
+            jax.jit(make_keys, static_argnums=1)(key_burn, n_segments)
+            if n_segments else None
+        )
+        sample_keys = jax.jit(make_keys, static_argnums=1)(
+            key_sample, n_collect
+        )
+
+        metric = lambda pos: self.negative_log_likelihood(  # noqa: E731
+            apply_fn, pos, x_dev, y_dev, n_datapoints
+        )
+        metrics_fn = jax.jit(jax.vmap(metric) if multi else metric)
+
+        def log_point(iteration, state, n_samples=None):
+            if not logging.getLogger().isEnabledFor(logging.INFO):
+                return
+            nll, mse = metrics_fn(sampler.position(state))
+            nll = float(jnp.mean(nll)) if multi else float(nll)
+            mse = float(jnp.mean(mse)) if multi else float(mse)
+            suffix = "" if n_samples is None else " Samples = {}".format(
+                n_samples
+            )
+            logging.info(
+                "Iter %8d : NLL = %.4e MSE = %.4e%s Time = %5.2f",
+                iteration, nll, mse, suffix, time.time() - start_time,
+            )
+
+        log_point(0, state)
+        iteration = 0
+        for i, n_steps in enumerate(seg_lengths):
+            k = burn_keys[:, i] if multi else burn_keys[i]
+            state = advance_fns[n_steps](state, k)
+            iteration += n_steps
+            log_point(iteration, state)
+
+        pos_chunks, cost_chunks = [], []
+        for j in range(n_collect):
+            k = sample_keys[:, j] if multi else sample_keys[j]
+            state, pos, cost = collect_fn(state, k)
+            pos_chunks.append(pos)
+            cost_chunks.append(cost)
+            iteration += self.sample_steps
+            log_point(iteration, state, n_samples=(j + 1) * self.n_chains)
+
+        axis = 1 if multi else 0  # the length-1 collected axis
+        samples = jax.tree_util.tree_map(
+            lambda *leaves: jnp.concatenate(leaves, axis=axis), *pos_chunks
+        )
+        if multi:
+            # pool: (n_chains, per_chain, ...) -> (n_chains*per_chain, ...)
+            samples = jax.tree_util.tree_map(
+                lambda leaf: leaf.reshape((-1,) + leaf.shape[2:]), samples
+            )
+        self.samples = samples
+        self._n_collected = n_collect * self.n_chains
+        self.is_trained = True
+        logging.info(
+            "BayesianNeuralNetwork: collected %d samples in %.2fs",
+            self._n_collected, time.time() - start_time,
         )
 
     def _train_svgd(self, cost_fn, init_fn, key_net, key_run, select_batch):

@@ -5,8 +5,12 @@ from pysgmcmc_tpu.parallel.chains import (
 )
 from pysgmcmc_tpu.parallel.mesh import (
     CHAIN_AXIS,
+    HOST_AXIS,
     chain_mesh,
     chain_sharding,
+    initialize_multihost,
+    mesh_chain_axes,
+    multihost_mesh,
     shard_chains,
 )
 from pysgmcmc_tpu.parallel.svgd import run_svgd_sharded
@@ -19,5 +23,9 @@ __all__ = [
     "chain_mesh",
     "chain_sharding",
     "shard_chains",
+    "mesh_chain_axes",
+    "multihost_mesh",
+    "initialize_multihost",
     "CHAIN_AXIS",
+    "HOST_AXIS",
 ]

@@ -25,7 +25,12 @@ import weakref
 import jax
 import jax.numpy as jnp
 
-from pysgmcmc_tpu.parallel.mesh import CHAIN_AXIS, chain_sharding, shard_chains
+from pysgmcmc_tpu.parallel.mesh import (
+    CHAIN_AXIS,
+    chain_sharding,
+    mesh_chain_axes,
+    shard_chains,
+)
 from pysgmcmc_tpu.samplers.base import sample_chain
 
 
@@ -102,6 +107,7 @@ def make_chain_runner(
     Reusing the same ``sampler``/``batch_fn`` objects across calls hits the
     compile cache.
     """
+    axis_name = mesh_chain_axes(mesh, axis_name)
     key_box = []
 
     # bind the cache as a default arg: at interpreter shutdown module
@@ -183,6 +189,7 @@ def run_chains(
     """
     n_chains = _n_chains(initial_positions)
     chain_keys = jax.random.split(key, n_chains)
+    axis_name = mesh_chain_axes(mesh, axis_name)
 
     if mesh is not None:
         n_mesh = mesh.devices.size
