@@ -1,0 +1,111 @@
+"""A/B the packed flat sampling-phase path against the pytree path, on chip.
+
+Workload: the bench.py north star (8192-chain 3x50 BNN, sinc, batch 20),
+sampling phase after a short burn-in.  Times ms/step for:
+
+- pytree (current bench path, bf16 matmul / f32 state, threefry noise)
+- packed xla (flat state, one flat threefry draw, slim update in jnp)
+- packed pallas (flat state, fused slim kernel, in-kernel RNG)
+"""
+
+import time
+
+import jax
+import numpy as np
+
+from bench import build_workload
+from pysgmcmc_tpu.parallel.packed import sample_chain_packed
+from pysgmcmc_tpu.samplers.base import sample_chain
+
+N_CHAINS = 8192
+STEPS = 200
+
+
+def burn(sampler, positions, select_batch, key, steps=200):
+    @jax.jit
+    def go(positions, key):
+        def one(position, ck):
+            k_init, k_burn = jax.random.split(ck)
+            state = sampler.init(position, k_init)
+            state, _ = sample_chain(
+                sampler, state, k_burn, 1, batch_fn=select_batch,
+                keep_every=steps, collect_costs=False, phase="burn_in")
+            return state
+        return jax.vmap(one)(positions, jax.random.split(key, N_CHAINS))
+    return go(positions, key)
+
+
+def timeit(fn, *args, repeats=3):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return best / STEPS * 1e3, out
+
+
+def main():
+    sampler, positions, select_batch = build_workload(N_CHAINS)
+    states = burn(sampler, positions, select_batch, jax.random.PRNGKey(0))
+
+    @jax.jit
+    def pytree_path(states, key):
+        def one(state, ck):
+            state, _, costs = sample_chain(
+                sampler, state, ck, 1, batch_fn=select_batch,
+                keep_every=STEPS, phase="sampling")
+            return state, costs
+        return jax.vmap(one)(states, jax.random.split(key, N_CHAINS))
+
+    def packed_path(backend):
+        @jax.jit
+        def go(states, key):
+            states, _, costs = sample_chain_packed(
+                sampler, states, key, 1, batch_fn=select_batch,
+                keep_every=STEPS, backend=backend,
+                collect_positions=False)
+            return states, costs
+        return go
+
+    results = {}
+    ms, out = timeit(pytree_path, states, jax.random.PRNGKey(1))
+    assert np.isfinite(np.asarray(out[1])).all()
+    results["pytree (bench r2 path)"] = ms
+
+    import os
+    if os.environ.get("PACKED_FLAT"):  # measured r2: 6.36 / 6.57 ms (loses)
+        for backend in ("xla", "pallas"):
+            ms, out = timeit(
+                packed_path(backend), states, jax.random.PRNGKey(2))
+            assert np.isfinite(np.asarray(out[1])).all(), backend
+            results["packed " + backend] = ms
+
+    from pysgmcmc_tpu.parallel.packed import sample_chain_stacked
+
+    def stacked_path(backend, bf16_params):
+        @jax.jit
+        def go(states, key):
+            states, _, costs = sample_chain_stacked(
+                sampler, states, key, 1, batch_fn=select_batch,
+                keep_every=STEPS, backend=backend,
+                bf16_params=bf16_params, collect_positions=False)
+            return states, costs
+        return go
+
+    for backend, bf16 in (("pallas", False), ("pallas", True),
+                          ("xla", True)):
+        ms, out = timeit(
+            stacked_path(backend, bf16), states, jax.random.PRNGKey(3))
+        assert np.isfinite(np.asarray(out[1])).all(), (backend, bf16)
+        results["stacked %s bf16=%s" % (backend, bf16)] = ms
+
+    for k, v in results.items():
+        print("%-24s %.3f ms/step  (%.2fM steps/s)" % (
+            k, v, N_CHAINS / v / 1e3))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,349 @@
+"""Slim sampling-phase SGHMC update as a Pallas TPU kernel.
+
+After burn-in the adaptation statistics are frozen
+(:meth:`pysgmcmc_tpu.samplers.sghmc.SGHMCSampler.partition_frozen`), so the
+per-step state is just ``(theta, v)`` and the update needs only the frozen
+``minv`` and the gradient:
+
+    sigma  = sqrt(max(2 eps_s^2 mdecay minv - eps_s^4, 1e-16))
+    v'     = (v - eps^2 minv (grad + prior_scale theta) - mdecay v
+              + sigma eta) * mask
+    theta' = theta + v'
+
+(reference semantics ``/root/reference/pysgmcmc/samplers/sghmc.py:211-243``;
+``prior_scale`` folds an isotropic Gaussian weight prior's analytic gradient
+into the theta-reading pass, see ``samplers/sghmc.py`` here).
+
+Layout: all state is *packed flat* — ``(n_chains, width)`` with every
+pytree leaf occupying a 128-aligned lane slot (see
+:mod:`pysgmcmc_tpu.parallel.packed`).  This is the load-bearing choice:
+TPU physical layout pads the last dimension of every array to 128 lanes,
+so streaming the stacked BNN pytree (leaves like ``(chains, 50, 50)`` or
+``(chains, 50, 2)``) moves 3-70x more HBM bytes than the logical state.
+The packed layout is dense up to the ~10% slot padding, which the ``mask``
+operand zeroes so padding lanes never drift from 0.
+
+The kernel fuses, in one VMEM pass: Gaussian noise generation (in-kernel
+TPU PRNG + dual-output Box-Muller), the prior fold, the momentum update and
+the position update.  ``grad`` may be bfloat16 (the MXU's native output),
+halving its HBM read.
+
+Noise modes mirror :func:`pysgmcmc_tpu.ops.fused_update.fused_sghmc_update`:
+``noise=None`` draws in-kernel (deterministic in (seed, shape, blocking) but
+not bitwise-equal to the threefry stream); an explicit ``noise`` array makes
+the kernel pure math, bitwise-testable against the pytree sampler.
+
+Examples
+--------
+>>> import jax, jax.numpy as jnp
+>>> theta = jnp.zeros((8, 256)); v = jnp.zeros((8, 256))
+>>> grad = jnp.ones((8, 256)); minv = jnp.ones((8, 256))
+>>> mask = jnp.ones((1, 256))
+>>> theta2, v2 = slim_sghmc_update(
+...     theta, v, grad, minv, mask, eps=0.1, seed=0,
+...     noise=jnp.zeros((8, 256)), interpret=True)
+>>> bool(jnp.allclose(v2, -0.01 * 1.0 * 1.0))  # -eps^2 * minv * grad
+True
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pysgmcmc_tpu.ops.fused_update import (
+    LANES,
+    _block_shape,
+    _normal_from_bits,
+)
+
+
+def _update_math(theta, v, grad, minv, mask, eta,
+                 eps, eps_scaled, mdecay, prior_scale):
+    g = grad.astype(jnp.float32) + prior_scale * theta
+    noise_var = 2.0 * eps_scaled**2 * mdecay * minv - eps_scaled**4
+    sigma = jnp.sqrt(jnp.maximum(noise_var, 1e-16))
+    v_new = (v - eps**2 * minv * g - mdecay * v + sigma * eta) * mask
+    return theta + v_new, v_new
+
+
+def _kernel_rng(int_ref, float_ref, theta_ref, v_ref, grad_ref, minv_ref,
+                mask_ref, theta_out, v_out):
+    pid = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+    pltpu.prng_seed(int_ref[0] + pid)
+    eta = _normal_from_bits(theta_ref.shape)
+    theta_out[:], v_out[:] = _update_math(
+        theta_ref[:], v_ref[:], grad_ref[:], minv_ref[:], mask_ref[:], eta,
+        float_ref[0], float_ref[1], float_ref[2], float_ref[3],
+    )
+
+
+def _kernel_noise(int_ref, float_ref, theta_ref, v_ref, grad_ref, minv_ref,
+                  mask_ref, eta_ref, theta_out, v_out):
+    theta_out[:], v_out[:] = _update_math(
+        theta_ref[:], v_ref[:], grad_ref[:], minv_ref[:], mask_ref[:],
+        eta_ref[:],
+        float_ref[0], float_ref[1], float_ref[2], float_ref[3],
+    )
+
+
+def _leaf_uniform(shape):
+    bits = pltpu.prng_random_bits(shape)
+    mantissa = jax.lax.shift_right_logical(
+        pltpu.bitcast(bits, jnp.uint32), jnp.uint32(9))
+    return pltpu.bitcast(mantissa | jnp.uint32(0x3F800000), jnp.float32) - 1.0
+
+
+def _leaf_kernel_rng(int_ref, float_ref, theta_ref, v_ref, grad_ref,
+                     minv_ref, *outs):
+    pltpu.prng_seed(int_ref[0] + pl.program_id(0))
+    u1 = _leaf_uniform(theta_ref.shape)
+    u2 = _leaf_uniform(theta_ref.shape)
+    eta = jnp.sqrt(-2.0 * jnp.log1p(-u1)) * jnp.cos(2.0 * jnp.pi * u2)
+    theta_new, v_new = _update_math(
+        theta_ref[:], v_ref[:], grad_ref[:], minv_ref[:], 1.0, eta,
+        float_ref[0], float_ref[1], float_ref[2], float_ref[3],
+    )
+    outs[0][:], outs[1][:] = theta_new, v_new
+    if len(outs) == 3:  # bf16 copy of theta for the next gradient pass
+        outs[2][:] = theta_new.astype(jnp.bfloat16)
+
+
+def _leaf_kernel_noise(int_ref, float_ref, theta_ref, v_ref, grad_ref,
+                       minv_ref, eta_ref, *outs):
+    theta_new, v_new = _update_math(
+        theta_ref[:], v_ref[:], grad_ref[:], minv_ref[:], 1.0, eta_ref[:],
+        float_ref[0], float_ref[1], float_ref[2], float_ref[3],
+    )
+    outs[0][:], outs[1][:] = theta_new, v_new
+    if len(outs) == 3:
+        outs[2][:] = theta_new.astype(jnp.bfloat16)
+
+
+def _leaf_physical_bytes_per_row(shape):
+    """Physical VMEM bytes per chain row of a stacked f32 leaf block."""
+    dims = list(shape)
+    if not dims:
+        return 4 * LANES  # scalar leaf -> one padded lane row
+    dims[-1] = ((dims[-1] + LANES - 1) // LANES) * LANES
+    if len(dims) >= 2:
+        dims[-2] = ((dims[-2] + 7) // 8) * 8
+    out = 4
+    for d in dims:
+        out *= d
+    return out
+
+
+def _leaf_update(theta, v, grad, minv, float_scalars, seed,
+                 noise=None, emit_bf16=False, interpret=False):
+    n = theta.shape[0]
+    shape = theta.shape[1:]
+    per_row = _leaf_physical_bytes_per_row(shape)
+    n_buffers = 7 + (1 if noise is not None else 0) + (1 if emit_bf16 else 0)
+    block_rows = 8
+    while (
+        block_rows * 2 <= n
+        and n % (block_rows * 2) == 0
+        and block_rows * 2 * per_row * n_buffers <= _LEAF_VMEM_BUDGET
+    ):
+        block_rows *= 2
+    if n % block_rows != 0:
+        block_rows = n
+
+    block = (block_rows,) + shape
+    rank = len(block)
+
+    def index_map(i, *_):
+        return (i,) + (0,) * (rank - 1)
+
+    def spec():
+        return pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)
+
+    int_scalars = jnp.asarray(seed, jnp.int32).reshape(1)
+    operands = (theta, v, grad, minv)
+    in_specs = [spec(), spec(), spec(), spec()]
+    if noise is not None:
+        operands = operands + (noise,)
+        in_specs.append(spec())
+    out_shape = [
+        jax.ShapeDtypeStruct(theta.shape, jnp.float32),
+        jax.ShapeDtypeStruct(v.shape, jnp.float32),
+    ]
+    out_specs = [spec(), spec()]
+    if emit_bf16:
+        out_shape.append(jax.ShapeDtypeStruct(theta.shape, jnp.bfloat16))
+        out_specs.append(spec())
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n // block_rows,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+    )
+    kernel = _leaf_kernel_noise if noise is not None else _leaf_kernel_rng
+    interpreter = pltpu.InterpretParams() if interpret else False
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=tuple(out_shape),
+        input_output_aliases={2: 0, 3: 1},
+        interpret=interpreter,
+    )(int_scalars, float_scalars, *operands)
+
+
+_LEAF_VMEM_BUDGET = 8 * 1024 * 1024
+_LEAF_SEED_STRIDE = 1000003  # distinct PRNG stream per leaf
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mdecay", "scale_grad", "prior_scale", "emit_bf16", "interpret"
+    ),
+)
+def slim_sghmc_update_tree(
+    theta, v, grad, minv, eps, seed,
+    mdecay=0.05, scale_grad=1.0, prior_scale=0.0,
+    noise=None, emit_bf16=False, interpret=False,
+):
+    """Fused sampling-phase SGHMC step over *stacked pytree* state.
+
+    The zero-relayout variant of :func:`slim_sghmc_update`: every leaf keeps
+    its native stacked layout ``(n_chains, *shape)`` (exactly what the
+    vmapped gradient produces and the matmuls consume, so no pack/unpack
+    pass ever runs) and gets its own kernel launch, blocked over the chain
+    axis.  The win over the XLA elementwise chain is the in-kernel noise:
+    the threefry draw + its HBM materialization (measured 1.9 ms of the
+    5.5 ms flagship step) collapses into per-block TPU PRNG calls.
+
+    ``theta``/``v``/``minv`` are float32 stacked pytrees, ``grad`` a stacked
+    pytree in float32 or bfloat16, ``eps``/``seed`` traced scalars.
+    Returns ``(theta', v')`` stacked pytrees, buffers aliased in place.
+    """
+    eps32 = jnp.asarray(eps, jnp.float32)
+    eps_scaled32 = eps32 / jnp.sqrt(jnp.asarray(scale_grad, jnp.float32))
+    float_scalars = jnp.stack([
+        eps32, eps_scaled32,
+        jnp.asarray(mdecay, jnp.float32),
+        jnp.asarray(prior_scale, jnp.float32),
+    ])
+    seed32 = jnp.asarray(seed, jnp.int32)
+
+    theta_leaves, treedef = jax.tree_util.tree_flatten(theta)
+    v_leaves = jax.tree_util.tree_flatten(v)[0]
+    grad_leaves = jax.tree_util.tree_flatten(grad)[0]
+    minv_leaves = jax.tree_util.tree_flatten(minv)[0]
+    noise_leaves = (
+        jax.tree_util.tree_flatten(noise)[0]
+        if noise is not None else [None] * len(theta_leaves)
+    )
+
+    theta_out, v_out, bf16_out = [], [], []
+    for i, (t, vv, g, mi, e) in enumerate(zip(
+        theta_leaves, v_leaves, grad_leaves, minv_leaves, noise_leaves
+    )):
+        leaf_seed = seed32 + jnp.int32((i * _LEAF_SEED_STRIDE) & 0x7FFFFFF)
+        outs = _leaf_update(
+            t, vv, g, mi, float_scalars, leaf_seed,
+            noise=e, emit_bf16=emit_bf16, interpret=interpret,
+        )
+        theta_out.append(outs[0])
+        v_out.append(outs[1])
+        if emit_bf16:
+            bf16_out.append(outs[2])
+    unflatten = functools.partial(
+        jax.tree_util.tree_unflatten, treedef
+    )
+    if emit_bf16:
+        return unflatten(theta_out), unflatten(v_out), unflatten(bf16_out)
+    return unflatten(theta_out), unflatten(v_out)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mdecay", "scale_grad", "prior_scale", "interpret"),
+)
+def slim_sghmc_update(
+    theta, v, grad, minv, mask, eps, seed,
+    mdecay=0.05, scale_grad=1.0, prior_scale=0.0,
+    noise=None, interpret=False,
+):
+    """One fused sampling-phase SGHMC step over packed flat state.
+
+    Parameters
+    ----------
+    theta, v, minv : (n_chains, width) float32, ``width`` a multiple of 128
+    grad : (n_chains, width) float32 or bfloat16
+    mask : (1, width) float32 — 1 on real lanes, 0 on slot padding
+    eps : scalar stepsize (traced ok)
+    seed : scalar int32 — per-step seed for the in-kernel PRNG
+    noise : optional (n_chains, width) float32 standard normals; replaces
+        the in-kernel draw (bitwise-testable math-only mode)
+
+    Returns ``(theta', v')``, aliased onto the ``theta``/``v`` buffers.
+    """
+    n_rows, n_cols = theta.shape
+    if n_cols % LANES != 0:
+        raise ValueError(
+            "slim_sghmc_update: width must be a multiple of {}; got "
+            "{}".format(LANES, n_cols)
+        )
+    if mask.shape != (1, n_cols):
+        raise ValueError(
+            "slim_sghmc_update: mask must be (1, {}); got {}".format(
+                n_cols, mask.shape
+            )
+        )
+    with_noise = noise is not None
+    n_buffers = 7 + (1 if with_noise else 0)
+    block_rows, block_cols = _block_shape(n_rows, n_cols, n_buffers)
+    grid = (n_rows // block_rows, n_cols // block_cols)
+
+    eps32 = jnp.asarray(eps, jnp.float32)
+    eps_scaled32 = eps32 / jnp.sqrt(jnp.asarray(scale_grad, jnp.float32))
+    int_scalars = jnp.asarray(seed, jnp.int32).reshape(1)
+    float_scalars = jnp.stack([
+        eps32, eps_scaled32,
+        jnp.asarray(mdecay, jnp.float32),
+        jnp.asarray(prior_scale, jnp.float32),
+    ])
+
+    def spec(dtype=None):
+        return pl.BlockSpec(
+            (block_rows, block_cols),
+            lambda i, j, *_: (i, j),
+            memory_space=pltpu.VMEM,
+        )
+
+    mask_spec = pl.BlockSpec(
+        (1, block_cols), lambda i, j, *_: (0, j), memory_space=pltpu.VMEM
+    )
+    in_specs = [spec(), spec(), spec(), spec(), mask_spec]
+    operands = (theta, v, grad, minv, mask)
+    if with_noise:
+        in_specs.append(spec())
+        operands = operands + (noise,)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(spec(), spec()),
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct(theta.shape, jnp.float32),
+        jax.ShapeDtypeStruct(v.shape, jnp.float32),
+    )
+    # alias theta (operand idx 2 incl. the two scalar-prefetch args) and v
+    # onto the two outputs: the update is in-place in HBM
+    aliases = {2: 0, 3: 1}
+    kernel = _kernel_noise if with_noise else _kernel_rng
+    interpreter = pltpu.InterpretParams() if interpret else False
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+        interpret=interpreter,
+    )(int_scalars, float_scalars, *operands)

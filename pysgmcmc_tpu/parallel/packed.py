@@ -1,0 +1,414 @@
+"""Packed flat state for the sampling-phase hot loop.
+
+TPU physical layout pads the LAST dimension of every array up to 128 lanes
+(and the second-to-last up to the sublane tile), so streaming a stacked
+parameter pytree with leaves like ``(chains, 50, 50)`` or ``(chains, 50, 2)``
+moves 3-70x more HBM bytes than the logical element count.  Since the
+sampler update is a pure elementwise pass, its natural layout is a single
+dense ``(n_chains, width)`` matrix: each leaf occupies a 128-aligned lane
+*slot*, padding is ~10% (vs up to 70x), and one fused kernel
+(:func:`pysgmcmc_tpu.ops.slim_update.slim_sghmc_update`) serves the whole
+update with in-kernel RNG.
+
+The gradient still wants pytree leaves (the MXU matmuls run on the
+``(50, 50)`` shapes), so each step unpacks ``theta`` into compute-dtype
+leaves — a single fused slice+reshape+cast XLA pass that replaces the
+bf16 cast the mixed-precision path already paid — and packs the (bfloat16)
+gradients back.
+
+This module is layout plumbing + the packed sampling-phase driver
+:func:`sample_chain_packed`, the throughput path behind ``bench.py``.  The
+pytree path (:func:`pysgmcmc_tpu.samplers.base.sample_chain`) remains the
+reference implementation; parity is pinned bitwise via noise injection in
+``tests/parallel/test_packed.py``.
+
+Examples
+--------
+>>> import jax, jax.numpy as jnp
+>>> template = {"w": jnp.zeros((2, 3)), "b": jnp.zeros(2)}
+>>> spec = make_pack_spec(template)
+>>> spec.width  # two leaves -> two 128-lane slots
+256
+>>> stacked = jax.tree_util.tree_map(
+...     lambda l: jnp.broadcast_to(l, (4,) + l.shape), template)
+>>> flat = pack_tree(spec, stacked)
+>>> flat.shape
+(4, 256)
+>>> out = unpack_tree(spec, flat)
+>>> out["w"].shape
+(4, 2, 3)
+"""
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pysgmcmc_tpu.ops.fused_update import pad_dim
+from pysgmcmc_tpu.ops.slim_update import (
+    slim_sghmc_update,
+    slim_sghmc_update_tree,
+)
+from pysgmcmc_tpu.samplers.sghmc import SGHMCSampler, SGHMCState
+
+
+class PackSpec(NamedTuple):
+    """Layout of a pytree packed into 128-aligned lane slots."""
+
+    treedef: Any
+    shapes: Any      # tuple of per-leaf shapes (without the chain axis)
+    sizes: Any       # tuple of per-leaf element counts
+    offsets: Any     # tuple of slot start columns
+    width: int       # total packed width (multiple of 128)
+
+
+def make_pack_spec(template):
+    """Build the slot layout from a single-chain parameter pytree."""
+    leaves, treedef = jax.tree_util.tree_flatten(template)
+    shapes = tuple(tuple(leaf.shape) for leaf in leaves)
+    sizes = tuple(int(np.prod(s)) if s else 1 for s in shapes)
+    offsets, off = [], 0
+    for size in sizes:
+        offsets.append(off)
+        off += pad_dim(size)
+    return PackSpec(treedef, shapes, sizes, tuple(offsets), off)
+
+
+def pack_mask(spec, dtype=jnp.float32):
+    """(1, width) mask: 1 on real lanes, 0 on slot padding."""
+    mask = np.zeros((1, spec.width), np.float32)
+    for off, size in zip(spec.offsets, spec.sizes):
+        mask[0, off:off + size] = 1.0
+    return jnp.asarray(mask, dtype)
+
+
+def pack_tree(spec, stacked, dtype=jnp.float32):
+    """Stacked pytree (leaves ``(n, *shape)``) -> dense ``(n, width)``."""
+    leaves = jax.tree_util.tree_flatten(stacked)[0]
+    n = leaves[0].shape[0]
+    parts = []
+    for leaf, size in zip(leaves, spec.sizes):
+        flat = leaf.reshape(n, size).astype(dtype)
+        slot = pad_dim(size)
+        if slot != size:
+            flat = jnp.pad(flat, ((0, 0), (0, slot - size)))
+        parts.append(flat)
+    return jnp.concatenate(parts, axis=1)
+
+
+def unpack_tree(spec, flat, dtype=None):
+    """Dense ``(n, width)`` -> stacked pytree, optionally cast to ``dtype``."""
+    n = flat.shape[0]
+    leaves = []
+    for off, size, shape in zip(spec.offsets, spec.sizes, spec.shapes):
+        leaf = flat[:, off:off + size].reshape((n,) + shape)
+        if dtype is not None:
+            leaf = leaf.astype(dtype)
+        leaves.append(leaf)
+    return jax.tree_util.tree_unflatten(spec.treedef, leaves)
+
+
+def _schedule_eps(sampler, schedule_state, step):
+    eps = sampler.stepsize_schedule.value(schedule_state, step)
+    return jnp.asarray(eps, jnp.float32)
+
+
+def _shared_schedule_state(states):
+    schedule_state = states.schedule_state
+    if jax.tree_util.tree_leaves(schedule_state):
+        # stacked per-chain schedule state: lockstep chains share it
+        schedule_state = jax.tree_util.tree_map(
+            lambda l: l[0], schedule_state
+        )
+    return schedule_state
+
+
+def _base_seed(key):
+    return jax.random.randint(
+        key, (), jnp.iinfo(jnp.int32).min // 2,
+        jnp.iinfo(jnp.int32).max // 2, jnp.int32,
+    )
+
+
+def sample_chain_stacked(
+    sampler,
+    states,
+    key,
+    n_samples,
+    batch_fn=None,
+    keep_every=1,
+    backend="pallas",
+    bf16_params=False,
+    collect_positions=True,
+    interpret=False,
+):
+    """Sampling-phase driver over stacked (native-layout) multi-chain state.
+
+    The zero-relayout throughput path: the scan runs *outside* a per-step
+    ``vmap`` (scan-of-vmap instead of vmap-of-scan — the same program XLA
+    sees either way) so the fused leafwise update kernel
+    (:func:`pysgmcmc_tpu.ops.slim_update.slim_sghmc_update_tree`) can
+    operate on whole stacked leaves: noise generation moves into the kernel
+    (no threefry materialization — measured 1.9 ms of the 5.5 ms flagship
+    step) and every leaf keeps the exact layout the vmapped gradient
+    produces.
+
+    With ``bf16_params=True`` the cost function is evaluated on a bfloat16
+    copy of the position that the *kernel itself emits* each step, so the
+    separate f32->bf16 cast pass disappears and the gradient stays bfloat16
+    end to end (its HBM read halves).  The cost function must accept
+    bfloat16 leaves (the mixed-precision cost functions here do: they cast
+    inputs to their compute dtype, a no-op for an already-bf16 tree).
+
+    ``backend="xla"`` runs the same schedule with jnp math and stacked
+    threefry noise — the bitwise-testable reference for this driver.
+
+    Returns ``(states, positions, costs)`` like
+    :func:`pysgmcmc_tpu.samplers.base.sample_chain`, with stacked leading
+    ``(n_chains, n_samples, ...)`` axes.
+    """
+    if not isinstance(sampler, SGHMCSampler):
+        raise NotImplementedError(
+            "sample_chain_stacked currently supports SGHMCSampler; got "
+            "{!r}".format(type(sampler).__name__)
+        )
+    if backend not in ("pallas", "xla"):
+        raise ValueError("backend must be 'pallas' or 'xla'")
+
+    n_chains = jax.tree_util.tree_leaves(states.position)[0].shape[0]
+    minv = states.stats.minv
+    key, key_seed = jax.random.split(key)
+    base_seed = _base_seed(key_seed)
+    mdecay = sampler.mdecay
+    scale_grad = sampler.scale_grad
+    prior_scale = sampler.gaussian_prior_scale
+    schedule_state0 = _shared_schedule_state(states)
+    step0 = jnp.max(states.step) if jnp.ndim(states.step) else states.step
+
+    grad_fn = jax.vmap(
+        lambda pos, batch: jax.value_and_grad(sampler.cost_fn)(pos, batch)
+        if batch is not None
+        else jax.value_and_grad(sampler.cost_fn)(pos),
+        in_axes=(0, 0 if batch_fn is not None else None),
+    )
+
+    theta = states.position
+    v = states.momentum
+    theta_c = (
+        jax.tree_util.tree_map(lambda l: l.astype(jnp.bfloat16), theta)
+        if bf16_params else None
+    )
+
+    def one_step(carry, _):
+        theta, theta_c, v, key, step = carry
+        key, key_step = jax.random.split(key)
+        pos_in = theta_c if bf16_params else theta
+        if batch_fn is not None:
+            batches = jax.vmap(batch_fn)(
+                jax.random.split(key_step, n_chains)
+            )
+            cost, grads = grad_fn(pos_in, batches)
+        else:
+            cost, grads = grad_fn(pos_in, None)
+        eps = _schedule_eps(sampler, schedule_state0, step)
+        if backend == "pallas":
+            outs = slim_sghmc_update_tree(
+                theta, v, grads, minv, eps,
+                base_seed + step.astype(jnp.int32),
+                mdecay=mdecay, scale_grad=scale_grad,
+                prior_scale=prior_scale, emit_bf16=bf16_params,
+                interpret=interpret,
+            )
+            theta, v = outs[0], outs[1]
+            if bf16_params:
+                theta_c = outs[2]
+        else:
+            from pysgmcmc_tpu.utils.pytree import normal_like_tree
+
+            key, key_noise = jax.random.split(key)
+            eta = normal_like_tree(key_noise, theta)
+            eps_scaled = eps / jnp.sqrt(jnp.asarray(scale_grad, jnp.float32))
+
+            def momentum_leaf(t, vv, g, mi, e):
+                g32 = g.astype(jnp.float32) + prior_scale * t
+                sigma = jnp.sqrt(jnp.maximum(
+                    2.0 * eps_scaled**2 * mdecay * mi - eps_scaled**4,
+                    1e-16,
+                ))
+                return vv - eps**2 * mi * g32 - mdecay * vv + sigma * e
+
+            v = jax.tree_util.tree_map(
+                momentum_leaf, theta, v, grads, minv, eta
+            )
+            theta = jax.tree_util.tree_map(lambda t, vv: t + vv, theta, v)
+            if bf16_params:
+                theta_c = jax.tree_util.tree_map(
+                    lambda l: l.astype(jnp.bfloat16), theta
+                )
+        return (theta, theta_c, v, key, step + 1), cost
+
+    def thinned(carry, _):
+        carry, costs = jax.lax.scan(one_step, carry, None, length=keep_every)
+        out = carry[0] if collect_positions else None
+        return carry, (out, costs[-1])
+
+    (theta, _, v, _, step), (positions, costs) = jax.lax.scan(
+        thinned, (theta, theta_c, v, key, step0), None, length=n_samples
+    )
+
+    new_states = SGHMCState(
+        position=theta,
+        momentum=v,
+        stats=states.stats,
+        step=states.step + n_samples * keep_every,
+        schedule_state=states.schedule_state,
+    )
+    if positions is not None:
+        positions = jax.tree_util.tree_map(
+            lambda l: jnp.swapaxes(l, 0, 1), positions
+        )
+    costs = jnp.swapaxes(costs, 0, 1)
+    return new_states, positions, costs
+
+
+def sample_chain_packed(
+    sampler,
+    states,
+    key,
+    n_samples,
+    batch_fn=None,
+    keep_every=1,
+    compute_dtype=jnp.bfloat16,
+    backend="pallas",
+    collect_positions=True,
+    interpret=False,
+):
+    """Sampling-phase chain driver over packed flat state.
+
+    The packed analog of
+    :func:`pysgmcmc_tpu.samplers.base.sample_chain(..., phase="sampling")`
+    for stacked multi-chain SGHMC states (every leaf carries a leading
+    chain axis; ``states.step >= burn_in_steps`` for all chains — run the
+    burn-in with the pytree path first).
+
+    Per step: unpack ``theta`` into ``compute_dtype`` leaves, evaluate the
+    vmapped minibatch gradient, and advance ``(theta, v)`` with the fused
+    flat update — Pallas with in-kernel RNG (``backend="pallas"``), or the
+    same math in jnp with a threefry draw (``backend="xla"``; bitwise equal
+    to the pytree path given equal noise, used for A/B and fallback).
+
+    Returns ``(states, positions, costs)`` where ``positions`` is the
+    unpacked stacked pytree with a ``(n_chains, n_samples, ...)`` leading
+    layout and ``costs`` is ``(n_chains, n_samples)``.
+
+    The PRNG stream differs from (but is as valid as) the pytree path's:
+    noise comes from the in-kernel PRNG (or one flat threefry draw), and
+    minibatch keys derive from one split per step rather than per chain.
+    """
+    if not isinstance(sampler, SGHMCSampler):
+        raise NotImplementedError(
+            "sample_chain_packed currently supports SGHMCSampler; got "
+            "{!r}".format(type(sampler).__name__)
+        )
+    if backend not in ("pallas", "xla"):
+        raise ValueError("backend must be 'pallas' or 'xla'")
+
+    leaves = jax.tree_util.tree_leaves(states.position)
+    n_chains = leaves[0].shape[0]
+    template = jax.tree_util.tree_map(lambda l: l[0], states.position)
+    spec = make_pack_spec(template)
+    mask = pack_mask(spec)
+
+    theta = pack_tree(spec, states.position)
+    v = pack_tree(spec, states.momentum)
+    minv = pack_tree(spec, states.stats.minv)
+
+    grad_fn = jax.vmap(
+        lambda pos, batch: jax.value_and_grad(sampler.cost_fn)(pos, batch)
+        if batch is not None
+        else jax.value_and_grad(sampler.cost_fn)(pos),
+        in_axes=(0, 0 if batch_fn is not None else None),
+    )
+
+    # one int32 per run seeds the kernel PRNG; the per-step seed is
+    # base_seed + step so streams never collide across steps or blocks
+    key, key_seed = jax.random.split(key)
+    base_seed = jax.random.randint(
+        key_seed, (), jnp.iinfo(jnp.int32).min // 2,
+        jnp.iinfo(jnp.int32).max // 2, jnp.int32,
+    )
+
+    mdecay = sampler.mdecay
+    scale_grad = sampler.scale_grad
+    prior_scale = sampler.gaussian_prior_scale
+    schedule_state0 = states.schedule_state
+    if jax.tree_util.tree_leaves(schedule_state0):
+        # stacked per-chain schedule state: lockstep chains share it
+        schedule_state0 = jax.tree_util.tree_map(
+            lambda l: l[0], schedule_state0
+        )
+    step0 = jnp.max(states.step) if jnp.ndim(states.step) else states.step
+
+    def one_step(carry, _):
+        theta, v, key, step = carry
+        key, key_step = jax.random.split(key)
+        theta_tree = unpack_tree(spec, theta, compute_dtype)
+        if batch_fn is not None:
+            batches = jax.vmap(batch_fn)(
+                jax.random.split(key_step, n_chains)
+            )
+            cost, grads = grad_fn(theta_tree, batches)
+        else:
+            cost, grads = grad_fn(theta_tree, None)
+        # keep the gradient in its native dtype (bfloat16 when the cost
+        # runs in bf16): the kernel reads it at half the HBM bytes
+        grad_flat = pack_tree(
+            spec, grads, dtype=jax.tree_util.tree_leaves(grads)[0].dtype
+        )
+        eps = _schedule_eps(sampler, schedule_state0, step)
+        if backend == "pallas":
+            theta, v = slim_sghmc_update(
+                theta, v, grad_flat, minv, mask, eps,
+                base_seed + step.astype(jnp.int32),
+                mdecay=mdecay, scale_grad=scale_grad,
+                prior_scale=prior_scale, interpret=interpret,
+            )
+        else:
+            key, key_noise = jax.random.split(key)
+            eta = jax.random.normal(key_noise, theta.shape, jnp.float32)
+            eps_scaled = eps / jnp.sqrt(
+                jnp.asarray(scale_grad, jnp.float32)
+            )
+            g = grad_flat.astype(jnp.float32) + prior_scale * theta
+            sigma = jnp.sqrt(jnp.maximum(
+                2.0 * eps_scaled**2 * mdecay * minv - eps_scaled**4, 1e-16
+            ))
+            v = (v - eps**2 * minv * g - mdecay * v + sigma * eta) * mask
+            theta = theta + v
+        return (theta, v, key, step + 1), cost
+
+    def thinned(carry, _):
+        carry, costs = jax.lax.scan(one_step, carry, None, length=keep_every)
+        theta = carry[0]
+        out = unpack_tree(spec, theta) if collect_positions else None
+        return carry, (out, costs[-1])
+
+    (theta, v, _, step), (positions, costs) = jax.lax.scan(
+        thinned, (theta, v, key, step0), None, length=n_samples
+    )
+
+    new_states = SGHMCState(
+        position=unpack_tree(spec, theta),
+        momentum=unpack_tree(spec, v),
+        stats=states.stats,
+        step=states.step + n_samples * keep_every,
+        schedule_state=states.schedule_state,
+    )
+    if positions is not None:
+        # (n_samples, n_chains, ...) -> (n_chains, n_samples, ...)
+        positions = jax.tree_util.tree_map(
+            lambda l: jnp.swapaxes(l, 0, 1), positions
+        )
+    costs = jnp.swapaxes(costs, 0, 1)
+    return new_states, positions, costs

@@ -1,0 +1,298 @@
+"""Packed flat sampling-phase path: layout round-trips and math parity.
+
+The packed path (``parallel/packed.py`` + ``ops/slim_update.py``) must be
+bitwise-identical to the pytree sampler given identical noise, and
+statistically identical given its own noise stream.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pysgmcmc_tpu.ops.slim_update import slim_sghmc_update
+from pysgmcmc_tpu.parallel.packed import (
+    make_pack_spec,
+    pack_mask,
+    pack_tree,
+    sample_chain_packed,
+    unpack_tree,
+)
+from pysgmcmc_tpu.samplers.base import sample_chain
+from pysgmcmc_tpu.samplers.sghmc import SGHMCSampler
+from pysgmcmc_tpu.utils.pytree import normal_like_tree
+
+
+def _template():
+    return {
+        "W1": jnp.zeros((1, 50)), "b1": jnp.zeros(50),
+        "W2": jnp.zeros((50, 50)), "b2": jnp.zeros(50),
+        "W4": jnp.zeros((50, 2)), "b4": jnp.zeros(2),
+    }
+
+
+def test_pack_spec_layout():
+    spec = make_pack_spec(_template())
+    # every slot 128-aligned, width covers the padded sum
+    assert all(off % 128 == 0 for off in spec.offsets)
+    assert spec.width % 128 == 0
+    assert spec.width == 128 + 128 + 2560 + 128 + 128 + 128
+
+
+def test_pack_unpack_roundtrip():
+    spec = make_pack_spec(_template())
+    rng = np.random.RandomState(0)
+    stacked = jax.tree_util.tree_map(
+        lambda l: jnp.asarray(rng.standard_normal((4,) + l.shape),
+                              jnp.float32),
+        _template(),
+    )
+    flat = pack_tree(spec, stacked)
+    assert flat.shape == (4, spec.width)
+    out = unpack_tree(spec, flat)
+    for a, b in zip(jax.tree_util.tree_leaves(stacked),
+                    jax.tree_util.tree_leaves(out)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # slot padding is zero
+    mask = np.asarray(pack_mask(spec))[0]
+    assert np.all(np.asarray(flat)[:, mask == 0] == 0)
+
+
+def test_slim_update_matches_pytree_step_bitwise():
+    """Given identical noise, the flat kernel math == SGHMCSampler.step."""
+    template = _template()
+    spec = make_pack_spec(template)
+    rng = np.random.RandomState(1)
+    n = 3
+
+    def rand_tree(scale=1.0):
+        return jax.tree_util.tree_map(
+            lambda l: jnp.asarray(
+                scale * rng.standard_normal((n,) + l.shape), jnp.float32),
+            template,
+        )
+
+    positions = rand_tree()
+    sampler = SGHMCSampler(
+        lambda p, b: 0.5 * sum(jnp.sum(x**2) for x in
+                               jax.tree_util.tree_leaves(p)),
+        stepsize_schedule=0.05, burn_in_steps=2, scale_grad=10.0,
+        gaussian_prior_scale=0.125,
+    )
+    states = jax.vmap(sampler.init)(
+        positions, jax.random.split(jax.random.PRNGKey(0), n)
+    )
+    # run burn-in so minv is adapted and frozen
+    states, _ = jax.vmap(
+        lambda s, k: sample_chain(
+            sampler, s, k, 1, batch_fn=lambda kk: jnp.zeros(()),
+            keep_every=2, collect_costs=False, phase="burn_in")
+    )(states, jax.random.split(jax.random.PRNGKey(1), n))
+
+    eta = jax.vmap(normal_like_tree, in_axes=(0, 0))(
+        jax.random.split(jax.random.PRNGKey(2), n), states.position
+    )
+
+    # pytree reference step with injected noise
+    ref_state, _ = jax.vmap(
+        lambda s, e: sampler.step(
+            s, jax.random.PRNGKey(0), jnp.zeros(()), noise=e,
+            phase="sampling")
+    )(states, eta)
+
+    # flat kernel step with the same noise packed
+    theta = pack_tree(spec, states.position)
+    v = pack_tree(spec, states.momentum)
+    minv = pack_tree(spec, states.stats.minv)
+    mask = pack_mask(spec)
+    eta_flat = pack_tree(spec, eta)
+    theta2, v2 = slim_sghmc_update(
+        theta, v,
+        pack_tree(spec, jax.vmap(jax.grad(sampler.cost_fn))(
+            states.position, jnp.zeros((n,)))),
+        minv, mask, eps=0.05, seed=0,
+        mdecay=sampler.mdecay, scale_grad=sampler.scale_grad,
+        prior_scale=sampler.gaussian_prior_scale,
+        noise=eta_flat, interpret=True,
+    )
+    got_pos = unpack_tree(spec, theta2)
+    got_mom = unpack_tree(spec, v2)
+    for a, b in zip(jax.tree_util.tree_leaves(ref_state.position),
+                    jax.tree_util.tree_leaves(got_pos)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(ref_state.momentum),
+                    jax.tree_util.tree_leaves(got_mom)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0, atol=1e-6)
+
+
+def _gaussian_sampler(**kwargs):
+    # standard normal target: cost = 0.5 ||x||^2 (ignores the batch)
+    defaults = dict(stepsize_schedule=0.1, burn_in_steps=100, mdecay=0.05)
+    defaults.update(kwargs)
+    return SGHMCSampler(
+        lambda p, b: 0.5 * sum(jnp.sum(x**2) for x in
+                               jax.tree_util.tree_leaves(p)),
+        **defaults,
+    )
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("backend", ["xla"])
+def test_packed_chain_samples_gaussian(backend):
+    """The packed driver's draws match the target's first two moments.
+
+    (The pallas backend's in-kernel PRNG needs real TPU hardware; its
+    math parity is pinned bitwise above, and the xla backend shares all
+    the layout plumbing.)
+    """
+    sampler = _gaussian_sampler()
+    n = 16
+    template = {"x": jnp.zeros(4), "y": jnp.zeros((2, 3))}
+    positions = jax.tree_util.tree_map(
+        lambda l: 0.1 * jax.random.normal(
+            jax.random.PRNGKey(3), (n,) + l.shape), template)
+    states = jax.vmap(sampler.init)(
+        positions, jax.random.split(jax.random.PRNGKey(4), n))
+    states, _ = jax.vmap(
+        lambda s, k: sample_chain(
+            sampler, s, k, 1, batch_fn=lambda kk: jnp.zeros(()),
+            keep_every=100, collect_costs=False, phase="burn_in")
+    )(states, jax.random.split(jax.random.PRNGKey(5), n))
+
+    run = jax.jit(lambda s, k: sample_chain_packed(
+        sampler, s, k, 400, batch_fn=lambda kk: jnp.zeros(()),
+        keep_every=5, compute_dtype=None, backend=backend))
+    states, positions, costs = run(states, jax.random.PRNGKey(6))
+    draws = np.concatenate([
+        np.asarray(l).reshape(-1)
+        for l in jax.tree_util.tree_leaves(positions)
+    ])
+    assert np.isfinite(draws).all()
+    assert abs(draws.mean()) < 0.1
+    assert abs(draws.std() - 1.0) < 0.15
+    assert costs.shape == (n, 400)
+
+
+def test_packed_updates_state_bookkeeping():
+    sampler = _gaussian_sampler(burn_in_steps=0)
+    n = 4
+    template = {"x": jnp.zeros(3)}
+    positions = jax.tree_util.tree_map(
+        lambda l: jnp.ones((n,) + l.shape), template)
+    states = jax.vmap(sampler.init)(
+        positions, jax.random.split(jax.random.PRNGKey(0), n))
+    new_states, pos, costs = jax.jit(
+        lambda s, k: sample_chain_packed(
+            sampler, s, k, 3, batch_fn=lambda kk: jnp.zeros(()),
+            keep_every=2, compute_dtype=None, backend="xla")
+    )(states, jax.random.PRNGKey(1))
+    assert int(new_states.step[0]) == 6
+    assert costs.shape == (n, 3)
+    assert pos["x"].shape == (n, 3, 3)
+    # final collected position == final state position
+    np.testing.assert_array_equal(
+        np.asarray(pos["x"][:, -1]), np.asarray(new_states.position["x"]))
+
+
+def test_stacked_update_tree_matches_pytree_step_bitwise():
+    """The leafwise kernel (native layout) == SGHMCSampler.step, same noise."""
+    from pysgmcmc_tpu.ops.slim_update import slim_sghmc_update_tree
+
+    template = _template()
+    rng = np.random.RandomState(2)
+    n = 4
+    positions = jax.tree_util.tree_map(
+        lambda l: jnp.asarray(rng.standard_normal((n,) + l.shape),
+                              jnp.float32), template)
+    sampler = SGHMCSampler(
+        lambda p, b: 0.5 * sum(jnp.sum(x**2) for x in
+                               jax.tree_util.tree_leaves(p)),
+        stepsize_schedule=0.05, burn_in_steps=2, scale_grad=10.0,
+        gaussian_prior_scale=0.25,
+    )
+    states = jax.vmap(sampler.init)(
+        positions, jax.random.split(jax.random.PRNGKey(0), n))
+    states, _ = jax.vmap(
+        lambda s, k: sample_chain(
+            sampler, s, k, 1, batch_fn=lambda kk: jnp.zeros(()),
+            keep_every=2, collect_costs=False, phase="burn_in")
+    )(states, jax.random.split(jax.random.PRNGKey(1), n))
+
+    eta = jax.vmap(normal_like_tree, in_axes=(0, 0))(
+        jax.random.split(jax.random.PRNGKey(2), n), states.position)
+    ref_state, _ = jax.vmap(
+        lambda s, e: sampler.step(
+            s, jax.random.PRNGKey(0), jnp.zeros(()), noise=e,
+            phase="sampling")
+    )(states, eta)
+
+    grads = jax.vmap(jax.grad(sampler.cost_fn))(
+        states.position, jnp.zeros((n,)))
+    outs = slim_sghmc_update_tree(
+        states.position, states.momentum, grads, states.stats.minv,
+        eps=0.05, seed=0,
+        mdecay=sampler.mdecay, scale_grad=sampler.scale_grad,
+        prior_scale=sampler.gaussian_prior_scale,
+        noise=eta, emit_bf16=True, interpret=True,
+    )
+    theta2, v2, theta_bf16 = outs
+    for a, b in zip(jax.tree_util.tree_leaves(ref_state.position),
+                    jax.tree_util.tree_leaves(theta2)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(ref_state.momentum),
+                    jax.tree_util.tree_leaves(v2)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(theta2),
+                    jax.tree_util.tree_leaves(theta_bf16)):
+        assert b.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(
+            np.asarray(a).astype(jnp.bfloat16), np.asarray(b))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("bf16_params", [False, True])
+def test_stacked_chain_samples_gaussian(bf16_params):
+    """The stacked driver (xla backend) matches the target's moments."""
+    from pysgmcmc_tpu.parallel.packed import sample_chain_stacked
+
+    sampler = _gaussian_sampler()
+    n = 16
+    template = {"x": jnp.zeros(4), "y": jnp.zeros((2, 3))}
+    positions = jax.tree_util.tree_map(
+        lambda l: 0.1 * jax.random.normal(
+            jax.random.PRNGKey(3), (n,) + l.shape), template)
+    states = jax.vmap(sampler.init)(
+        positions, jax.random.split(jax.random.PRNGKey(4), n))
+    states, _ = jax.vmap(
+        lambda s, k: sample_chain(
+            sampler, s, k, 1, batch_fn=lambda kk: jnp.zeros(()),
+            keep_every=100, collect_costs=False, phase="burn_in")
+    )(states, jax.random.split(jax.random.PRNGKey(5), n))
+
+    run = jax.jit(lambda s, k: sample_chain_stacked(
+        sampler, s, k, 400, batch_fn=lambda kk: jnp.zeros(()),
+        keep_every=5, backend="xla", bf16_params=bf16_params))
+    states, positions, costs = run(states, jax.random.PRNGKey(6))
+    draws = np.concatenate([
+        np.asarray(l).reshape(-1)
+        for l in jax.tree_util.tree_leaves(positions)
+    ])
+    assert np.isfinite(draws).all()
+    assert abs(draws.mean()) < 0.1
+    # bf16 gradients perturb each draw by O(2^-8) relative -- far below
+    # the injected sampling noise; the tolerance covers both modes
+    assert abs(draws.std() - 1.0) < 0.15
+    assert costs.shape == (n, 400)
+    assert int(states.step[0]) == 100 + 400 * 5
+
+
+def test_packed_rejects_non_sghmc():
+    from pysgmcmc_tpu.samplers.sgld import SGLDSampler
+
+    sampler = SGLDSampler(lambda p: jnp.sum(p**2), stepsize_schedule=0.01)
+    with pytest.raises(NotImplementedError):
+        sample_chain_packed(sampler, None, jax.random.PRNGKey(0), 1)
