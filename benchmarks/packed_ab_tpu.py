@@ -95,12 +95,31 @@ def main():
             return states, costs
         return go
 
-    for backend, bf16 in (("pallas", False), ("pallas", True),
-                          ("xla", True)):
-        ms, out = timeit(
-            stacked_path(backend, bf16), states, jax.random.PRNGKey(3))
-        assert np.isfinite(np.asarray(out[1])).all(), (backend, bf16)
-        results["stacked %s bf16=%s" % (backend, bf16)] = ms
+    if os.environ.get("STACKED"):  # measured r2: 12.7 / 11.7 / 7.3 (loses:
+        # pallas forces row-major relayouts of the chains-minor state)
+        for backend, bf16 in (("pallas", False), ("pallas", True),
+                              ("xla", True)):
+            ms, out = timeit(
+                stacked_path(backend, bf16), states, jax.random.PRNGKey(3))
+            assert np.isfinite(np.asarray(out[1])).all(), (backend, bf16)
+            results["stacked %s bf16=%s" % (backend, bf16)] = ms
+
+    from pysgmcmc_tpu.parallel.packed import sample_chain_lanes
+
+    def lanes_path(backend):
+        @jax.jit
+        def go(states, key):
+            states, _, costs = sample_chain_lanes(
+                sampler, states, key, 1, batch_fn=select_batch,
+                keep_every=STEPS, backend=backend,
+                collect_positions=False)
+            return states, costs
+        return go
+
+    for backend in ("pallas", "xla"):
+        ms, out = timeit(lanes_path(backend), states, jax.random.PRNGKey(4))
+        assert np.isfinite(np.asarray(out[1])).all(), backend
+        results["lanes " + backend] = ms
 
     for k, v in results.items():
         print("%-24s %.3f ms/step  (%.2fM steps/s)" % (

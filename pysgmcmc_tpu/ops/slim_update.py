@@ -53,11 +53,31 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from pysgmcmc_tpu.ops.fused_update import (
-    LANES,
-    _block_shape,
-    _normal_from_bits,
-)
+from pysgmcmc_tpu.ops.fused_update import LANES, _normal_from_bits
+
+# Tighter than fused_update's budget: the compiler double-buffers every
+# block and Box-Muller adds ~3 block-sized f32 temporaries.
+_VMEM_BUDGET_BYTES = 4 * 1024 * 1024
+
+
+def _block_shape(n_rows, n_cols, n_buffers):
+    """Pick (block_rows, block_cols) dividing the array, under the budget."""
+    col_tiles = n_cols // LANES
+    block_cols = n_cols
+    for k in range(min(col_tiles, 8), 0, -1):
+        if col_tiles % k == 0:
+            block_cols = k * LANES
+            break
+    block_rows = 8
+    while (
+        block_rows * 2 <= n_rows
+        and n_rows % (block_rows * 2) == 0
+        and block_rows * 2 * block_cols * 4 * n_buffers <= _VMEM_BUDGET_BYTES
+    ):
+        block_rows *= 2
+    if n_rows % block_rows != 0:
+        block_rows = n_rows  # small/odd row counts: single row block
+    return block_rows, block_cols
 
 
 def _update_math(theta, v, grad, minv, mask, eta,
@@ -192,7 +212,9 @@ def _leaf_update(theta, v, grad, minv, float_scalars, seed,
     )(int_scalars, float_scalars, *operands)
 
 
-_LEAF_VMEM_BUDGET = 8 * 1024 * 1024
+# conservative: the compiler double-buffers every block and the in-kernel
+# Box-Muller adds ~3 block-sized f32 temporaries on top of the operands
+_LEAF_VMEM_BUDGET = 3 * 1024 * 1024
 _LEAF_SEED_STRIDE = 1000003  # distinct PRNG stream per leaf
 
 
@@ -289,12 +311,14 @@ def slim_sghmc_update(
             "slim_sghmc_update: width must be a multiple of {}; got "
             "{}".format(LANES, n_cols)
         )
-    if mask.shape != (1, n_cols):
+    if mask is not None and mask.shape != (1, n_cols):
         raise ValueError(
             "slim_sghmc_update: mask must be (1, {}); got {}".format(
                 n_cols, mask.shape
             )
         )
+    if mask is None:  # no slot padding to zero (e.g. chains-on-lanes packs)
+        mask = jnp.ones((1, n_cols), jnp.float32)
     with_noise = noise is not None
     n_buffers = 7 + (1 if with_noise else 0)
     block_rows, block_cols = _block_shape(n_rows, n_cols, n_buffers)

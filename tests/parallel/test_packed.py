@@ -290,6 +290,61 @@ def test_stacked_chain_samples_gaussian(bf16_params):
     assert int(states.step[0]) == 100 + 400 * 5
 
 
+def test_lanes_pack_unpack_roundtrip():
+    from pysgmcmc_tpu.parallel.packed import (
+        make_lanes_spec, pack_lanes, unpack_lanes,
+    )
+
+    template = _template()
+    spec = make_lanes_spec(template)
+    assert all(off % 8 == 0 for off in spec.offsets)
+    assert spec.rows % 256 == 0
+    rng = np.random.RandomState(3)
+    stacked = jax.tree_util.tree_map(
+        lambda l: jnp.asarray(rng.standard_normal((4,) + l.shape),
+                              jnp.float32), template)
+    flat = pack_lanes(spec, stacked)
+    assert flat.shape == (spec.rows, 4)
+    out = unpack_lanes(spec, flat)
+    for a, b in zip(jax.tree_util.tree_leaves(stacked),
+                    jax.tree_util.tree_leaves(out)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_lanes_chain_samples_gaussian():
+    """The chains-on-lanes driver (xla backend) matches target moments."""
+    from pysgmcmc_tpu.parallel.packed import sample_chain_lanes
+
+    sampler = _gaussian_sampler()
+    n = 16
+    template = {"x": jnp.zeros(4), "y": jnp.zeros((2, 3))}
+    positions = jax.tree_util.tree_map(
+        lambda l: 0.1 * jax.random.normal(
+            jax.random.PRNGKey(3), (n,) + l.shape), template)
+    states = jax.vmap(sampler.init)(
+        positions, jax.random.split(jax.random.PRNGKey(4), n))
+    states, _ = jax.vmap(
+        lambda s, k: sample_chain(
+            sampler, s, k, 1, batch_fn=lambda kk: jnp.zeros(()),
+            keep_every=100, collect_costs=False, phase="burn_in")
+    )(states, jax.random.split(jax.random.PRNGKey(5), n))
+
+    run = jax.jit(lambda s, k: sample_chain_lanes(
+        sampler, s, k, 400, batch_fn=lambda kk: jnp.zeros(()),
+        keep_every=5, compute_dtype=None, backend="xla"))
+    states, positions, costs = run(states, jax.random.PRNGKey(6))
+    draws = np.concatenate([
+        np.asarray(l).reshape(-1)
+        for l in jax.tree_util.tree_leaves(positions)
+    ])
+    assert np.isfinite(draws).all()
+    assert abs(draws.mean()) < 0.1
+    assert abs(draws.std() - 1.0) < 0.15
+    assert costs.shape == (n, 400)
+    assert int(states.step[0]) == 100 + 400 * 5
+
+
 def test_packed_rejects_non_sghmc():
     from pysgmcmc_tpu.samplers.sgld import SGLDSampler
 
