@@ -43,6 +43,7 @@ from pysgmcmc_tpu.utils.numeric import safe_divide
 def build_workload(
     n_chains, dtype=jnp.float32, compute_dtype=jnp.bfloat16,
     n_data=100, batch_size=20, fold_weight_prior=True, noise_bits=None,
+    network="default",
 ):
     """The north-star posterior: 3x50 heteroscedastic BNN on sinc data.
 
@@ -66,7 +67,14 @@ def build_workload(
     x = jnp.asarray(rng.uniform(0.0, 1.0, (n_data, 1)), dtype)
     y = jnp.asarray(np.asarray(sinc(np.asarray(x))), dtype)
 
-    init_fn, apply_fn = default_network(1, dtype=dtype)
+    if network == "dense":
+        # the same architecture with TPU-lane-friendly parameter shapes
+        # (identical math and init draws; see models/architectures.py)
+        from pysgmcmc_tpu.models.architectures import dense_network
+
+        init_fn, apply_fn = dense_network(1, dtype=dtype)
+    else:
+        init_fn, apply_fn = default_network(1, dtype=dtype)
     params0 = init_fn(jax.random.PRNGKey(0))
     n_params = sum(
         leaf.size for leaf in jax.tree_util.tree_leaves(params0)

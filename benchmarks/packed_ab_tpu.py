@@ -117,9 +117,30 @@ def main():
         return go
 
     for backend in ("pallas", "xla"):
+        if backend == "xla" and not os.environ.get("LANES_XLA"):
+            continue  # measured r2: 5.90 ms (threefry noise)
         ms, out = timeit(lanes_path(backend), states, jax.random.PRNGKey(4))
         assert np.isfinite(np.asarray(out[1])).all(), backend
         results["lanes " + backend] = ms
+
+    # dense (lane-friendly) network shapes + bf16 momentum/mass state
+    import jax.numpy as jnp
+
+    sampler_d, positions_d, select_d = build_workload(
+        N_CHAINS, network="dense")
+    states_d = burn(sampler_d, positions_d, select_d, jax.random.PRNGKey(0))
+
+    @jax.jit
+    def lanes_dense(states, key):
+        states, _, costs = sample_chain_lanes(
+            sampler_d, states, key, 1, batch_fn=select_d,
+            keep_every=STEPS, backend="pallas",
+            state_dtype=jnp.bfloat16, collect_positions=False)
+        return states, costs
+
+    ms, out = timeit(lanes_dense, states_d, jax.random.PRNGKey(5))
+    assert np.isfinite(np.asarray(out[1])).all()
+    results["lanes pallas dense+bf16st"] = ms
 
     for k, v in results.items():
         print("%-24s %.3f ms/step  (%.2fM steps/s)" % (

@@ -82,6 +82,9 @@ def _block_shape(n_rows, n_cols, n_buffers):
 
 def _update_math(theta, v, grad, minv, mask, eta,
                  eps, eps_scaled, mdecay, prior_scale):
+    """All arithmetic in f32; v/minv/grad may arrive bfloat16."""
+    v = v.astype(jnp.float32)
+    minv = minv.astype(jnp.float32)
     g = grad.astype(jnp.float32) + prior_scale * theta
     noise_var = 2.0 * eps_scaled**2 * mdecay * minv - eps_scaled**4
     sigma = jnp.sqrt(jnp.maximum(noise_var, 1e-16))
@@ -94,19 +97,23 @@ def _kernel_rng(int_ref, float_ref, theta_ref, v_ref, grad_ref, minv_ref,
     pid = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
     pltpu.prng_seed(int_ref[0] + pid)
     eta = _normal_from_bits(theta_ref.shape)
-    theta_out[:], v_out[:] = _update_math(
+    theta_new, v_new = _update_math(
         theta_ref[:], v_ref[:], grad_ref[:], minv_ref[:], mask_ref[:], eta,
         float_ref[0], float_ref[1], float_ref[2], float_ref[3],
     )
+    theta_out[:] = theta_new
+    v_out[:] = v_new.astype(v_out.dtype)
 
 
 def _kernel_noise(int_ref, float_ref, theta_ref, v_ref, grad_ref, minv_ref,
                   mask_ref, eta_ref, theta_out, v_out):
-    theta_out[:], v_out[:] = _update_math(
+    theta_new, v_new = _update_math(
         theta_ref[:], v_ref[:], grad_ref[:], minv_ref[:], mask_ref[:],
         eta_ref[:],
         float_ref[0], float_ref[1], float_ref[2], float_ref[3],
     )
+    theta_out[:] = theta_new
+    v_out[:] = v_new.astype(v_out.dtype)
 
 
 def _leaf_uniform(shape):
@@ -357,7 +364,9 @@ def slim_sghmc_update(
     )
     out_shape = (
         jax.ShapeDtypeStruct(theta.shape, jnp.float32),
-        jax.ShapeDtypeStruct(v.shape, jnp.float32),
+        # v round-trips in its own dtype: bfloat16 momentum halves its HBM
+        # traffic (arithmetic stays f32 in VMEM)
+        jax.ShapeDtypeStruct(v.shape, v.dtype),
     )
     # alias theta (operand idx 2 incl. the two scalar-prefetch args) and v
     # onto the two outputs: the update is in-place in HBM

@@ -211,6 +211,7 @@ def sample_chain_lanes(
     keep_every=1,
     compute_dtype=jnp.bfloat16,
     backend="pallas",
+    state_dtype=jnp.float32,
     collect_positions=True,
     interpret=False,
 ):
@@ -259,8 +260,12 @@ def sample_chain_lanes(
     spec = make_lanes_spec(template)
 
     theta = pack_lanes(spec, states.position)
-    v = pack_lanes(spec, states.momentum)
-    minv = pack_lanes(spec, states.stats.minv)
+    # state_dtype=bfloat16 keeps the momentum and the frozen mass-matrix
+    # inverse in bf16 HBM (update arithmetic stays f32 in VMEM): halves
+    # their traffic for an O(2^-8) relative rounding on the momentum —
+    # far below the injected sampling noise (moments pinned in tests).
+    v = pack_lanes(spec, states.momentum, dtype=state_dtype)
+    minv = pack_lanes(spec, states.stats.minv, dtype=state_dtype)
 
     grad_fn = jax.vmap(
         lambda pos, batch: jax.value_and_grad(sampler.cost_fn)(pos, batch)
@@ -304,11 +309,14 @@ def sample_chain_lanes(
             eta = jax.random.normal(key_noise, theta.shape, jnp.float32)
             eps_scaled = eps / jnp.sqrt(jnp.asarray(scale_grad, jnp.float32))
             g = grad_flat.astype(jnp.float32) + prior_scale * theta
+            minv32 = minv.astype(jnp.float32)
+            v32 = v.astype(jnp.float32)
             sigma = jnp.sqrt(jnp.maximum(
-                2.0 * eps_scaled**2 * mdecay * minv - eps_scaled**4, 1e-16
+                2.0 * eps_scaled**2 * mdecay * minv32 - eps_scaled**4, 1e-16
             ))
-            v = v - eps**2 * minv * g - mdecay * v + sigma * eta
-            theta = theta + v
+            v32 = v32 - eps**2 * minv32 * g - mdecay * v32 + sigma * eta
+            theta = theta + v32
+            v = v32.astype(state_dtype)
         return (theta, v, key, step + 1), cost
 
     def thinned(carry, _):
@@ -322,7 +330,7 @@ def sample_chain_lanes(
 
     new_states = SGHMCState(
         position=unpack_lanes(spec, theta),
-        momentum=unpack_lanes(spec, v),
+        momentum=unpack_lanes(spec, v, jnp.float32),
         stats=states.stats,
         step=states.step + n_samples * keep_every,
         schedule_state=states.schedule_state,

@@ -312,10 +312,17 @@ def test_lanes_pack_unpack_roundtrip():
 
 
 @pytest.mark.slow
-def test_lanes_chain_samples_gaussian():
-    """The chains-on-lanes driver (xla backend) matches target moments."""
+@pytest.mark.parametrize("state_dtype", ["f32", "bf16"])
+def test_lanes_chain_samples_gaussian(state_dtype):
+    """The chains-on-lanes driver (xla backend) matches target moments.
+
+    bf16 momentum/mass state perturbs each step by O(2^-8) relative on the
+    momentum — far below the injected noise; the stationary moments must
+    be indistinguishable at this tolerance.
+    """
     from pysgmcmc_tpu.parallel.packed import sample_chain_lanes
 
+    state_dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}[state_dtype]
     sampler = _gaussian_sampler()
     n = 16
     template = {"x": jnp.zeros(4), "y": jnp.zeros((2, 3))}
@@ -332,7 +339,8 @@ def test_lanes_chain_samples_gaussian():
 
     run = jax.jit(lambda s, k: sample_chain_lanes(
         sampler, s, k, 400, batch_fn=lambda kk: jnp.zeros(()),
-        keep_every=5, compute_dtype=None, backend="xla"))
+        keep_every=5, compute_dtype=None, backend="xla",
+        state_dtype=state_dtype))
     states, positions, costs = run(states, jax.random.PRNGKey(6))
     draws = np.concatenate([
         np.asarray(l).reshape(-1)
