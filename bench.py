@@ -133,7 +133,15 @@ def main():
     scan_steps = 200
     repeats = 3
 
-    sampler, positions, select_batch = build_workload(n_chains)
+    # The headline path (A/B-measured in benchmarks/packed_ab_tpu.py):
+    # dense (lane-friendly) parameterization of the same 3x50 network,
+    # burn-in on the pytree path, steady-state sampling on the
+    # chains-on-lanes packed driver with the fused Pallas update
+    # (in-kernel RNG) and bf16 momentum/mass state.
+    from pysgmcmc_tpu.parallel.packed import sample_chain_lanes
+
+    sampler, positions, select_batch = build_workload(
+        n_chains, network="dense")
 
     @jax.jit
     def init_and_burn(positions, key):
@@ -153,16 +161,15 @@ def main():
 
     @jax.jit
     def sampling_scan(states, key):
-        def one_chain(state, chain_key):
-            state, pos, costs = sample_chain(
-                sampler, state, chain_key, 1,
-                batch_fn=select_batch,
-                keep_every=scan_steps,
-                phase="sampling",
-            )
-            return state, costs
-
-        return jax.vmap(one_chain)(states, jax.random.split(key, n_chains))
+        states, _, costs = sample_chain_lanes(
+            sampler, states, key, 1,
+            batch_fn=select_batch,
+            keep_every=scan_steps,
+            backend="pallas",
+            state_dtype=jnp.bfloat16,
+            collect_positions=False,
+        )
+        return states, costs
 
     def key(i):
         return jax.random.PRNGKey(i)
@@ -191,8 +198,9 @@ def main():
         json.dumps(
             {
                 "metric": "SGHMC sampling-phase update-steps/sec/chip "
-                          "(8192-chain 3x50 BNN, bf16 matmul / f32 state, "
-                          "after full 3000-step burn-in)",
+                          "(8192-chain 3x50 BNN, chains-on-lanes fused "
+                          "Pallas update, bf16 matmul + bf16 momentum/mass "
+                          "state, after full 3000-step burn-in)",
                 "value": round(steps_per_sec, 1),
                 "unit": "steps/sec/chip",
                 "vs_baseline": round(steps_per_sec / 1_000_000.0, 3),

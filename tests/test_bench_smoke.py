@@ -89,3 +89,38 @@ def test_graft_dryrun_multichip():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_bench_dense_lanes_path_tiny():
+    """The bench headline path (dense workload + lanes driver) end to end.
+
+    CPU stands in with backend='xla' (the pallas in-kernel PRNG needs the
+    chip); the layout plumbing, dense network, and bf16 state are shared.
+    """
+    import jax.numpy as jnp
+
+    from bench import build_workload
+    from pysgmcmc_tpu.parallel.packed import sample_chain_lanes
+    from pysgmcmc_tpu.samplers.base import sample_chain
+
+    sampler, positions, select_batch = build_workload(
+        n_chains=4, network="dense")
+
+    def one(position, ck):
+        k_init, k_burn = jax.random.split(ck)
+        state = sampler.init(position, k_init)
+        state, _ = sample_chain(
+            sampler, state, k_burn, 1, batch_fn=select_batch,
+            keep_every=3, collect_costs=False, phase="burn_in")
+        return state
+
+    states = jax.vmap(one)(
+        positions, jax.random.split(jax.random.PRNGKey(0), 4))
+    states, _, costs = jax.jit(
+        lambda s, k: sample_chain_lanes(
+            sampler, s, k, 1, batch_fn=select_batch, keep_every=2,
+            backend="xla", state_dtype=jnp.bfloat16,
+            collect_positions=False)
+    )(states, jax.random.PRNGKey(1))
+    assert costs.shape == (4, 1)
+    assert np.isfinite(np.asarray(costs)).all()
