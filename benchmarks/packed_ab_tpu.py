@@ -48,8 +48,18 @@ def timeit(fn, *args, repeats=3):
 
 
 def main():
+    import os
+
+    # the reference-shapes workload paths have all been measured (pytree
+    # 5.52 ms; lanes 5.67/5.90; packed-flat 6.36/6.57) — re-run on demand
+    run_ref = bool(
+        os.environ.get("PYTREE") or os.environ.get("LANES_REF")
+        or os.environ.get("PACKED_FLAT"))
     sampler, positions, select_batch = build_workload(N_CHAINS)
-    states = burn(sampler, positions, select_batch, jax.random.PRNGKey(0))
+    states = (
+        burn(sampler, positions, select_batch, jax.random.PRNGKey(0))
+        if run_ref else None
+    )
 
     @jax.jit
     def pytree_path(states, key):
@@ -71,11 +81,11 @@ def main():
         return go
 
     results = {}
-    ms, out = timeit(pytree_path, states, jax.random.PRNGKey(1))
-    assert np.isfinite(np.asarray(out[1])).all()
-    results["pytree (bench r2 path)"] = ms
+    if os.environ.get("PYTREE"):
+        ms, out = timeit(pytree_path, states, jax.random.PRNGKey(1))
+        assert np.isfinite(np.asarray(out[1])).all()
+        results["pytree (bench r2 path)"] = ms
 
-    import os
     if os.environ.get("PACKED_FLAT"):  # measured r2: 6.36 / 6.57 ms (loses)
         for backend in ("xla", "pallas"):
             ms, out = timeit(
@@ -117,8 +127,8 @@ def main():
         return go
 
     for backend in ("pallas", "xla"):
-        if backend == "xla" and not os.environ.get("LANES_XLA"):
-            continue  # measured r2: 5.90 ms (threefry noise)
+        if not os.environ.get("LANES_REF"):
+            continue  # measured r2: pallas 5.67 / xla 5.90 ms
         ms, out = timeit(lanes_path(backend), states, jax.random.PRNGKey(4))
         assert np.isfinite(np.asarray(out[1])).all(), backend
         results["lanes " + backend] = ms
@@ -141,6 +151,27 @@ def main():
     ms, out = timeit(lanes_dense, states_d, jax.random.PRNGKey(5))
     assert np.isfinite(np.asarray(out[1])).all()
     results["lanes pallas dense+bf16st"] = ms
+
+    # flash-SGHMC: whole step (fwd+bwd+update) in ONE kernel
+    from pysgmcmc_tpu.diagnostics.objective_functions import sinc
+    from pysgmcmc_tpu.parallel.packed import sample_chain_fused
+
+    rng = np.random.RandomState(0)  # bench.build_workload's dataset
+    x_data = rng.uniform(0.0, 1.0, (100, 1)).astype(np.float32)
+    y_data = np.asarray(sinc(x_data), np.float32)
+
+    for bc in (64, 128, 256):
+        @jax.jit
+        def fused(states, key, bc=bc):
+            states, _, costs = sample_chain_fused(
+                sampler_d, states, key, 1, x_data, y_data,
+                batch_size=20, keep_every=STEPS, block_chains=bc,
+                state_dtype=jnp.bfloat16, collect_positions=False)
+            return states, costs
+
+        ms, out = timeit(fused, states_d, jax.random.PRNGKey(6))
+        assert np.isfinite(np.asarray(out[1])).all(), bc
+        results["flash-SGHMC fused C=%d" % bc] = ms
 
     for k, v in results.items():
         print("%-24s %.3f ms/step  (%.2fM steps/s)" % (

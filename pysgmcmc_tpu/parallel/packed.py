@@ -343,6 +343,112 @@ def sample_chain_lanes(
     return new_states, positions, costs
 
 
+def sample_chain_fused(
+    sampler,
+    states,
+    key,
+    n_samples,
+    x,
+    y,
+    batch_size=20,
+    keep_every=1,
+    block_chains=64,
+    state_dtype=jnp.bfloat16,
+    collect_positions=True,
+    interpret=False,
+):
+    """Sampling-phase driver over the flash-SGHMC fused step.
+
+    The whole per-step computation — forward, likelihood, backward, noise,
+    update — runs inside ONE Pallas kernel
+    (:func:`pysgmcmc_tpu.ops.fused_step.fused_bnn_step`); the only
+    per-step XLA ops are the threefry window draw and the one-hot MXU
+    gather of each chain's minibatch.  Requires the dense BNN
+    parameterization (:func:`pysgmcmc_tpu.models.architectures.
+    dense_network` pytrees) and an SGHMC sampler whose cost is the
+    reference heteroscedastic sinc-style likelihood; arbitrary cost
+    functions should use :func:`sample_chain_lanes` or the pytree path.
+
+    ``x``/``y`` are the raw training data (the driver precomputes the
+    contiguous windows of :func:`pysgmcmc_tpu.data_batches.batch_fn`).
+
+    Returns ``(states, positions, costs)`` shaped like
+    :func:`pysgmcmc_tpu.samplers.base.sample_chain`.
+    """
+    from pysgmcmc_tpu.ops.fused_step import (
+        data_windows,
+        fused_bnn_step,
+        gather_batch,
+        pack_fused,
+        unpack_fused,
+    )
+
+    if not isinstance(sampler, SGHMCSampler):
+        raise NotImplementedError(
+            "sample_chain_fused currently supports SGHMCSampler; got "
+            "{!r}".format(type(sampler).__name__)
+        )
+    h = states.position["w2"].shape[-1]
+    n_chains = states.position["w2"].shape[0]
+    n_data = jnp.asarray(x).reshape(-1).shape[0]
+    x_win, y_win = data_windows(x, y, batch_size)
+    n_windows = x_win.shape[0]
+
+    theta = pack_fused(states.position)
+    v = tuple(a.astype(state_dtype) for a in pack_fused(states.momentum))
+    minv = tuple(
+        a.astype(state_dtype) for a in pack_fused(states.stats.minv)
+    )
+
+    key, key_seed = jax.random.split(key)
+    base_seed = _base_seed(key_seed)
+    schedule_state0 = _shared_schedule_state(states)
+    step0 = jnp.max(states.step) if jnp.ndim(states.step) else states.step
+
+    def one_step(carry, _):
+        theta, v, key, step = carry
+        key, key_batch = jax.random.split(key)
+        widx = jax.random.randint(key_batch, (n_chains,), 0, n_windows)
+        x_sel, y_sel = gather_batch(x_win, y_win, widx)
+        eps = _schedule_eps(sampler, schedule_state0, step)
+        theta, v, cost = fused_bnn_step(
+            theta, v, minv, x_sel, y_sel, eps,
+            base_seed + step.astype(jnp.int32),
+            mdecay=sampler.mdecay, scale_grad=sampler.scale_grad,
+            prior_scale=sampler.gaussian_prior_scale,
+            batch_size=batch_size, n_data=n_data,
+            block_chains=block_chains, state_dtype=state_dtype,
+            interpret=interpret,
+        )
+        return (theta, v, key, step + 1), cost[:, 0]
+
+    def thinned(carry, _):
+        carry, costs = jax.lax.scan(one_step, carry, None, length=keep_every)
+        out = unpack_fused(carry[0], h) if collect_positions else None
+        return carry, (out, costs[-1])
+
+    (theta, v, _, step), (positions, costs) = jax.lax.scan(
+        thinned, (theta, v, key, step0), None, length=n_samples
+    )
+
+    new_states = SGHMCState(
+        position=unpack_fused(theta, h),
+        momentum=jax.tree_util.tree_map(
+            lambda l: l.astype(jnp.float32),
+            unpack_fused(v, h),
+        ),
+        stats=states.stats,
+        step=states.step + n_samples * keep_every,
+        schedule_state=states.schedule_state,
+    )
+    if positions is not None:
+        positions = jax.tree_util.tree_map(
+            lambda l: jnp.swapaxes(l, 0, 1), positions
+        )
+    costs = jnp.swapaxes(costs, 0, 1)
+    return new_states, positions, costs
+
+
 def sample_chain_stacked(
     sampler,
     states,

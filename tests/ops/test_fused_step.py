@@ -1,0 +1,198 @@
+"""flash-SGHMC fused-step kernel: packing round-trips and math parity.
+
+The whole-step kernel (forward + likelihood + backward + update in one
+Pallas call) must reproduce the pytree sampler's step on the dense BNN —
+same minibatch, same injected noise — up to bfloat16 matmul rounding.
+"""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from pysgmcmc_tpu.ops.fused_step import (  # noqa: E402
+    B_PAD,
+    data_windows,
+    fused_bnn_step,
+    gather_batch,
+    pack_fused,
+    unpack_fused,
+)
+from pysgmcmc_tpu.samplers.base import sample_chain  # noqa: E402
+from pysgmcmc_tpu.utils.pytree import normal_like_tree  # noqa: E402
+
+
+def _workload(n_chains=4):
+    from bench import build_workload
+
+    sampler, positions, select = build_workload(
+        n_chains=n_chains, network="dense")
+    # the bench config burns in for 3000 steps; 50 is plenty for the
+    # parity tests and keeps the CPU run fast
+    sampler.burn_in_steps = 50
+    return sampler, positions, select
+
+
+def test_pack_unpack_roundtrip():
+    from pysgmcmc_tpu.models.architectures import dense_network
+
+    init_fn, _ = dense_network(1)
+    params = jax.vmap(init_fn)(jax.random.split(jax.random.PRNGKey(0), 3))
+    packed = pack_fused(params)
+    assert packed[0].shape == (3, 64, 64)
+    assert packed[2].shape == (3, 8, 64)
+    out = unpack_fused(packed, 50)
+    for k in params:
+        np.testing.assert_array_equal(
+            np.asarray(params[k]), np.asarray(out[k]), err_msg=k)
+    # padding is zero
+    assert np.all(np.asarray(packed[0])[:, 50:, :] == 0)
+    assert np.all(np.asarray(packed[0])[:, :, 50:] == 0)
+
+
+def test_data_windows_match_batch_fn():
+    """Window contents equal data_batches.batch_fn's windows."""
+    rng = np.random.RandomState(0)
+    x = rng.uniform(0, 1, (30, 1)).astype(np.float32)
+    y = rng.uniform(0, 1, 30).astype(np.float32)
+    xw, yw = data_windows(x, y, batch_size=7)
+    assert xw.shape == (24, B_PAD)
+    for w in (0, 5, 23):
+        np.testing.assert_array_equal(
+            np.asarray(xw)[w, :7], x[w:w + 7, 0])
+        np.testing.assert_array_equal(
+            np.asarray(yw)[w, :7], y[w:w + 7])
+        assert np.all(np.asarray(xw)[w, 7:] == 0)
+
+
+def test_fused_step_matches_pytree_step():
+    """One fused step == vmapped SGHMCSampler.step (same batch + noise)."""
+    n = 4
+    sampler, positions, _ = _workload(n)
+    # the bench workload's data (bench.build_workload defaults)
+    rng = np.random.RandomState(0)
+    x = rng.uniform(0.0, 1.0, (100, 1)).astype(np.float32)
+    from pysgmcmc_tpu.diagnostics.objective_functions import sinc
+
+    y = np.asarray(sinc(x), np.float32)
+
+    states = jax.vmap(sampler.init)(
+        positions, jax.random.split(jax.random.PRNGKey(0), n))
+    x_win, y_win = data_windows(x, y, 20)
+
+    # a couple of burn-in steps so minv is adapted (and then frozen)
+    from pysgmcmc_tpu.data_batches import batch_fn as make_batch_fn
+
+    select = make_batch_fn(jnp.asarray(x), jnp.asarray(y), 20)
+    states, _ = jax.vmap(
+        lambda s, k: sample_chain(
+            sampler, s, k, 1, batch_fn=select, keep_every=sampler.burn_in_steps,
+            collect_costs=False, phase="burn_in")
+    )(states, jax.random.split(jax.random.PRNGKey(1), n))
+
+    widx = jnp.asarray([0, 3, 80, 41], jnp.int32)
+    x_sel, y_sel = gather_batch(x_win, y_win, widx)
+    np.testing.assert_allclose(
+        np.asarray(x_sel)[2, :20], x[80:100, 0], rtol=0, atol=0)
+
+    eta = jax.vmap(normal_like_tree, in_axes=(0, 0))(
+        jax.random.split(jax.random.PRNGKey(2), n), states.position)
+
+    # reference: the pytree sampler on the same batches with the same noise
+    def ref_step(state, e, w):
+        xb = jax.lax.dynamic_slice_in_dim(jnp.asarray(x), w, 20, axis=0)
+        yb = jax.lax.dynamic_slice_in_dim(
+            jnp.asarray(y).reshape(-1), w, 20, axis=0).reshape(-1, 1)
+        return sampler.step(
+            state, jax.random.PRNGKey(0), (xb, yb), noise=e,
+            phase="sampling")[0]
+
+    ref = jax.vmap(ref_step)(states, eta, widx)
+
+    eps = float(np.sqrt(1e-4))
+    theta = pack_fused(states.position)
+    v = pack_fused(states.momentum)
+    minv = pack_fused(states.stats.minv)
+    noise = pack_fused(eta)
+    theta2, v2, cost = fused_bnn_step(
+        theta, v, minv, x_sel, y_sel, eps, 0,
+        mdecay=sampler.mdecay, scale_grad=sampler.scale_grad,
+        prior_scale=sampler.gaussian_prior_scale,
+        batch_size=20, n_data=100, block_chains=n,
+        state_dtype=jnp.float32, noise=noise, interpret=True,
+    )
+
+    got_pos = unpack_fused(theta2, 50)
+    got_mom = unpack_fused(v2, 50)
+    for k in got_pos:
+        np.testing.assert_allclose(
+            np.asarray(ref.position[k]), np.asarray(got_pos[k]),
+            rtol=0, atol=2e-4, err_msg="position " + k)
+        np.testing.assert_allclose(
+            np.asarray(ref.momentum[k]), np.asarray(got_mom[k]),
+            rtol=0, atol=2e-4, err_msg="momentum " + k)
+
+    # the cost the kernel reports matches the sampler's cost function
+    ref_costs = jax.vmap(
+        lambda p, w: sampler.cost_fn(p, (
+            jax.lax.dynamic_slice_in_dim(jnp.asarray(x), w, 20, axis=0),
+            jax.lax.dynamic_slice_in_dim(
+                jnp.asarray(y).reshape(-1), w, 20, axis=0).reshape(-1, 1),
+        ))
+    )(states.position, widx)
+    np.testing.assert_allclose(
+        np.asarray(ref_costs), np.asarray(cost)[:, 0], rtol=5e-3, atol=5e-3)
+
+    # padding never moves
+    assert np.all(np.asarray(theta2[0])[:, 50:, :] == 0)
+    assert np.all(np.asarray(theta2[0])[:, :, 50:] == 0)
+    assert np.all(np.asarray(v2[0])[:, 50:, :] == 0)
+
+
+@pytest.mark.slow
+def test_fused_driver_finite_and_bookkeeping():
+    """sample_chain_fused runs end to end (interpret mode, injected-free).
+
+    Interpret mode's PRNG returns zero bits, so this checks plumbing and
+    finiteness, not the noise distribution (that is pinned on hardware by
+    the shared _normal_from_bits validation and the bench quality gate).
+    """
+    from pysgmcmc_tpu.parallel.packed import sample_chain_fused
+
+    n = 4
+    sampler, positions, _ = _workload(n)
+    rng = np.random.RandomState(0)
+    x = rng.uniform(0.0, 1.0, (100, 1)).astype(np.float32)
+    from pysgmcmc_tpu.diagnostics.objective_functions import sinc
+
+    y = np.asarray(sinc(x), np.float32)
+
+    from pysgmcmc_tpu.data_batches import batch_fn as make_batch_fn
+
+    select = make_batch_fn(jnp.asarray(x), jnp.asarray(y), 20)
+    states = jax.vmap(sampler.init)(
+        positions, jax.random.split(jax.random.PRNGKey(0), n))
+    states, _ = jax.vmap(
+        lambda s, k: sample_chain(
+            sampler, s, k, 1, batch_fn=select,
+            keep_every=sampler.burn_in_steps,
+            collect_costs=False, phase="burn_in")
+    )(states, jax.random.split(jax.random.PRNGKey(1), n))
+
+    states, pos, costs = sample_chain_fused(
+        sampler, states, jax.random.PRNGKey(2), 3, x, y,
+        batch_size=20, keep_every=2, block_chains=n,
+        state_dtype=jnp.float32, interpret=True,
+    )
+    assert costs.shape == (n, 3)
+    assert np.isfinite(np.asarray(costs)).all()
+    assert pos["w2"].shape == (n, 3, 50, 50)
+    assert int(states.step[0]) == sampler.burn_in_steps + 6
+    leaves = np.concatenate([
+        np.asarray(l).ravel()
+        for l in jax.tree_util.tree_leaves(states.position)])
+    assert np.isfinite(leaves).all()
