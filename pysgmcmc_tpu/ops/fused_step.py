@@ -46,7 +46,23 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from pysgmcmc_tpu.ops.fused_update import _normal_from_bits
+from pysgmcmc_tpu.ops.fused_update import _normal_from_bits  # noqa: F401
+
+
+def _uniform_3d(shape):
+    bits = pltpu.prng_random_bits(shape)
+    mantissa = jax.lax.shift_right_logical(
+        pltpu.bitcast(bits, jnp.uint32), jnp.uint32(9))
+    return pltpu.bitcast(
+        mantissa | jnp.uint32(0x3F800000), jnp.float32) - 1.0
+
+
+def _normal_3d(shape):
+    """Standard normals of any rank from the in-kernel PRNG (Box-Muller)."""
+    u1 = _uniform_3d(shape)
+    u2 = _uniform_3d(shape)
+    return jnp.sqrt(-2.0 * jnp.log1p(-u1)) * jnp.cos(2.0 * jnp.pi * u2)
+
 
 S = 64        # per-chain matrix slot (both dims); fits H = 50
 B_PAD = 24    # padded batch rows (B = 20)
@@ -171,56 +187,65 @@ def _make_kernel(batch_size, n_data, with_noise, block_chains):
             jnp.int32, (block_chains, B_PAD), 1)
         bmask = (brow < batch_size).astype(jnp.float32)      # (C, B_PAD)
 
+        # Mosaic cannot represent an empty-contraction dot_general, so the
+        # per-chain rank-1 outer products use None-indexing broadcasts
+        # (compile-probed OK on v5e: benchmarks/mosaic_constructs_probe.py).
+        def _outer(u, w):
+            # (C, B) x (C, S) -> (C, B, S): batched outer product
+            return u[:, :, None] * w[:, None, :]
+
+        def _brow(m, r):
+            # (C, 8, S) -> (C, 1, S) row r, broadcastable over B
+            return m[:, r:r + 1, :]
+
         vec = tvec[:]                                        # (C, 8, S)
         w1 = vec[:, ROW_W1, :]                               # (C, S)
-        b1 = vec[:, ROW_B1, :]
-        b2 = vec[:, ROW_B2, :]
-        b3 = vec[:, ROW_B3, :]
         w4 = vec[:, ROW_W4, :]
-        b4 = vec[:, ROW_SCAL, LANE_B4]                       # (C,)
-        lvb = vec[:, ROW_SCAL, LANE_LVB]
+        scal = vec[:, ROW_SCAL, :]                           # (C, S)
+        b4 = scal[:, LANE_B4:LANE_B4 + 1]                    # (C, 1)
+        lvb = scal[:, LANE_LVB:LANE_LVB + 1]
 
         x = x_ref[:]                                         # (C, B_PAD)
         y = y_ref[:]
 
         # ---- forward (bf16 matmuls, f32 accumulation) ----------------------
-        z1 = x[:, :, None] * w1[:, None, :] + b1[:, None, :]
+        z1 = _outer(x, w1) + _brow(vec, ROW_B1)
         a1 = jnp.tanh(z1).astype(bf16)                       # (C, B, S)
         w2_bf = tw2[:].astype(bf16)
         w3_bf = tw3[:].astype(bf16)
         z2 = _bdot(a1, w2_bf, (((2,), (1,))))                # (C, B, S)
-        a2 = jnp.tanh(z2 + b2[:, None, :]).astype(bf16)
+        a2 = jnp.tanh(z2 + _brow(vec, ROW_B2)).astype(bf16)
         z3 = _bdot(a2, w3_bf, (((2,), (1,))))
-        a3 = jnp.tanh(z3 + b3[:, None, :]).astype(bf16)
+        a3 = jnp.tanh(z3 + _brow(vec, ROW_B3)).astype(bf16)
         a3f = a3.astype(jnp.float32)
-        f_mean = jnp.sum(a3f * w4[:, None, :], axis=2) + b4[:, None]
+        # f_mean[c,b] = sum_j a3[c,b,j] w4[c,j] (+ b4)
+        f_mean = jnp.sum(a3f * w4[:, None, :], axis=2) + b4  # (C, B)
 
         # ---- likelihood + head gradients ------------------------------------
-        e_lv = jnp.exp(lvb)                                  # (C,)
+        e_lv = jnp.exp(lvb)                                  # (C, 1)
         var_inv = 1.0 / (e_lv + 1e-16)
         diff = (f_mean - y) * bmask                          # (C, B)
         mse = diff * diff
         ll = jnp.sum(
-            -mse * (0.5 * var_inv[:, None]) - 0.5 * lvb[:, None] * bmask,
-            axis=1) * inv_b                                  # (C,)
+            -mse * (0.5 * var_inv) - 0.5 * lvb * bmask,
+            axis=1, keepdims=True) * inv_b                   # (C, 1)
         p_term = -jnp.square(lvb - LOG_MP) / (2.0 * VAR_P) \
             - 0.5 * float(np.log(VAR_P))
-        cost = -(ll + p_term * inv_n)
-        cost_ref[:] = cost[:, None]
+        cost_ref[:] = -(ll + p_term * inv_n)
 
-        d_mean = diff * var_inv[:, None] * inv_b             # (C, B)
+        d_mean = diff * var_inv * inv_b                      # (C, B)
         # dcost/dlvb = -d(ll)/dlvb (likelihood term) + prior term
         d_lvb = -jnp.sum(
-            mse * (0.5 * e_lv[:, None]) * jnp.square(var_inv[:, None])
-            - 0.5 * bmask,
-            axis=1) * inv_b
-        d_lvb = d_lvb + (lvb - LOG_MP) / VAR_P * inv_n       # (C,)
-        g_b4 = jnp.sum(d_mean, axis=1)                       # (C,)
+            mse * (0.5 * e_lv) * jnp.square(var_inv) - 0.5 * bmask,
+            axis=1, keepdims=True) * inv_b
+        d_lvb = d_lvb + (lvb - LOG_MP) / VAR_P * inv_n       # (C, 1)
+        g_b4 = jnp.sum(d_mean, axis=1, keepdims=True)        # (C, 1)
 
         # ---- backward --------------------------------------------------------
+        # g_w4[c,j] = sum_b d_mean[c,b] a3[c,b,j]
         g_w4 = jnp.sum(a3f * d_mean[:, :, None], axis=1)     # (C, S)
-        dz3 = d_mean[:, :, None] * w4[:, None, :] * (1.0 - a3f * a3f)
-        g_b3 = jnp.sum(dz3, axis=1)
+        dz3 = _outer(d_mean, w4) * (1.0 - a3f * a3f)         # (C, B, S)
+        g_b3 = jnp.sum(dz3, axis=1)                          # (C, S)
         dz3_bf = dz3.astype(bf16)
         # dW3[c,i,j] = sum_b a2[c,b,i] dz3[c,b,j]
         g_w3 = _bdot(a2, dz3_bf, (((1,), (1,))))             # (C, S, S)
@@ -235,14 +260,15 @@ def _make_kernel(batch_size, n_data, with_noise, block_chains):
         a1f = a1.astype(jnp.float32)
         dz1 = da1 * (1.0 - a1f * a1f)
         g_b1 = jnp.sum(dz1, axis=1)
+        # g_w1[c,j] = sum_b x[c,b] dz1[c,b,j]
         g_w1 = jnp.sum(x[:, :, None] * dz1, axis=1)          # (C, S)
 
         lane = jax.lax.broadcasted_iota(
             jnp.int32, (block_chains, S), 1)
-        g_scal = (
-            g_b4[:, None] * (lane == LANE_B4)
-            + d_lvb[:, None] * (lane == LANE_LVB)
-        ).astype(jnp.float32)
+        g_scal = jnp.where(
+            lane == LANE_B4, g_b4,
+            jnp.where(lane == LANE_LVB, d_lvb, 0.0),
+        ).astype(jnp.float32)                                # (C, S)
         zeros_row = jnp.zeros((block_chains, S), jnp.float32)
         g_vec = jnp.stack(
             [g_w1, g_b1, g_b2, g_b3, g_w4, g_scal, zeros_row, zeros_row],
@@ -253,12 +279,9 @@ def _make_kernel(batch_size, n_data, with_noise, block_chains):
             etas = (nw2[:], nw3[:], nvec[:])
         else:
             etas = (
-                _normal_from_bits((block_chains * S, S)).reshape(
-                    block_chains, S, S),
-                _normal_from_bits((block_chains * S, S)).reshape(
-                    block_chains, S, S),
-                _normal_from_bits((block_chains * VEC_ROWS, S)).reshape(
-                    block_chains, VEC_ROWS, S),
+                _normal_3d((block_chains, S, S)),
+                _normal_3d((block_chains, S, S)),
+                _normal_3d((block_chains, VEC_ROWS, S)),
             )
 
         for t_ref, v_ref, m_ref, grad, eta, out_t, out_v in (
