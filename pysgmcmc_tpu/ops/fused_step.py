@@ -58,7 +58,21 @@ def _uniform_3d(shape):
 
 
 def _normal_3d(shape):
-    """Standard normals of any rank from the in-kernel PRNG (Box-Muller)."""
+    """Standard normals from the in-kernel PRNG (dual-output Box-Muller).
+
+    When the second-to-last dim is even, each (u1, u2) pair yields two
+    normals (cos and sin), halving the transcendental cost — the kernel's
+    noise covers the 1.64x-padded state slabs, so this matters.
+    """
+    rows = shape[-2]
+    if rows % 2 == 0:
+        half = shape[:-2] + (rows // 2,) + shape[-1:]
+        u1 = _uniform_3d(half)
+        u2 = _uniform_3d(half)
+        radius = jnp.sqrt(-2.0 * jnp.log1p(-u1))
+        angle = 2.0 * jnp.pi * u2
+        return jnp.concatenate(
+            [radius * jnp.cos(angle), radius * jnp.sin(angle)], axis=-2)
     u1 = _uniform_3d(shape)
     u2 = _uniform_3d(shape)
     return jnp.sqrt(-2.0 * jnp.log1p(-u1)) * jnp.cos(2.0 * jnp.pi * u2)
@@ -66,8 +80,14 @@ def _normal_3d(shape):
 
 S = 64        # per-chain matrix slot (both dims); fits H = 50
 B_PAD = 24    # padded batch rows (B = 20)
-VEC_ROWS = 8  # [w1, b1, b2, b3, w4, (b4, lvb), 0, 0]
-ROW_W1, ROW_B1, ROW_B2, ROW_B3, ROW_W4, ROW_SCAL = 0, 1, 2, 3, 4, 5
+BIAS_ROW = 50  # biases ride row 50 of their weight matrix (ones-lane trick)
+VEC_ROWS = 8  # [w1, b1, w4, (b4, lvb), 0, 0, 0, 0]
+# The vector rows live INSIDE the first state array (rows S..S+VEC_ROWS of
+# a (S+8, S) slab): XLA's memory-space assignment promotes small separate
+# outputs into scoped VMEM, which OOMs at 8192 chains; matrix-shaped
+# buffers stay in HBM.
+BIG_ROWS = S + VEC_ROWS
+ROW_W1, ROW_B1, ROW_W4, ROW_SCAL = S + 0, S + 1, S + 2, S + 3
 LANE_B4, LANE_LVB = 0, 1
 
 LOG_MP = float(np.log(1e-6))   # log-variance prior mean (reference)
@@ -77,18 +97,25 @@ VAR_P = 0.01                   # log-variance prior variance
 #  Packing ------------------------------------------------------------------
 
 def pack_fused(params):
-    """Stacked dense-network params -> (w2, w3, vec) fused-kernel layout.
+    """Stacked dense-network params -> (w2m, w3m, vec) fused-kernel layout.
 
     ``params`` is a stacked :func:`pysgmcmc_tpu.models.architectures.
     dense_network` pytree (leaves ``(n, ...)``).  Returns float32 arrays
-    ``w2, w3: (n, S, S)`` (zero-padded) and ``vec: (n, VEC_ROWS, S)``.
+    ``w2m, w3m: (n, S, S)`` — the (H, H) weight in the top-left, the
+    layer's BIAS on row :data:`BIAS_ROW` (activations carry a constant-1
+    lane there, so the bias rides the matmul and its gradient falls out of
+    the dW dot automatically) — and ``vec: (n, VEC_ROWS, S)`` with rows
+    ``[w1, b1, w4, (b4, lvb), 0...]``.
     """
     n, h, _ = params["w2"].shape
 
-    def mat(key):
-        return jnp.pad(
-            jnp.asarray(params[key], jnp.float32),
+    def mat(wkey, bkey):
+        m = jnp.pad(
+            jnp.asarray(params[wkey], jnp.float32),
             ((0, 0), (0, S - h), (0, S - h)))
+        brow = jnp.pad(
+            jnp.asarray(params[bkey], jnp.float32), ((0, 0), (0, S - h)))
+        return m.at[:, BIAS_ROW, :].set(brow)
 
     def row(leaf):
         leaf = jnp.asarray(leaf, jnp.float32).reshape(n, -1)
@@ -97,28 +124,29 @@ def pack_fused(params):
     scal = jnp.concatenate(
         [jnp.reshape(params["b4"], (n, 1)),
          jnp.reshape(params["log_variance_bias"], (n, 1))], axis=1)
+    zero = jnp.zeros((n, S), jnp.float32)
     vec = jnp.stack(
-        [row(params["w1"]), row(params["b1"]), row(params["b2"]),
-         row(params["b3"]), row(params["w4"]), row(scal),
-         jnp.zeros((n, S), jnp.float32), jnp.zeros((n, S), jnp.float32)],
+        [row(params["w1"]), row(params["b1"]), row(params["w4"]),
+         row(scal), zero, zero, zero, zero],
         axis=1)
-    return mat("w2"), mat("w3"), vec
+    big = jnp.concatenate([mat("w2", "b2"), vec], axis=1)  # (n, S+8, S)
+    return big, mat("w3", "b3")
 
 
 def unpack_fused(packed, h):
     """Inverse of :func:`pack_fused` -> stacked dense-network pytree."""
-    w2, w3, vec = packed
-    n = w2.shape[0]
+    big, w3m = packed
+    n = big.shape[0]
     return {
-        "w1": vec[:, ROW_W1, :h],
-        "b1": vec[:, ROW_B1, :h],
-        "w2": w2[:, :h, :h],
-        "b2": vec[:, ROW_B2, :h],
-        "w3": w3[:, :h, :h],
-        "b3": vec[:, ROW_B3, :h],
-        "w4": vec[:, ROW_W4, :h],
-        "b4": vec[:, ROW_SCAL, LANE_B4].reshape(n, 1),
-        "log_variance_bias": vec[:, ROW_SCAL, LANE_LVB].reshape(n, 1, 1),
+        "w1": big[:, ROW_W1, :h],
+        "b1": big[:, ROW_B1, :h],
+        "w2": big[:, :h, :h],
+        "b2": big[:, BIAS_ROW, :h],
+        "w3": w3m[:, :h, :h],
+        "b3": w3m[:, BIAS_ROW, :h],
+        "w4": big[:, ROW_W4, :h],
+        "b4": big[:, ROW_SCAL, LANE_B4].reshape(n, 1),
+        "log_variance_bias": big[:, ROW_SCAL, LANE_LVB].reshape(n, 1, 1),
     }
 
 
@@ -165,16 +193,22 @@ def _make_kernel(batch_size, n_data, with_noise, block_chains):
     inv_n = 1.0 / n_data
 
     def kernel(int_ref, float_ref,
-               tw2, tw3, tvec,
-               vw2, vw3, vvec,
-               mw2, mw3, mvec,
-               x_ref, y_ref,
+               tbig, tw3,
+               vbig, vw3,
+               mbig, mw3,
+               xin_ref, y_ref,
                *rest):
+        # trailing refs: [noise x2 (opt)] outputs x4, scratch x5
+        # (the per-chain cost rides row BIG_ROWS-1 of the v output: a
+        # separate (n,1) output gets promoted into scoped VMEM by XLA's
+        # memory-space assignment and OOMs the kernel at 8k chains)
         if with_noise:
-            (nw2, nw3, nvec,
-             ow2, ow3, ovec, pw2, pw3, pvec, cost_ref) = rest
+            (nbig, nw3,
+             obig, ow3, pbig, pw3,
+             s_a1, s_a2, s_a3, s_dz, s_gbig) = rest
         else:
-            (ow2, ow3, ovec, pw2, pw3, pvec, cost_ref) = rest
+            (obig, ow3, pbig, pw3,
+             s_a1, s_a2, s_a3, s_dz, s_gbig) = rest
             pltpu.prng_seed(int_ref[0] + pl.program_id(0))
 
         eps = float_ref[0]
@@ -186,38 +220,44 @@ def _make_kernel(batch_size, n_data, with_noise, block_chains):
         brow = jax.lax.broadcasted_iota(
             jnp.int32, (block_chains, B_PAD), 1)
         bmask = (brow < batch_size).astype(jnp.float32)      # (C, B_PAD)
+        lane3 = jax.lax.broadcasted_iota(
+            jnp.int32, (block_chains, B_PAD, S), 2)
 
-        # Mosaic cannot represent an empty-contraction dot_general, so the
-        # per-chain rank-1 outer products use None-indexing broadcasts
-        # (compile-probed OK on v5e: benchmarks/mosaic_constructs_probe.py).
-        def _outer(u, w):
-            # (C, B) x (C, S) -> (C, B, S): batched outer product
-            return u[:, :, None] * w[:, None, :]
-
-        def _brow(m, r):
-            # (C, 8, S) -> (C, 1, S) row r, broadcastable over B
-            return m[:, r:r + 1, :]
-
-        vec = tvec[:]                                        # (C, 8, S)
-        w1 = vec[:, ROW_W1, :]                               # (C, S)
-        w4 = vec[:, ROW_W4, :]
-        scal = vec[:, ROW_SCAL, :]                           # (C, S)
+        big = tbig[:]                                        # (C, S+8, S)
+        w4 = big[:, ROW_W4, :]                               # (C, S)
+        scal = big[:, ROW_SCAL, :]
         b4 = scal[:, LANE_B4:LANE_B4 + 1]                    # (C, 1)
         lvb = scal[:, LANE_LVB:LANE_LVB + 1]
 
-        x = x_ref[:]                                         # (C, B_PAD)
-        y = y_ref[:]
+        xin = xin_ref[:]                                     # (C, B_PAD, 2)
+        y = y_ref[:]                                         # (C, B_PAD)
 
         # ---- forward (bf16 matmuls, f32 accumulation) ----------------------
-        z1 = _outer(x, w1) + _brow(vec, ROW_B1)
-        a1 = jnp.tanh(z1).astype(bf16)                       # (C, B, S)
-        w2_bf = tw2[:].astype(bf16)
+        # This formulation is the one proven to compile end to end on v5e
+        # (benchmarks/fused_bisect2_tpu.py): layer 1 is a real matmul over
+        # the [x, 1] input lanes, every bias rides row BIAS_ROW of its
+        # weight matrix against a constant-1 activation lane, and each
+        # stage materializes through a VMEM scratch ref.  (Mosaic aborts
+        # with "Check failed: limits[i] <= dim(i)" on the straightforward
+        # broadcast-bias expression graph.)
+        xin_bf = xin.astype(bf16)
+        w1m_bf = big[:, ROW_W1:ROW_B1 + 1, :].astype(bf16)   # [w1, b1]
+        z1 = _bdot(xin_bf, w1m_bf, (((2,), (1,))))           # (C, B, S)
+        s_a1[:] = jnp.where(
+            lane3 == BIAS_ROW, 1.0, jnp.tanh(z1)).astype(bf16)
+        a1 = s_a1[:]
+        a1f = a1.astype(jnp.float32)
+
+        w2_bf = big[:, 0:S, :].astype(bf16)
         w3_bf = tw3[:].astype(bf16)
-        z2 = _bdot(a1, w2_bf, (((2,), (1,))))                # (C, B, S)
-        a2 = jnp.tanh(z2 + _brow(vec, ROW_B2)).astype(bf16)
-        z3 = _bdot(a2, w3_bf, (((2,), (1,))))
-        a3 = jnp.tanh(z3 + _brow(vec, ROW_B3)).astype(bf16)
-        a3f = a3.astype(jnp.float32)
+        z2 = _bdot(a1, w2_bf, (((2,), (1,))))                # incl. b2
+        s_a2[:] = jnp.where(
+            lane3 == BIAS_ROW, 1.0, jnp.tanh(z2)).astype(bf16)
+        a2 = s_a2[:]
+        a2f = a2.astype(jnp.float32)
+        z3 = _bdot(a2, w3_bf, (((2,), (1,))))                # incl. b3
+        s_a3[:] = jnp.tanh(z3).astype(bf16)  # no ones-lane: w4 lane 50 = 0
+        a3f = s_a3[:].astype(jnp.float32)
         # f_mean[c,b] = sum_j a3[c,b,j] w4[c,j] (+ b4)
         f_mean = jnp.sum(a3f * w4[:, None, :], axis=2) + b4  # (C, B)
 
@@ -231,7 +271,7 @@ def _make_kernel(batch_size, n_data, with_noise, block_chains):
             axis=1, keepdims=True) * inv_b                   # (C, 1)
         p_term = -jnp.square(lvb - LOG_MP) / (2.0 * VAR_P) \
             - 0.5 * float(np.log(VAR_P))
-        cost_ref[:] = -(ll + p_term * inv_n)
+        cost = -(ll + p_term * inv_n)                        # (C, 1)
 
         d_mean = diff * var_inv * inv_b                      # (C, B)
         # dcost/dlvb = -d(ll)/dlvb (likelihood term) + prior term
@@ -244,50 +284,50 @@ def _make_kernel(batch_size, n_data, with_noise, block_chains):
         # ---- backward --------------------------------------------------------
         # g_w4[c,j] = sum_b d_mean[c,b] a3[c,b,j]
         g_w4 = jnp.sum(a3f * d_mean[:, :, None], axis=1)     # (C, S)
-        dz3 = _outer(d_mean, w4) * (1.0 - a3f * a3f)         # (C, B, S)
-        g_b3 = jnp.sum(dz3, axis=1)                          # (C, S)
-        dz3_bf = dz3.astype(bf16)
-        # dW3[c,i,j] = sum_b a2[c,b,i] dz3[c,b,j]
+        s_dz[:] = (d_mean[:, :, None] * w4[:, None, :]) \
+            * (1.0 - a3f * a3f)                              # dz3
+        dz3_bf = s_dz[:].astype(bf16)
+        # dW3m[c,i,j] = sum_b a2[c,b,i] dz3[c,b,j]; row 50 = g_b3 (ones
+        # lane of a2) -- the bias gradient falls out of the same dot
         g_w3 = _bdot(a2, dz3_bf, (((1,), (1,))))             # (C, S, S)
-        # da2[c,b,i] = sum_j dz3[c,b,j] W3[c,i,j]
+        # da2[c,b,i] = sum_j dz3[c,b,j] W3m[c,i,j]; the spurious bias-row
+        # term at lane 50 dies against (1 - a2^2) = 0 there
         da2 = _bdot(dz3_bf, w3_bf, (((2,), (2,))))           # (C, B, S)
-        a2f = a2.astype(jnp.float32)
-        dz2 = da2 * (1.0 - a2f * a2f)
-        g_b2 = jnp.sum(dz2, axis=1)
-        dz2_bf = dz2.astype(bf16)
+        s_dz[:] = da2 * (1.0 - a2f * a2f)                    # dz2
+        dz2_bf = s_dz[:].astype(bf16)
         g_w2 = _bdot(a1, dz2_bf, (((1,), (1,))))
         da1 = _bdot(dz2_bf, w2_bf, (((2,), (2,))))
-        a1f = a1.astype(jnp.float32)
-        dz1 = da1 * (1.0 - a1f * a1f)
-        g_b1 = jnp.sum(dz1, axis=1)
-        # g_w1[c,j] = sum_b x[c,b] dz1[c,b,j]
-        g_w1 = jnp.sum(x[:, :, None] * dz1, axis=1)          # (C, S)
+        s_dz[:] = da1 * (1.0 - a1f * a1f)                    # dz1
+        dz1_bf = s_dz[:].astype(bf16)
+        # rows [g_w1, g_b1] from one dot against the [x, 1] input lanes
+        g_w1m = _bdot(xin_bf, dz1_bf, (((1,), (1,))))        # (C, 2, S)
 
-        lane = jax.lax.broadcasted_iota(
+        lane2 = jax.lax.broadcasted_iota(
             jnp.int32, (block_chains, S), 1)
         g_scal = jnp.where(
-            lane == LANE_B4, g_b4,
-            jnp.where(lane == LANE_LVB, d_lvb, 0.0),
+            lane2 == LANE_B4, g_b4,
+            jnp.where(lane2 == LANE_LVB, d_lvb, 0.0),
         ).astype(jnp.float32)                                # (C, S)
-        zeros_row = jnp.zeros((block_chains, S), jnp.float32)
-        g_vec = jnp.stack(
-            [g_w1, g_b1, g_b2, g_b3, g_w4, g_scal, zeros_row, zeros_row],
-            axis=1)                                          # (C, 8, S)
+        s_gbig[:, 0:S, :] = g_w2
+        s_gbig[:, ROW_W1:ROW_B1 + 1, :] = g_w1m
+        s_gbig[:, ROW_W4, :] = g_w4
+        s_gbig[:, ROW_SCAL, :] = g_scal
+        s_gbig[:, ROW_SCAL + 1:BIG_ROWS, :] = jnp.zeros(
+            (block_chains, BIG_ROWS - ROW_SCAL - 1, S), jnp.float32)
+        g_big = s_gbig[:]
 
         # ---- fused SGHMC update ----------------------------------------------
         if with_noise:
-            etas = (nw2[:], nw3[:], nvec[:])
+            etas = (nbig[:], nw3[:])
         else:
             etas = (
+                _normal_3d((block_chains, BIG_ROWS, S)),
                 _normal_3d((block_chains, S, S)),
-                _normal_3d((block_chains, S, S)),
-                _normal_3d((block_chains, VEC_ROWS, S)),
             )
 
         for t_ref, v_ref, m_ref, grad, eta, out_t, out_v in (
-            (tw2, vw2, mw2, g_w2, etas[0], ow2, pw2),
+            (tbig, vbig, mbig, g_big, etas[0], obig, pbig),
             (tw3, vw3, mw3, g_w3, etas[1], ow3, pw3),
-            (tvec, vvec, mvec, g_vec, etas[2], ovec, pvec),
         ):
             theta = t_ref[:]
             v32 = v_ref[:].astype(jnp.float32)
@@ -302,6 +342,12 @@ def _make_kernel(batch_size, n_data, with_noise, block_chains):
             v_new = jnp.where(minv > 0.0, v_new, 0.0)
             out_t[:] = theta + v_new
             out_v[:] = v_new.astype(out_v.dtype)
+
+        # cost rides lane 0 of the last row of the f32 theta slab (bf16
+        # single-lane stores are unsupported).  Self-consistent: the row's
+        # v stays 0 (minv == 0 there), its gradient is zero, the forward
+        # and unpack never read it, and each step overwrites it.
+        obig[:, BIG_ROWS - 1, LANE_B4:LANE_B4 + 1] = cost
 
     return kernel
 
@@ -319,19 +365,23 @@ def fused_bnn_step(
 ):
     """One fused forward+backward+update SGHMC step.
 
-    ``theta`` is a ``(w2, w3, vec)`` tuple from :func:`pack_fused`
+    ``theta`` is a ``(big, w3m)`` tuple from :func:`pack_fused`
     (float32); ``v``/``minv`` the same shapes in ``state_dtype``;
     ``x_sel``/``y_sel`` the gathered minibatch ``(n_chains, B_PAD)``
     (see :func:`gather_batch`); ``eps``/``seed`` traced scalars.
 
     Returns ``(theta', v', cost)`` with ``cost`` shaped ``(n_chains, 1)``.
     """
-    tw2, tw3, tvec = theta
-    n_chains = tw2.shape[0]
+    tbig, tw3 = theta
+    n_chains = tbig.shape[0]
     if n_chains % block_chains:
         raise ValueError(
             "fused_bnn_step: n_chains ({}) must be divisible by "
             "block_chains ({})".format(n_chains, block_chains))
+
+    # layer-1 input lanes [x, 1]: the constant lane carries b1 through
+    # the first matmul (and its gradient through the g_w1m dot)
+    xin = jnp.stack([x_sel, jnp.ones_like(x_sel)], axis=2)
 
     eps32 = jnp.asarray(eps, jnp.float32)
     int_scalars = jnp.asarray(seed, jnp.int32).reshape(1)
@@ -345,25 +395,26 @@ def fused_bnn_step(
         return pl.BlockSpec((block_chains, S, S), lambda i, *_: (i, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    def vec_spec():
+    def big_spec():
         return pl.BlockSpec(
-            (block_chains, VEC_ROWS, S), lambda i, *_: (i, 0, 0),
+            (block_chains, BIG_ROWS, S), lambda i, *_: (i, 0, 0),
             memory_space=pltpu.VMEM)
 
     def data_spec():
         return pl.BlockSpec((block_chains, B_PAD), lambda i, *_: (i, 0),
                             memory_space=pltpu.VMEM)
 
-    def cost_spec():
-        return pl.BlockSpec((block_chains, 1), lambda i, *_: (i, 0),
-                            memory_space=pltpu.VMEM)
+    def xin_spec():
+        return pl.BlockSpec(
+            (block_chains, B_PAD, 2), lambda i, *_: (i, 0, 0),
+            memory_space=pltpu.VMEM)
 
-    state_specs = [mat_spec(), mat_spec(), vec_spec()]
+    state_specs = [big_spec(), mat_spec()]
     in_specs = (
         state_specs + state_specs + state_specs
-        + [data_spec(), data_spec()]
+        + [xin_spec(), data_spec()]
     )
-    operands = list(theta) + list(v) + list(minv) + [x_sel, y_sel]
+    operands = list(theta) + list(v) + list(minv) + [xin, y_sel]
     with_noise = noise is not None
     if with_noise:
         in_specs = in_specs + state_specs
@@ -372,21 +423,26 @@ def fused_bnn_step(
     out_shape = (
         tuple(jax.ShapeDtypeStruct(t.shape, jnp.float32) for t in theta)
         + tuple(jax.ShapeDtypeStruct(t.shape, state_dtype) for t in theta)
-        + (jax.ShapeDtypeStruct((n_chains, 1), jnp.float32),)
     )
-    out_specs = (
-        tuple(state_specs) + tuple(state_specs) + (cost_spec(),)
-    )
+    out_specs = tuple(state_specs) + tuple(state_specs)
 
+    bbs = (block_chains, B_PAD, S)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_chains // block_chains,),
         in_specs=in_specs,
         out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM(bbs, jnp.bfloat16),  # a1 (ones-lane applied)
+            pltpu.VMEM(bbs, jnp.bfloat16),  # a2 (ones-lane applied)
+            pltpu.VMEM(bbs, jnp.bfloat16),  # a3
+            pltpu.VMEM(bbs, jnp.float32),   # dz (reused per layer)
+            pltpu.VMEM((block_chains, BIG_ROWS, S), jnp.float32),  # g_big
+        ],
     )
-    # alias theta (operands 2..4 incl. scalar-prefetch args) and v (5..7)
-    aliases = {i + 2: i for i in range(3)}
-    aliases.update({i + 5: i + 3 for i in range(3)})
+    # alias theta (operands 2..3 incl. scalar-prefetch args) and v (4..5)
+    aliases = {i + 2: i for i in range(2)}
+    aliases.update({i + 4: i + 2 for i in range(2)})
 
     kernel = _make_kernel(
         float(batch_size), float(n_data), with_noise, block_chains)
@@ -396,6 +452,15 @@ def fused_bnn_step(
         grid_spec=grid_spec,
         out_shape=out_shape,
         input_output_aliases=aliases,
+        # v5e has 128 MB of physical VMEM; the compiler's default 16 MB
+        # scoped budget is too tight for the double-buffered state slabs
+        # plus the kernel's dot temporaries at useful block sizes
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpreter,
     )(int_scalars, float_scalars, *operands)
-    return tuple(outs[0:3]), tuple(outs[3:6]), outs[6]
+    theta_new = tuple(outs[0:2])
+    v_new = tuple(outs[2:4])
+    # per-chain cost from lane 0 of the theta slab's last row
+    cost = theta_new[0][:, BIG_ROWS - 1, 0:1]
+    return theta_new, v_new, cost

@@ -43,15 +43,15 @@ def test_pack_unpack_roundtrip():
     init_fn, _ = dense_network(1)
     params = jax.vmap(init_fn)(jax.random.split(jax.random.PRNGKey(0), 3))
     packed = pack_fused(params)
-    assert packed[0].shape == (3, 64, 64)
-    assert packed[2].shape == (3, 8, 64)
+    assert packed[0].shape == (3, 72, 64)   # W2 slab + vector rows
+    assert packed[1].shape == (3, 64, 64)
     out = unpack_fused(packed, 50)
     for k in params:
         np.testing.assert_array_equal(
             np.asarray(params[k]), np.asarray(out[k]), err_msg=k)
-    # padding is zero
-    assert np.all(np.asarray(packed[0])[:, 50:, :] == 0)
-    assert np.all(np.asarray(packed[0])[:, :, 50:] == 0)
+    # padding is zero (row 50 holds the bias; rows 64+ the vector slots)
+    assert np.all(np.asarray(packed[0])[:, 51:64, :] == 0)
+    assert np.all(np.asarray(packed[0])[:, :64, 50:] == 0)
 
 
 def test_data_windows_match_batch_fn():
@@ -147,10 +147,10 @@ def test_fused_step_matches_pytree_step():
     np.testing.assert_allclose(
         np.asarray(ref_costs), np.asarray(cost)[:, 0], rtol=5e-3, atol=5e-3)
 
-    # padding never moves
-    assert np.all(np.asarray(theta2[0])[:, 50:, :] == 0)
-    assert np.all(np.asarray(theta2[0])[:, :, 50:] == 0)
-    assert np.all(np.asarray(v2[0])[:, 50:, :] == 0)
+    # padding never moves (row 50 is the bias row; rows 64+ vec slots)
+    assert np.all(np.asarray(theta2[0])[:, 51:64, :] == 0)
+    assert np.all(np.asarray(theta2[0])[:, :64, 50:] == 0)
+    assert np.all(np.asarray(v2[0])[:, 51:64, :] == 0)
 
 
 @pytest.mark.slow
