@@ -43,7 +43,7 @@ from pysgmcmc_tpu.utils.numeric import safe_divide
 def build_workload(
     n_chains, dtype=jnp.float32, compute_dtype=jnp.bfloat16,
     n_data=100, batch_size=20, fold_weight_prior=True, noise_bits=None,
-    network="default",
+    network="default", return_data=False,
 ):
     """The north-star posterior: 3x50 heteroscedastic BNN on sinc data.
 
@@ -124,6 +124,8 @@ def build_workload(
         ),
         params0,
     )
+    if return_data:
+        return sampler, positions, select_batch, (x, y)
     return sampler, positions, select_batch
 
 
@@ -135,13 +137,14 @@ def main():
 
     # The headline path (A/B-measured in benchmarks/packed_ab_tpu.py):
     # dense (lane-friendly) parameterization of the same 3x50 network,
-    # burn-in on the pytree path, steady-state sampling on the
-    # chains-on-lanes packed driver with the fused Pallas update
-    # (in-kernel RNG) and bf16 momentum/mass state.
-    from pysgmcmc_tpu.parallel.packed import sample_chain_lanes
+    # burn-in on the pytree path, steady-state sampling on flash-SGHMC —
+    # the whole step (forward, likelihood, backward, noise, update) as
+    # ONE Pallas kernel (ops/fused_step.py), bf16 momentum/mass state.
+    # Quality gate on this exact path: sinc predictive MSE 0.00018.
+    from pysgmcmc_tpu.parallel.packed import sample_chain_fused
 
-    sampler, positions, select_batch = build_workload(
-        n_chains, network="dense")
+    sampler, positions, select_batch, (x_data, y_data) = build_workload(
+        n_chains, network="dense", return_data=True)
 
     @jax.jit
     def init_and_burn(positions, key):
@@ -161,11 +164,11 @@ def main():
 
     @jax.jit
     def sampling_scan(states, key):
-        states, _, costs = sample_chain_lanes(
-            sampler, states, key, 1,
-            batch_fn=select_batch,
+        states, _, costs = sample_chain_fused(
+            sampler, states, key, 1, x_data, y_data,
+            batch_size=20,
             keep_every=scan_steps,
-            backend="pallas",
+            block_chains=64,
             state_dtype=jnp.bfloat16,
             collect_positions=False,
         )
@@ -198,8 +201,8 @@ def main():
         json.dumps(
             {
                 "metric": "SGHMC sampling-phase update-steps/sec/chip "
-                          "(8192-chain 3x50 BNN, chains-on-lanes fused "
-                          "Pallas update, bf16 matmul + bf16 momentum/mass "
+                          "(8192-chain 3x50 BNN, flash-SGHMC whole-step "
+                          "Pallas kernel, bf16 matmul + bf16 momentum/mass "
                           "state, after full 3000-step burn-in)",
                 "value": round(steps_per_sec, 1),
                 "unit": "steps/sec/chip",
