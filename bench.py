@@ -168,7 +168,7 @@ def main():
             sampler, states, key, 1, x_data, y_data,
             batch_size=20,
             keep_every=scan_steps,
-            block_chains=64,
+            block_chains=32,
             state_dtype=jnp.bfloat16,
             collect_positions=False,
         )

@@ -380,8 +380,11 @@ def fused_bnn_step(
             "block_chains ({})".format(n_chains, block_chains))
 
     # layer-1 input lanes [x, 1]: the constant lane carries b1 through
-    # the first matmul (and its gradient through the g_w1m dot)
-    xin = jnp.stack([x_sel, jnp.ones_like(x_sel)], axis=2)
+    # the first matmul (and its gradient through the g_w1m dot).  bf16:
+    # the kernel casts it for the MXU anyway, and the (C, B, 2) block
+    # pads its 2 lanes to 128 physically -- halving the dtype halves it
+    xin = jnp.stack(
+        [x_sel, jnp.ones_like(x_sel)], axis=2).astype(jnp.bfloat16)
 
     eps32 = jnp.asarray(eps, jnp.float32)
     int_scalars = jnp.asarray(seed, jnp.int32).reshape(1)
