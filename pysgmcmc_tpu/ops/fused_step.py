@@ -36,6 +36,19 @@ Design notes (probed on v5e, ``benchmarks/megakernel_probe*.py``):
 Noise modes mirror :mod:`pysgmcmc_tpu.ops.slim_update`: in-kernel PRNG +
 Box-Muller by default; explicit ``noise`` arrays for bitwise-testable
 math (parity pinned in ``tests/ops/test_fused_step.py``).
+
+Examples
+--------
+>>> import jax, jax.numpy as jnp
+>>> from pysgmcmc_tpu.models.architectures import dense_network
+>>> init_fn, _ = dense_network(1)
+>>> params = jax.vmap(init_fn)(jax.random.split(jax.random.PRNGKey(0), 2))
+>>> big, w3m = pack_fused(params)
+>>> (big.shape, w3m.shape)
+((2, 72, 64), (2, 64, 64))
+>>> out = unpack_fused((big, w3m), 50)
+>>> bool(jnp.allclose(out["w2"], params["w2"]))
+True
 """
 
 import functools
@@ -97,15 +110,18 @@ VAR_P = 0.01                   # log-variance prior variance
 #  Packing ------------------------------------------------------------------
 
 def pack_fused(params):
-    """Stacked dense-network params -> (w2m, w3m, vec) fused-kernel layout.
+    """Stacked dense-network params -> ``(big, w3m)`` fused-kernel layout.
 
     ``params`` is a stacked :func:`pysgmcmc_tpu.models.architectures.
-    dense_network` pytree (leaves ``(n, ...)``).  Returns float32 arrays
-    ``w2m, w3m: (n, S, S)`` — the (H, H) weight in the top-left, the
-    layer's BIAS on row :data:`BIAS_ROW` (activations carry a constant-1
-    lane there, so the bias rides the matmul and its gradient falls out of
-    the dW dot automatically) — and ``vec: (n, VEC_ROWS, S)`` with rows
-    ``[w1, b1, w4, (b4, lvb), 0...]``.
+    dense_network` pytree (leaves ``(n, ...)``).  Returns float32 arrays:
+
+    - ``big: (n, S+8, S)`` — W2 in the top-left ``(H, H)``, its bias on
+      row :data:`BIAS_ROW` (activations carry a constant-1 lane there, so
+      the bias rides the matmul and its gradient falls out of the dW dot
+      automatically), and the vector rows ``[w1, b1, w4, (b4, lvb), 0...]``
+      at rows ``S..S+8`` (separate small outputs would be promoted into
+      scoped VMEM by XLA and OOM the kernel).
+    - ``w3m: (n, S, S)`` — W3 with b3 on the bias row.
     """
     n, h, _ = params["w2"].shape
 

@@ -229,3 +229,48 @@ def test_train_with_psgld():
     bnn.train(x_train, y_train)
     mean, _ = bnn.predict(x_test)
     assert np.all(np.isfinite(mean))
+
+
+def test_dense_network_option_trains():
+    """network='dense' (lane-friendly parameterization) trains and predicts."""
+    x, y = _sinc_data()[:2]
+    bnn = BayesianNeuralNetwork(
+        network="dense", n_nets=5, n_iters=400, burn_in_steps=200,
+        sample_steps=20, seed=1)
+    bnn.train(x, y)
+    mean, variance = bnn.predict(x)
+    assert np.all(np.isfinite(mean))
+    assert np.all(variance >= 0)
+
+
+def test_fused_step_impl_trains_and_validates():
+    """step_impl='fused' (flash-SGHMC sampling phase) end to end on CPU.
+
+    CPU runs the kernel in interpret mode (zero in-kernel noise), so this
+    checks the integration plumbing; the posterior quality of the fused
+    path is gated on hardware (sinc predictive MSE 0.00018, see
+    docs/performance.md).
+    """
+    import pytest
+
+    x, y = _sinc_data()[:2]
+    bnn = BayesianNeuralNetwork(
+        network="dense", step_impl="fused", n_chains=2, n_nets=4,
+        n_iters=400, burn_in_steps=100, sample_steps=20, seed=2)
+    bnn.train(x, y)
+    assert bnn.is_trained
+    assert bnn._n_collected == 4
+    mean, variance = bnn.predict(x)
+    assert np.all(np.isfinite(mean))
+
+    with pytest.raises(ValueError, match="requires network='dense'"):
+        BayesianNeuralNetwork(step_impl="fused")
+    with pytest.raises(ValueError, match="requires SGHMC"):
+        from pysgmcmc_tpu.sampling import Sampler
+
+        BayesianNeuralNetwork(
+            step_impl="fused", network="dense",
+            sampling_method=Sampler.SGLD)
+    with pytest.raises(ValueError, match="mesh"):
+        BayesianNeuralNetwork(
+            step_impl="fused", network="dense", mesh=object())

@@ -21,12 +21,15 @@ import pysgmcmc_tpu.models.base_model
 import pysgmcmc_tpu.models.bayesian_linear_regression
 import pysgmcmc_tpu.models.bayesian_logistic_regression
 import pysgmcmc_tpu.models.bayesian_neural_network
+import pysgmcmc_tpu.ops.fused_step
 import pysgmcmc_tpu.ops.fused_update
 import pysgmcmc_tpu.ops.pairwise
+import pysgmcmc_tpu.ops.slim_update
 import pysgmcmc_tpu.ops.relativistic
 import pysgmcmc_tpu.ops.svgd_streaming
 import pysgmcmc_tpu.parallel.chains
 import pysgmcmc_tpu.parallel.mesh
+import pysgmcmc_tpu.parallel.packed
 import pysgmcmc_tpu.parallel.svgd
 import pysgmcmc_tpu.samplers._adaptive
 import pysgmcmc_tpu.samplers.base
@@ -59,12 +62,15 @@ MODULES = [
     pysgmcmc_tpu.models.bayesian_linear_regression,
     pysgmcmc_tpu.models.bayesian_logistic_regression,
     pysgmcmc_tpu.models.bayesian_neural_network,
+    pysgmcmc_tpu.ops.fused_step,
     pysgmcmc_tpu.ops.fused_update,
     pysgmcmc_tpu.ops.pairwise,
+    pysgmcmc_tpu.ops.slim_update,
     pysgmcmc_tpu.ops.relativistic,
     pysgmcmc_tpu.ops.svgd_streaming,
     pysgmcmc_tpu.parallel.chains,
     pysgmcmc_tpu.parallel.mesh,
+    pysgmcmc_tpu.parallel.packed,
     pysgmcmc_tpu.parallel.svgd,
     pysgmcmc_tpu.samplers._adaptive,
     pysgmcmc_tpu.samplers.base,
