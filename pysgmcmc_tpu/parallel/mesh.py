@@ -76,6 +76,20 @@ def initialize_multihost(coordinator_address=None, num_processes=None,
         coordinator_address is None and num_processes is None
         and process_id is None and not kwargs
     )
+    if not explicit:
+        import os
+
+        # Only attempt auto-detection when the cluster environment
+        # actually advertises one: jax.distributed.initialize() can BLOCK
+        # waiting for a coordinator barrier when partial TPU metadata is
+        # visible (e.g. a tunneled single chip), which would hang a plain
+        # single-process program.
+        cluster_vars = (
+            "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+            "JAX_NUM_PROCESSES", "TPU_WORKER_HOSTNAMES",
+        )
+        if not any(os.environ.get(v) for v in cluster_vars):
+            return
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
