@@ -19,6 +19,7 @@ examples:
 	PYTHONPATH=. JAX_PLATFORMS=cpu python examples/svgd_mixture.py
 	PYTHONPATH=. JAX_PLATFORMS=cpu python examples/relativistic_sghmc_banana.py
 	PYTHONPATH=. JAX_PLATFORMS=cpu python examples/bnn_sinc.py
+	PYTHONPATH=. JAX_PLATFORMS=cpu python examples/flash_sghmc.py
 	PYTHONPATH=. JAX_PLATFORMS=cpu python examples/checkpoint_resume.py
 	PYTHONPATH=. JAX_PLATFORMS=cpu python examples/compute_ess.py banana \
 	    --stepsize 0.5 --n-chains 2 --samples-per-chain 500 \

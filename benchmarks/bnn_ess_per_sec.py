@@ -38,6 +38,8 @@ def main():
     parser.add_argument("--samples-per-chain", type=int, default=200)
     parser.add_argument("--keep-every", type=int, default=20)
     parser.add_argument("--burn-in", type=int, default=1000)
+    parser.add_argument("--step-impl", choices=("pytree", "fused"),
+                        default="pytree")
     args = parser.parse_args()
 
     n_data, batch_size = 100, 20
@@ -46,7 +48,13 @@ def main():
     y = jnp.asarray(np.asarray(sinc(np.asarray(x))), jnp.float32)
     probes = jnp.linspace(0.0, 1.0, 8).reshape(8, 1)
 
-    init_fn, apply_fn = default_network(1)
+    if args.step_impl == "fused":
+        from pysgmcmc_tpu.models.architectures import dense_network
+
+        init_fn, apply_fn = dense_network(1)
+    else:
+        init_fn, apply_fn = default_network(1)
+    fold_prior = args.step_impl == "fused"
 
     def cost_fn(params, batch):
         xb, yb = batch
@@ -58,12 +66,19 @@ def main():
                     axis=1)
         ) / batch_size
         ll += log_variance_prior_log_like(f_log_var) / n_data
-        ll += weight_prior_log_like(params) / n_data
+        if not fold_prior:
+            ll += weight_prior_log_like(params) / n_data
         return -ll
 
+    n_params = sum(
+        leaf.size
+        for leaf in jax.tree_util.tree_leaves(init_fn(jax.random.PRNGKey(0)))
+    )
     sampler = SGHMCSampler(
         cost_fn, stepsize_schedule=float(np.sqrt(1e-4)),
         burn_in_steps=args.burn_in, scale_grad=float(n_data),
+        gaussian_prior_scale=(
+            1.0 / (n_params * n_data) if fold_prior else 0.0),
     )
     select_batch = make_batch_fn(x, y, batch_size)
 
@@ -83,7 +98,35 @@ def main():
         f = jax.vmap(lambda p: apply_fn(p, probes)[:, 0])(samples)
         return f  # (samples_per_chain, n_probes)
 
-    run = jax.jit(jax.vmap(one_chain))
+    if args.step_impl == "fused":
+        from pysgmcmc_tpu.parallel.packed import sample_chain_fused
+
+        @jax.jit
+        def run(chain_keys):
+            def burn_one(ck):
+                k_net, k_init, k_burn, _ = jax.random.split(ck, 4)
+                state = sampler.init(init_fn(k_net), k_init)
+                if args.burn_in > 0:
+                    state, _ = sample_chain(
+                        sampler, state, k_burn, 1, batch_fn=select_batch,
+                        keep_every=args.burn_in, collect_costs=False,
+                        phase="burn_in",
+                    )
+                return state
+
+            states = jax.vmap(burn_one)(chain_keys)
+            block = 32 if args.n_chains % 32 == 0 else args.n_chains
+            _, samples, _ = sample_chain_fused(
+                sampler, states, jax.random.PRNGKey(7),
+                args.samples_per_chain, x, y, batch_size=batch_size,
+                keep_every=args.keep_every, block_chains=block,
+                state_dtype=jnp.bfloat16,
+            )
+            # function-space trace per chain and snapshot
+            return jax.vmap(jax.vmap(lambda p: apply_fn(p, probes)[:, 0]))(
+                samples)
+    else:
+        run = jax.jit(jax.vmap(one_chain))
     chain_keys = jax.random.split(jax.random.PRNGKey(1), args.n_chains)
 
     traces = run(chain_keys)
