@@ -124,6 +124,11 @@ def pack_fused(params):
     - ``w3m: (n, S, S)`` — W3 with b3 on the bias row.
     """
     n, h, _ = params["w2"].shape
+    if h > BIAS_ROW:
+        raise ValueError(
+            "pack_fused: hidden width {} exceeds the kernel's slot design "
+            "(weights occupy rows 0..{}, the bias rides row {})".format(
+                h, BIAS_ROW - 1, BIAS_ROW))
 
     def mat(wkey, bkey):
         m = jnp.pad(
@@ -174,6 +179,10 @@ def data_windows(x, y, batch_size):
     window semantics of :func:`pysgmcmc_tpu.data_batches.batch_fn`.
     Traceable (static slices only), so it can live inside a jitted driver.
     """
+    if batch_size > B_PAD:
+        raise ValueError(
+            "data_windows: batch_size {} exceeds the kernel's padded "
+            "batch rows ({})".format(batch_size, B_PAD))
     x = jnp.asarray(x, jnp.float32).reshape(-1)
     y = jnp.asarray(y, jnp.float32).reshape(-1)
     n = x.shape[0]
@@ -221,10 +230,10 @@ def _make_kernel(batch_size, n_data, with_noise, block_chains):
         if with_noise:
             (nbig, nw3,
              obig, ow3, pbig, pw3,
-             s_a1, s_a2, s_a3, s_dz, s_gbig) = rest
+             s_a1, s_a2, s_a3, s_dz, s_gvec) = rest
         else:
             (obig, ow3, pbig, pw3,
-             s_a1, s_a2, s_a3, s_dz, s_gbig) = rest
+             s_a1, s_a2, s_a3, s_dz, s_gvec) = rest
             pltpu.prng_seed(int_ref[0] + pl.program_id(0))
 
         eps = float_ref[0]
@@ -324,30 +333,28 @@ def _make_kernel(batch_size, n_data, with_noise, block_chains):
             lane2 == LANE_B4, g_b4,
             jnp.where(lane2 == LANE_LVB, d_lvb, 0.0),
         ).astype(jnp.float32)                                # (C, S)
-        s_gbig[:, 0:S, :] = g_w2
-        s_gbig[:, ROW_W1:ROW_B1 + 1, :] = g_w1m
-        s_gbig[:, ROW_W4, :] = g_w4
-        s_gbig[:, ROW_SCAL, :] = g_scal
-        s_gbig[:, ROW_SCAL + 1:BIG_ROWS, :] = jnp.zeros(
-            (block_chains, BIG_ROWS - ROW_SCAL - 1, S), jnp.float32)
-        g_big = s_gbig[:]
+        # small vector-rows gradient slab (the W2-section gradient feeds
+        # the update directly -- no full-slab scratch round trip)
+        s_gvec[:, 0:2, :] = g_w1m
+        s_gvec[:, ROW_W4 - S, :] = g_w4
+        s_gvec[:, ROW_SCAL - S, :] = g_scal
+        s_gvec[:, ROW_SCAL - S + 1:VEC_ROWS, :] = jnp.zeros(
+            (block_chains, VEC_ROWS - (ROW_SCAL - S) - 1, S), jnp.float32)
+        g_vec = s_gvec[:]
 
         # ---- fused SGHMC update ----------------------------------------------
         if with_noise:
-            etas = (nbig[:], nw3[:])
+            etas = (nbig[:][:, 0:S, :], nbig[:][:, S:BIG_ROWS, :], nw3[:])
         else:
             etas = (
-                _normal_3d((block_chains, BIG_ROWS, S)),
+                _normal_3d((block_chains, S, S)),
+                _normal_3d((block_chains, VEC_ROWS, S)),
                 _normal_3d((block_chains, S, S)),
             )
 
-        for t_ref, v_ref, m_ref, grad, eta, out_t, out_v in (
-            (tbig, vbig, mbig, g_big, etas[0], obig, pbig),
-            (tw3, vw3, mw3, g_w3, etas[1], ow3, pw3),
-        ):
-            theta = t_ref[:]
-            v32 = v_ref[:].astype(jnp.float32)
-            minv = m_ref[:].astype(jnp.float32)
+        def _update(theta, v, minv, grad, eta):
+            v32 = v.astype(jnp.float32)
+            minv = minv.astype(jnp.float32)
             g = grad + prior_scale * theta
             sigma = jnp.sqrt(jnp.maximum(
                 2.0 * eps_scaled**2 * mdecay * minv - eps_scaled**4,
@@ -356,8 +363,24 @@ def _make_kernel(batch_size, n_data, with_noise, block_chains):
             # padding slots have minv == 0 -> sigma floor 1e-8; kill even
             # that by masking on the (zero-initialized) minv itself
             v_new = jnp.where(minv > 0.0, v_new, 0.0)
-            out_t[:] = theta + v_new
-            out_v[:] = v_new.astype(out_v.dtype)
+            return theta + v_new, v_new
+
+        # W2 section of the big slab (rows 0..S)
+        t_new, v_new = _update(
+            tbig[:, 0:S, :], vbig[:, 0:S, :], mbig[:, 0:S, :],
+            g_w2, etas[0])
+        obig[:, 0:S, :] = t_new
+        pbig[:, 0:S, :] = v_new.astype(pbig.dtype)
+        # vector rows of the big slab (rows S..BIG_ROWS)
+        t_new, v_new = _update(
+            tbig[:, S:BIG_ROWS, :], vbig[:, S:BIG_ROWS, :],
+            mbig[:, S:BIG_ROWS, :], g_vec, etas[1])
+        obig[:, S:BIG_ROWS, :] = t_new
+        pbig[:, S:BIG_ROWS, :] = v_new.astype(pbig.dtype)
+        # W3 slab
+        t_new, v_new = _update(tw3[:], vw3[:], mw3[:], g_w3, etas[2])
+        ow3[:] = t_new
+        pw3[:] = v_new.astype(pw3.dtype)
 
         # cost rides lane 0 of the last row of the f32 theta slab (bf16
         # single-lane stores are unsupported).  Self-consistent: the row's
@@ -456,7 +479,7 @@ def fused_bnn_step(
             pltpu.VMEM(bbs, jnp.bfloat16),  # a2 (ones-lane applied)
             pltpu.VMEM(bbs, jnp.bfloat16),  # a3
             pltpu.VMEM(bbs, jnp.float32),   # dz (reused per layer)
-            pltpu.VMEM((block_chains, BIG_ROWS, S), jnp.float32),  # g_big
+            pltpu.VMEM((block_chains, VEC_ROWS, S), jnp.float32),  # g_vec
         ],
     )
     # alias theta (operands 2..3 incl. scalar-prefetch args) and v (4..5)
