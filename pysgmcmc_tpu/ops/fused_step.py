@@ -223,17 +223,17 @@ def _make_kernel(batch_size, n_data, with_noise, block_chains):
                mbig, mw3,
                xin_ref, y_ref,
                *rest):
-        # trailing refs: [noise x2 (opt)] outputs x4, scratch x5
+        # trailing refs: [noise x2 (opt)] outputs x4, scratch x4
         # (the per-chain cost rides row BIG_ROWS-1 of the v output: a
         # separate (n,1) output gets promoted into scoped VMEM by XLA's
         # memory-space assignment and OOMs the kernel at 8k chains)
         if with_noise:
             (nbig, nw3,
              obig, ow3, pbig, pw3,
-             s_a1, s_a2, s_a3, s_dz, s_gvec) = rest
+             s_a1, s_a2, s_a3, s_gvec) = rest
         else:
             (obig, ow3, pbig, pw3,
-             s_a1, s_a2, s_a3, s_dz, s_gvec) = rest
+             s_a1, s_a2, s_a3, s_gvec) = rest
             pltpu.prng_seed(int_ref[0] + pl.program_id(0))
 
         eps = float_ref[0]
@@ -309,21 +309,18 @@ def _make_kernel(batch_size, n_data, with_noise, block_chains):
         # ---- backward --------------------------------------------------------
         # g_w4[c,j] = sum_b d_mean[c,b] a3[c,b,j]
         g_w4 = jnp.sum(a3f * d_mean[:, :, None], axis=1)     # (C, S)
-        s_dz[:] = (d_mean[:, :, None] * w4[:, None, :]) \
-            * (1.0 - a3f * a3f)                              # dz3
-        dz3_bf = s_dz[:].astype(bf16)
+        dz3_bf = ((d_mean[:, :, None] * w4[:, None, :])
+                  * (1.0 - a3f * a3f)).astype(bf16)          # dz3
         # dW3m[c,i,j] = sum_b a2[c,b,i] dz3[c,b,j]; row 50 = g_b3 (ones
         # lane of a2) -- the bias gradient falls out of the same dot
         g_w3 = _bdot(a2, dz3_bf, (((1,), (1,))))             # (C, S, S)
         # da2[c,b,i] = sum_j dz3[c,b,j] W3m[c,i,j]; the spurious bias-row
         # term at lane 50 dies against (1 - a2^2) = 0 there
         da2 = _bdot(dz3_bf, w3_bf, (((2,), (2,))))           # (C, B, S)
-        s_dz[:] = da2 * (1.0 - a2f * a2f)                    # dz2
-        dz2_bf = s_dz[:].astype(bf16)
+        dz2_bf = (da2 * (1.0 - a2f * a2f)).astype(bf16)      # dz2
         g_w2 = _bdot(a1, dz2_bf, (((1,), (1,))))
         da1 = _bdot(dz2_bf, w2_bf, (((2,), (2,))))
-        s_dz[:] = da1 * (1.0 - a1f * a1f)                    # dz1
-        dz1_bf = s_dz[:].astype(bf16)
+        dz1_bf = (da1 * (1.0 - a1f * a1f)).astype(bf16)      # dz1
         # rows [g_w1, g_b1] from one dot against the [x, 1] input lanes
         g_w1m = _bdot(xin_bf, dz1_bf, (((1,), (1,))))        # (C, 2, S)
 
@@ -478,7 +475,6 @@ def fused_bnn_step(
             pltpu.VMEM(bbs, jnp.bfloat16),  # a1 (ones-lane applied)
             pltpu.VMEM(bbs, jnp.bfloat16),  # a2 (ones-lane applied)
             pltpu.VMEM(bbs, jnp.bfloat16),  # a3
-            pltpu.VMEM(bbs, jnp.float32),   # dz (reused per layer)
             pltpu.VMEM((block_chains, VEC_ROWS, S), jnp.float32),  # g_vec
         ],
     )
