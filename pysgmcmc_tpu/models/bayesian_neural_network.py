@@ -198,7 +198,7 @@ class BayesianNeuralNetwork(BaseModel):
         # same architecture (models/architectures.dense_network — identical
         # math and init draws).  step_impl="fused": run the sampling phase
         # on the flash-SGHMC whole-step Pallas kernel (ops/fused_step) —
-        # measured 1.86M steps/sec/chip vs 1.48M for the pytree path on
+        # measured 1.90M steps/sec/chip vs 1.48M for the pytree path on
         # the 8192-chain flagship; requires network="dense", SGHMC, the
         # default 3x50 architecture, and no mesh.  The fused path draws
         # its noise from the in-kernel TPU PRNG (a different — equally
