@@ -10,6 +10,16 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
+# Force the CPU platform at the process level (tests/conftest.py also
+# pins it after import).  The tunneled TPU plugin is single-process:
+# letting any test process touch it while a benchmark holds the chip
+# blocks the whole suite on the tunnel.
+export JAX_PLATFORMS=cpu
+case "${XLA_FLAGS:-}" in
+  *xla_force_host_platform_device_count*) ;;
+  *) export XLA_FLAGS="${XLA_FLAGS:-} --xla_force_host_platform_device_count=8" ;;
+esac
+
 MODE="${1:-fast}"
 
 if [ "$MODE" = "full" ]; then

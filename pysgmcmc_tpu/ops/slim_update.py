@@ -380,3 +380,99 @@ def slim_sghmc_update(
         input_output_aliases=aliases,
         interpret=interpreter,
     )(int_scalars, float_scalars, *operands)
+
+
+#  SGLD (momentum-free) -----------------------------------------------------
+
+def _sgld_math(theta, grad, minv, mask, eta, eps, a_over_sg, a_coef,
+               prior_scale):
+    minv = minv.astype(jnp.float32)
+    g = grad.astype(jnp.float32) + prior_scale * theta
+    sigma = jnp.sqrt(jnp.maximum(2.0 * eps * minv * a_over_sg, 0.0))
+    return theta + (-eps * minv * a_coef * g + sigma * eta) * mask
+
+
+def _sgld_kernel_rng(int_ref, float_ref, theta_ref, grad_ref, minv_ref,
+                     mask_ref, theta_out):
+    pid = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+    pltpu.prng_seed(int_ref[0] + pid)
+    eta = _normal_from_bits(theta_ref.shape)
+    theta_out[:] = _sgld_math(
+        theta_ref[:], grad_ref[:], minv_ref[:], mask_ref[:], eta,
+        float_ref[0], float_ref[1], float_ref[2], float_ref[3])
+
+
+def _sgld_kernel_noise(int_ref, float_ref, theta_ref, grad_ref, minv_ref,
+                       mask_ref, eta_ref, theta_out):
+    theta_out[:] = _sgld_math(
+        theta_ref[:], grad_ref[:], minv_ref[:], mask_ref[:], eta_ref[:],
+        float_ref[0], float_ref[1], float_ref[2], float_ref[3])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("a_coef", "scale_grad", "prior_scale", "interpret"),
+)
+def slim_sgld_update(
+    theta, grad, minv, mask, eps, seed,
+    a_coef=1.0, scale_grad=1.0, prior_scale=0.0,
+    noise=None, interpret=False,
+):
+    """One fused sampling-phase SGLD step over packed flat state.
+
+    SGLD semantics of :mod:`pysgmcmc_tpu.samplers.sgld`:
+    ``theta' = theta - eps minv A grad + sqrt(2 eps minv A / scale_grad)
+    eta``, with the optional analytic Gaussian-prior fold.  Arguments as
+    in :func:`slim_sghmc_update` minus the momentum; returns ``theta'``
+    aliased onto the input buffer.
+    """
+    n_rows, n_cols = theta.shape
+    if n_cols % LANES != 0:
+        raise ValueError(
+            "slim_sgld_update: width must be a multiple of {}; got "
+            "{}".format(LANES, n_cols))
+    if mask is None:
+        mask = jnp.ones((1, n_cols), jnp.float32)
+    with_noise = noise is not None
+    n_buffers = 5 + (1 if with_noise else 0)
+    block_rows, block_cols = _block_shape(n_rows, n_cols, n_buffers)
+    grid = (n_rows // block_rows, n_cols // block_cols)
+
+    eps32 = jnp.asarray(eps, jnp.float32)
+    int_scalars = jnp.asarray(seed, jnp.int32).reshape(1)
+    float_scalars = jnp.stack([
+        eps32,
+        jnp.asarray(a_coef / scale_grad, jnp.float32),
+        jnp.asarray(a_coef, jnp.float32),
+        jnp.asarray(prior_scale, jnp.float32),
+    ])
+
+    def spec():
+        return pl.BlockSpec(
+            (block_rows, block_cols), lambda i, j, *_: (i, j),
+            memory_space=pltpu.VMEM)
+
+    mask_spec = pl.BlockSpec(
+        (1, block_cols), lambda i, j, *_: (0, j), memory_space=pltpu.VMEM)
+    in_specs = [spec(), spec(), spec(), mask_spec]
+    operands = (theta, grad, minv, mask)
+    if with_noise:
+        in_specs.append(spec())
+        operands = operands + (noise,)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(spec(),),
+    )
+    kernel = _sgld_kernel_noise if with_noise else _sgld_kernel_rng
+    interpreter = pltpu.InterpretParams() if interpret else False
+    (out,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct(theta.shape, jnp.float32),),
+        input_output_aliases={2: 0},
+        interpret=interpreter,
+    )(int_scalars, float_scalars, *operands)
+    return out

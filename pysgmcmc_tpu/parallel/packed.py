@@ -49,8 +49,10 @@ from pysgmcmc_tpu.ops.fused_update import pad_dim
 from pysgmcmc_tpu.ops.slim_update import (
     slim_sghmc_update,
     slim_sghmc_update_tree,
+    slim_sgld_update,
 )
 from pysgmcmc_tpu.samplers.sghmc import SGHMCSampler, SGHMCState
+from pysgmcmc_tpu.samplers.sgld import SGLDSampler, SGLDState
 
 
 class PackSpec(NamedTuple):
@@ -247,10 +249,11 @@ def sample_chain_lanes(
     (bitwise-testable on CPU).  Returns ``(states, positions, costs)``
     shaped like :func:`pysgmcmc_tpu.samplers.base.sample_chain`.
     """
-    if not isinstance(sampler, SGHMCSampler):
+    is_sghmc = isinstance(sampler, SGHMCSampler)
+    if not is_sghmc and not isinstance(sampler, SGLDSampler):
         raise NotImplementedError(
-            "sample_chain_lanes currently supports SGHMCSampler; got "
-            "{!r}".format(type(sampler).__name__)
+            "sample_chain_lanes supports SGHMCSampler and SGLDSampler; "
+            "got {!r}".format(type(sampler).__name__)
         )
     if backend not in ("pallas", "xla"):
         raise ValueError("backend must be 'pallas' or 'xla'")
@@ -264,7 +267,10 @@ def sample_chain_lanes(
     # inverse in bf16 HBM (update arithmetic stays f32 in VMEM): halves
     # their traffic for an O(2^-8) relative rounding on the momentum —
     # far below the injected sampling noise (moments pinned in tests).
-    v = pack_lanes(spec, states.momentum, dtype=state_dtype)
+    v = (
+        pack_lanes(spec, states.momentum, dtype=state_dtype)
+        if is_sghmc else None
+    )
     minv = pack_lanes(spec, states.stats.minv, dtype=state_dtype)
 
     grad_fn = jax.vmap(
@@ -276,9 +282,10 @@ def sample_chain_lanes(
 
     key, key_seed = jax.random.split(key)
     base_seed = _base_seed(key_seed)
-    mdecay = sampler.mdecay
     scale_grad = sampler.scale_grad
     prior_scale = sampler.gaussian_prior_scale
+    mdecay = sampler.mdecay if is_sghmc else None
+    a_coef = None if is_sghmc else sampler.A
     schedule_state0 = _shared_schedule_state(states)
     step0 = jnp.max(states.step) if jnp.ndim(states.step) else states.step
 
@@ -297,14 +304,20 @@ def sample_chain_lanes(
             spec, grads, dtype=jax.tree_util.tree_leaves(grads)[0].dtype
         )
         eps = _schedule_eps(sampler, schedule_state0, step)
-        if backend == "pallas":
+        seed = base_seed + step.astype(jnp.int32)
+        if backend == "pallas" and is_sghmc:
             theta, v = slim_sghmc_update(
-                theta, v, grad_flat, minv, None, eps,
-                base_seed + step.astype(jnp.int32),
+                theta, v, grad_flat, minv, None, eps, seed,
                 mdecay=mdecay, scale_grad=scale_grad,
                 prior_scale=prior_scale, interpret=interpret,
             )
-        else:
+        elif backend == "pallas":
+            theta = slim_sgld_update(
+                theta, grad_flat, minv, None, eps, seed,
+                a_coef=float(a_coef), scale_grad=scale_grad,
+                prior_scale=prior_scale, interpret=interpret,
+            )
+        elif is_sghmc:
             key, key_noise = jax.random.split(key)
             eta = jax.random.normal(key_noise, theta.shape, jnp.float32)
             eps_scaled = eps / jnp.sqrt(jnp.asarray(scale_grad, jnp.float32))
@@ -317,6 +330,14 @@ def sample_chain_lanes(
             v32 = v32 - eps**2 * minv32 * g - mdecay * v32 + sigma * eta
             theta = theta + v32
             v = v32.astype(state_dtype)
+        else:
+            key, key_noise = jax.random.split(key)
+            eta = jax.random.normal(key_noise, theta.shape, jnp.float32)
+            g = grad_flat.astype(jnp.float32) + prior_scale * theta
+            minv32 = minv.astype(jnp.float32)
+            sigma = jnp.sqrt(jnp.maximum(
+                2.0 * eps * minv32 * a_coef / scale_grad, 0.0))
+            theta = theta - eps * minv32 * a_coef * g + sigma * eta
         return (theta, v, key, step + 1), cost
 
     def thinned(carry, _):
@@ -328,13 +349,21 @@ def sample_chain_lanes(
         thinned, (theta, v, key, step0), None, length=n_samples
     )
 
-    new_states = SGHMCState(
-        position=unpack_lanes(spec, theta),
-        momentum=unpack_lanes(spec, v, jnp.float32),
-        stats=states.stats,
-        step=states.step + n_samples * keep_every,
-        schedule_state=states.schedule_state,
-    )
+    if is_sghmc:
+        new_states = SGHMCState(
+            position=unpack_lanes(spec, theta),
+            momentum=unpack_lanes(spec, v, jnp.float32),
+            stats=states.stats,
+            step=states.step + n_samples * keep_every,
+            schedule_state=states.schedule_state,
+        )
+    else:
+        new_states = SGLDState(
+            position=unpack_lanes(spec, theta),
+            stats=states.stats,
+            step=states.step + n_samples * keep_every,
+            schedule_state=states.schedule_state,
+        )
     if positions is not None:
         positions = jax.tree_util.tree_map(
             lambda l: jnp.swapaxes(l, 0, 1), positions

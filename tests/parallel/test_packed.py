@@ -359,3 +359,93 @@ def test_packed_rejects_non_sghmc():
     sampler = SGLDSampler(lambda p: jnp.sum(p**2), stepsize_schedule=0.01)
     with pytest.raises(NotImplementedError):
         sample_chain_packed(sampler, None, jax.random.PRNGKey(0), 1)
+
+
+def test_slim_sgld_update_matches_pytree_step():
+    """The flat SGLD kernel math == SGLDSampler.step, same noise."""
+    from pysgmcmc_tpu.ops.slim_update import slim_sgld_update
+    from pysgmcmc_tpu.samplers.sgld import SGLDSampler
+
+    template = _template()
+    spec = make_pack_spec(template)
+    rng = np.random.RandomState(5)
+    n = 3
+    positions = jax.tree_util.tree_map(
+        lambda l: jnp.asarray(rng.standard_normal((n,) + l.shape),
+                              jnp.float32), template)
+    sampler = SGLDSampler(
+        lambda p, b: 0.5 * sum(jnp.sum(x**2) for x in
+                               jax.tree_util.tree_leaves(p)),
+        stepsize_schedule=0.01, burn_in_steps=2, scale_grad=10.0,
+        gaussian_prior_scale=0.125,
+    )
+    states = jax.vmap(sampler.init)(
+        positions, jax.random.split(jax.random.PRNGKey(0), n))
+    states, _ = jax.vmap(
+        lambda s, k: sample_chain(
+            sampler, s, k, 1, batch_fn=lambda kk: jnp.zeros(()),
+            keep_every=2, collect_costs=False, phase="burn_in")
+    )(states, jax.random.split(jax.random.PRNGKey(1), n))
+
+    eta = jax.vmap(normal_like_tree, in_axes=(0, 0))(
+        jax.random.split(jax.random.PRNGKey(2), n), states.position)
+    ref_state, _ = jax.vmap(
+        lambda s, e: sampler.step(
+            s, jax.random.PRNGKey(0), jnp.zeros(()), noise=e,
+            phase="sampling")
+    )(states, eta)
+
+    grads = jax.vmap(jax.grad(sampler.cost_fn))(
+        states.position, jnp.zeros((n,)))
+    theta2 = slim_sgld_update(
+        pack_tree(spec, states.position),
+        pack_tree(spec, grads),
+        pack_tree(spec, states.stats.minv),
+        pack_mask(spec), eps=0.01, seed=0,
+        a_coef=float(sampler.A), scale_grad=sampler.scale_grad,
+        prior_scale=sampler.gaussian_prior_scale,
+        noise=pack_tree(spec, eta), interpret=True,
+    )
+    got = unpack_tree(spec, theta2)
+    for a, b in zip(jax.tree_util.tree_leaves(ref_state.position),
+                    jax.tree_util.tree_leaves(got)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_lanes_sgld_samples_gaussian():
+    """The lanes driver with SGLD (xla backend) matches target moments."""
+    from pysgmcmc_tpu.parallel.packed import sample_chain_lanes
+    from pysgmcmc_tpu.samplers.sgld import SGLDSampler
+
+    sampler = SGLDSampler(
+        lambda p, b: 0.5 * sum(jnp.sum(x**2) for x in
+                               jax.tree_util.tree_leaves(p)),
+        stepsize_schedule=0.05, burn_in_steps=100,
+    )
+    n = 16
+    template = {"x": jnp.zeros(4), "y": jnp.zeros((2, 3))}
+    positions = jax.tree_util.tree_map(
+        lambda l: 0.1 * jax.random.normal(
+            jax.random.PRNGKey(3), (n,) + l.shape), template)
+    states = jax.vmap(sampler.init)(
+        positions, jax.random.split(jax.random.PRNGKey(4), n))
+    states, _ = jax.vmap(
+        lambda s, k: sample_chain(
+            sampler, s, k, 1, batch_fn=lambda kk: jnp.zeros(()),
+            keep_every=100, collect_costs=False, phase="burn_in")
+    )(states, jax.random.split(jax.random.PRNGKey(5), n))
+
+    run = jax.jit(lambda s, k: sample_chain_lanes(
+        sampler, s, k, 400, batch_fn=lambda kk: jnp.zeros(()),
+        keep_every=5, compute_dtype=None, backend="xla"))
+    states, positions, costs = run(states, jax.random.PRNGKey(6))
+    draws = np.concatenate([
+        np.asarray(l).reshape(-1)
+        for l in jax.tree_util.tree_leaves(positions)
+    ])
+    assert np.isfinite(draws).all()
+    assert abs(draws.mean()) < 0.1
+    assert abs(draws.std() - 1.0) < 0.15
+    assert int(states.step[0]) == 100 + 400 * 5
