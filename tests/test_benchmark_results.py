@@ -47,3 +47,12 @@ def test_bnn_ess_per_sec_recorded():
     result = _load("results_bnn_ess_per_sec.json")
     assert result["ess_per_sec"] > 0
     assert result["mean_ess"] > 0
+
+
+def test_bnn_ess_per_sec_fused_improves():
+    """The flash-SGHMC path must not regress the recorded ESS/sec."""
+    base = _load("results_bnn_ess_per_sec.json")
+    fused = _load("results_bnn_ess_per_sec_fused.json")
+    assert fused["ess_per_sec"] > base["ess_per_sec"]
+    # mixing quality is preserved (same protocol, same chain count)
+    assert fused["mean_ess"] > 0.9 * base["mean_ess"]
