@@ -212,10 +212,12 @@ def _bdot(a, b, contract, batch=((0,), (0,))):
         preferred_element_type=jnp.float32)
 
 
-def _make_kernel(batch_size, n_data, with_noise, block_chains):
+def _make_kernel(batch_size, n_data, with_noise, block_chains,
+                 n_windows=None):
     bf16 = jnp.bfloat16
     inv_b = 1.0 / batch_size
     inv_n = 1.0 / n_data
+    select_in_kernel = n_windows is not None
 
     def kernel(int_ref, float_ref,
                tbig, tw3,
@@ -254,8 +256,27 @@ def _make_kernel(batch_size, n_data, with_noise, block_chains):
         b4 = scal[:, LANE_B4:LANE_B4 + 1]                    # (C, 1)
         lvb = scal[:, LANE_LVB:LANE_LVB + 1]
 
-        xin = xin_ref[:]                                     # (C, B_PAD, 2)
-        y = y_ref[:]                                         # (C, B_PAD)
+        if select_in_kernel:
+            # xin_ref/y_ref are the SHARED window tables (n_windows, B):
+            # draw each chain's window index from the in-kernel PRNG and
+            # gather both tables with one masked dot each
+            u = _uniform_3d((block_chains, 8))[:, 0:1]       # (C, 1)
+            widx = jnp.clip(
+                (u * n_windows).astype(jnp.int32), 0, n_windows - 1)
+            win_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (block_chains, n_windows), 1)
+            onehot = (win_iota == widx).astype(jnp.float32)  # (C, W)
+            x_sel = jax.lax.dot_general(
+                onehot, xin_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (C, B_PAD)
+            y = jax.lax.dot_general(
+                onehot, y_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            xin = jnp.stack(
+                [x_sel, jnp.ones_like(x_sel)], axis=2)       # (C, B, 2)
+        else:
+            xin = xin_ref[:]                                 # (C, B_PAD, 2)
+            y = y_ref[:]                                     # (C, B_PAD)
 
         # ---- forward (bf16 matmuls, f32 accumulation) ----------------------
         # This formulation is the one proven to compile end to end on v5e
@@ -391,13 +412,15 @@ def _make_kernel(batch_size, n_data, with_noise, block_chains):
 @functools.partial(
     jax.jit,
     static_argnames=("mdecay", "scale_grad", "prior_scale", "batch_size",
-                     "n_data", "block_chains", "state_dtype", "interpret"),
+                     "n_data", "block_chains", "state_dtype",
+                     "select_in_kernel", "interpret"),
 )
 def fused_bnn_step(
     theta, v, minv, x_sel, y_sel, eps, seed,
     mdecay=0.05, scale_grad=1.0, prior_scale=0.0,
     batch_size=20, n_data=100, block_chains=64,
-    state_dtype=jnp.bfloat16, noise=None, interpret=False,
+    state_dtype=jnp.bfloat16, select_in_kernel=False,
+    noise=None, interpret=False,
 ):
     """One fused forward+backward+update SGHMC step.
 
@@ -415,12 +438,26 @@ def fused_bnn_step(
             "fused_bnn_step: n_chains ({}) must be divisible by "
             "block_chains ({})".format(n_chains, block_chains))
 
-    # layer-1 input lanes [x, 1]: the constant lane carries b1 through
-    # the first matmul (and its gradient through the g_w1m dot).  bf16:
-    # the kernel casts it for the MXU anyway, and the (C, B, 2) block
-    # pads its 2 lanes to 128 physically -- halving the dtype halves it
-    xin = jnp.stack(
-        [x_sel, jnp.ones_like(x_sel)], axis=2).astype(jnp.bfloat16)
+    if select_in_kernel:
+        # x_sel/y_sel are the SHARED minibatch window tables from
+        # :func:`data_windows`; the kernel draws each chain's window from
+        # its own PRNG stream and gathers in VMEM -- no per-step selection
+        # traffic at all.  Incompatible with noise injection (the PRNG is
+        # only seeded on the in-kernel-noise path).
+        if noise is not None:
+            raise ValueError(
+                "select_in_kernel does not combine with injected noise")
+        n_windows = x_sel.shape[0]
+        xin = jnp.asarray(x_sel, jnp.float32)
+        y_sel = jnp.asarray(y_sel, jnp.float32)
+    else:
+        n_windows = None
+        # layer-1 input lanes [x, 1]: the constant lane carries b1 through
+        # the first matmul (and its gradient through the g_w1m dot).  bf16:
+        # the kernel casts it for the MXU anyway, and the (C, B, 2) block
+        # pads its 2 lanes to 128 physically -- halving the dtype halves it
+        xin = jnp.stack(
+            [x_sel, jnp.ones_like(x_sel)], axis=2).astype(jnp.bfloat16)
 
     eps32 = jnp.asarray(eps, jnp.float32)
     int_scalars = jnp.asarray(seed, jnp.int32).reshape(1)
@@ -440,10 +477,18 @@ def fused_bnn_step(
             memory_space=pltpu.VMEM)
 
     def data_spec():
+        if select_in_kernel:
+            return pl.BlockSpec(
+                tuple(y_sel.shape), lambda i, *_: (0, 0),
+                memory_space=pltpu.VMEM)
         return pl.BlockSpec((block_chains, B_PAD), lambda i, *_: (i, 0),
                             memory_space=pltpu.VMEM)
 
     def xin_spec():
+        if select_in_kernel:
+            return pl.BlockSpec(
+                tuple(xin.shape), lambda i, *_: (0, 0),
+                memory_space=pltpu.VMEM)
         return pl.BlockSpec(
             (block_chains, B_PAD, 2), lambda i, *_: (i, 0, 0),
             memory_space=pltpu.VMEM)
@@ -483,7 +528,8 @@ def fused_bnn_step(
     aliases.update({i + 4: i + 2 for i in range(2)})
 
     kernel = _make_kernel(
-        float(batch_size), float(n_data), with_noise, block_chains)
+        float(batch_size), float(n_data), with_noise, block_chains,
+        n_windows=n_windows)
     interpreter = pltpu.InterpretParams() if interpret else False
     outs = pl.pallas_call(
         kernel,
