@@ -212,6 +212,188 @@ def _bdot(a, b, contract, batch=((0,), (0,))):
         preferred_element_type=jnp.float32)
 
 
+def _make_kernel_paired(batch_size, n_data, block_chains):
+    """flash-SGHMC kernel variant: 2-chain paired MXU dots.
+
+    The standard kernel's (B,64)@(64,64) batched dots contract over only
+    half the MXU's 128-deep systolic array and are instance-overhead
+    bound (~54 ns/dot vs ~1 ns of pure FLOP time).  This variant packs
+    chain pairs into block-diagonal (128, 128) operands so every dot
+    contracts the full depth and the instance count halves — trading 2x
+    padded FLOPs (free) for half the per-dot overhead.  In-kernel-RNG
+    noise only (no injection path); block_chains must be even.
+    """
+    bf16 = jnp.bfloat16
+    inv_b = 1.0 / batch_size
+    inv_n = 1.0 / n_data
+    C = block_chains
+    Cp = C // 2
+
+    def pair_mats(m):
+        # (C, S, S) -> block-diag (Cp, 2S, 2S)
+        r = m.reshape(Cp, 2, S, S)
+        a, b = r[:, 0], r[:, 1]
+        zero = jnp.zeros_like(a)
+        top = jnp.concatenate([a, zero], axis=2)
+        bot = jnp.concatenate([zero, b], axis=2)
+        return jnp.concatenate([top, bot], axis=1)
+
+    def pair_lanes(m):
+        # (C, B, S) -> (Cp, B, 2S): chain pair side by side on lanes
+        r = m.reshape(Cp, 2, B_PAD, S)
+        return jnp.concatenate([r[:, 0], r[:, 1]], axis=2)
+
+    def unpair_lanes(m):
+        # (Cp, B, 2S) -> (C, B, S)
+        return jnp.stack([m[:, :, 0:S], m[:, :, S:2 * S]],
+                         axis=1).reshape(C, B_PAD, S)
+
+    def unpair_mats(m):
+        # block-diag (Cp, 2S, 2S) -> (C, S, S), discarding cross blocks
+        return jnp.stack([m[:, 0:S, 0:S], m[:, S:2 * S, S:2 * S]],
+                         axis=1).reshape(C, S, S)
+
+    def kernel(int_ref, float_ref,
+               tbig, tw3,
+               vbig, vw3,
+               mbig, mw3,
+               xin_ref, y_ref,
+               obig, ow3, pbig, pw3,
+               s_a1, s_a2, s_a3, s_gvec):
+        pltpu.prng_seed(int_ref[0] + pl.program_id(0))
+        eps = float_ref[0]
+        eps_scaled = float_ref[1]
+        mdecay = float_ref[2]
+        prior_scale = float_ref[3]
+
+        brow = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD), 1)
+        bmask = (brow < batch_size).astype(jnp.float32)
+        lane3p = jax.lax.broadcasted_iota(
+            jnp.int32, (Cp, B_PAD, 2 * S), 2)
+        bias_lane_p = (lane3p % S) == BIAS_ROW
+
+        big = tbig[:]
+        w4 = big[:, ROW_W4, :]
+        scal = big[:, ROW_SCAL, :]
+        b4 = scal[:, LANE_B4:LANE_B4 + 1]
+        lvb = scal[:, LANE_LVB:LANE_LVB + 1]
+
+        xin = xin_ref[:]                                     # (C, B, 2)
+        y = y_ref[:]
+
+        # paired layer-1 operand: (Cp, B, 4) lanes [xa, 1a, xb, 1b]
+        xr = xin.astype(bf16).reshape(Cp, 2, B_PAD, 2)
+        xinp = jnp.concatenate([xr[:, 0], xr[:, 1]], axis=2)
+        w1m = big[:, ROW_W1:ROW_B1 + 1, :]                   # (C, 2, S)
+        w1r = w1m.reshape(Cp, 2, 2, S)
+        z14 = jnp.zeros((Cp, 2, S), jnp.float32)
+        w1p = jnp.concatenate([
+            jnp.concatenate([w1r[:, 0], z14], axis=2),
+            jnp.concatenate([z14, w1r[:, 1]], axis=2),
+        ], axis=1).astype(bf16)                              # (Cp, 4, 2S)
+
+        w2p = pair_mats(big[:, 0:S, :]).astype(bf16)         # (Cp, 2S, 2S)
+        w3p = pair_mats(tw3[:]).astype(bf16)
+
+        # ---- forward (paired) ---------------------------------------------
+        z1 = _bdot(xinp, w1p, (((2,), (1,))))                # (Cp, B, 2S)
+        s_a1[:] = unpair_lanes(
+            jnp.where(bias_lane_p, 1.0, jnp.tanh(z1))).astype(bf16)
+        a1p = pair_lanes(s_a1[:].astype(jnp.float32)).astype(bf16)
+        z2 = _bdot(a1p, w2p, (((2,), (1,))))
+        s_a2[:] = unpair_lanes(
+            jnp.where(bias_lane_p, 1.0, jnp.tanh(z2))).astype(bf16)
+        a2p = pair_lanes(s_a2[:].astype(jnp.float32)).astype(bf16)
+        z3 = _bdot(a2p, w3p, (((2,), (1,))))
+        s_a3[:] = unpair_lanes(jnp.tanh(z3)).astype(bf16)
+        a3f = s_a3[:].astype(jnp.float32)                    # (C, B, S)
+        f_mean = jnp.sum(a3f * w4[:, None, :], axis=2) + b4
+
+        # ---- likelihood (unpaired 2D) -------------------------------------
+        e_lv = jnp.exp(lvb)
+        var_inv = 1.0 / (e_lv + 1e-16)
+        diff = (f_mean - y) * bmask
+        mse = diff * diff
+        ll = jnp.sum(
+            -mse * (0.5 * var_inv) - 0.5 * lvb * bmask,
+            axis=1, keepdims=True) * inv_b
+        p_term = -jnp.square(lvb - LOG_MP) / (2.0 * VAR_P) \
+            - 0.5 * float(np.log(VAR_P))
+        cost = -(ll + p_term * inv_n)
+        d_mean = diff * var_inv * inv_b
+        d_lvb = -jnp.sum(
+            mse * (0.5 * e_lv) * jnp.square(var_inv) - 0.5 * bmask,
+            axis=1, keepdims=True) * inv_b
+        d_lvb = d_lvb + (lvb - LOG_MP) / VAR_P * inv_n
+        g_b4 = jnp.sum(d_mean, axis=1, keepdims=True)
+
+        # ---- backward (paired dots) ---------------------------------------
+        g_w4 = jnp.sum(a3f * d_mean[:, :, None], axis=1)
+        dz3 = (d_mean[:, :, None] * w4[:, None, :]) * (1.0 - a3f * a3f)
+        dz3p = pair_lanes(dz3).astype(bf16)
+        g_w3 = unpair_mats(_bdot(a2p, dz3p, (((1,), (1,)))))
+        da2 = unpair_lanes(_bdot(dz3p, w3p, (((2,), (2,)))))
+        a2f = s_a2[:].astype(jnp.float32)
+        dz2 = da2 * (1.0 - a2f * a2f)
+        dz2p = pair_lanes(dz2).astype(bf16)
+        g_w2 = unpair_mats(_bdot(a1p, dz2p, (((1,), (1,)))))
+        da1 = unpair_lanes(_bdot(dz2p, w2p, (((2,), (2,)))))
+        a1f = s_a1[:].astype(jnp.float32)
+        dz1 = da1 * (1.0 - a1f * a1f)
+        dz1p = pair_lanes(dz1).astype(bf16)
+        g_w1p = _bdot(xinp, dz1p, (((1,), (1,))))            # (Cp, 4, 2S)
+        g_w1m = jnp.stack(
+            [g_w1p[:, 0:2, 0:S], g_w1p[:, 2:4, S:2 * S]],
+            axis=1).reshape(C, 2, S)
+
+        lane2 = jax.lax.broadcasted_iota(jnp.int32, (C, S), 1)
+        g_scal = jnp.where(
+            lane2 == LANE_B4, g_b4,
+            jnp.where(lane2 == LANE_LVB, d_lvb, 0.0),
+        ).astype(jnp.float32)
+        s_gvec[:, 0:2, :] = g_w1m
+        s_gvec[:, ROW_W4 - S, :] = g_w4
+        s_gvec[:, ROW_SCAL - S, :] = g_scal
+        s_gvec[:, ROW_SCAL - S + 1:VEC_ROWS, :] = jnp.zeros(
+            (C, VEC_ROWS - (ROW_SCAL - S) - 1, S), jnp.float32)
+        g_vec = s_gvec[:]
+
+        etas = (
+            _normal_3d((C, S, S)),
+            _normal_3d((C, VEC_ROWS, S)),
+            _normal_3d((C, S, S)),
+        )
+
+        def _update(theta, v, minv, grad, eta):
+            v32 = v.astype(jnp.float32)
+            minv = minv.astype(jnp.float32)
+            g = grad + prior_scale * theta
+            sigma = jnp.sqrt(jnp.maximum(
+                2.0 * eps_scaled**2 * mdecay * minv - eps_scaled**4,
+                1e-16))
+            v_new = v32 - eps**2 * minv * g - mdecay * v32 + sigma * eta
+            v_new = jnp.where(minv > 0.0, v_new, 0.0)
+            return theta + v_new, v_new
+
+        t_new, v_new = _update(
+            tbig[:, 0:S, :], vbig[:, 0:S, :], mbig[:, 0:S, :],
+            g_w2, etas[0])
+        obig[:, 0:S, :] = t_new
+        pbig[:, 0:S, :] = v_new.astype(pbig.dtype)
+        t_new, v_new = _update(
+            tbig[:, S:BIG_ROWS, :], vbig[:, S:BIG_ROWS, :],
+            mbig[:, S:BIG_ROWS, :], g_vec, etas[1])
+        obig[:, S:BIG_ROWS, :] = t_new
+        pbig[:, S:BIG_ROWS, :] = v_new.astype(pbig.dtype)
+        t_new, v_new = _update(tw3[:], vw3[:], mw3[:], g_w3, etas[2])
+        ow3[:] = t_new
+        pw3[:] = v_new.astype(pw3.dtype)
+
+        obig[:, BIG_ROWS - 1, LANE_B4:LANE_B4 + 1] = cost
+
+    return kernel
+
+
 def _make_kernel(batch_size, n_data, with_noise, block_chains,
                  n_windows=None):
     bf16 = jnp.bfloat16
@@ -413,13 +595,13 @@ def _make_kernel(batch_size, n_data, with_noise, block_chains,
     jax.jit,
     static_argnames=("mdecay", "scale_grad", "prior_scale", "batch_size",
                      "n_data", "block_chains", "state_dtype",
-                     "select_in_kernel", "interpret"),
+                     "select_in_kernel", "pair_dots", "interpret"),
 )
 def fused_bnn_step(
     theta, v, minv, x_sel, y_sel, eps, seed,
     mdecay=0.05, scale_grad=1.0, prior_scale=0.0,
     batch_size=20, n_data=100, block_chains=64,
-    state_dtype=jnp.bfloat16, select_in_kernel=False,
+    state_dtype=jnp.bfloat16, select_in_kernel=False, pair_dots=False,
     noise=None, interpret=False,
 ):
     """One fused forward+backward+update SGHMC step.
@@ -527,9 +709,19 @@ def fused_bnn_step(
     aliases = {i + 2: i for i in range(2)}
     aliases.update({i + 4: i + 2 for i in range(2)})
 
-    kernel = _make_kernel(
-        float(batch_size), float(n_data), with_noise, block_chains,
-        n_windows=n_windows)
+    if pair_dots:
+        if with_noise or select_in_kernel:
+            raise ValueError(
+                "pair_dots does not combine with noise injection or "
+                "select_in_kernel")
+        if block_chains % 2:
+            raise ValueError("pair_dots requires an even block_chains")
+        kernel = _make_kernel_paired(
+            float(batch_size), float(n_data), block_chains)
+    else:
+        kernel = _make_kernel(
+            float(batch_size), float(n_data), with_noise, block_chains,
+            n_windows=n_windows)
     interpreter = pltpu.InterpretParams() if interpret else False
     outs = pl.pallas_call(
         kernel,
