@@ -29,3 +29,20 @@ assert jax.default_backend() == "cpu", (
 assert len(jax.devices()) == 8, (
     "expected 8 virtual CPU devices, got {}".format(len(jax.devices()))
 )
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _flush_jax_effects():
+    """Drain pending io_callbacks after every test.
+
+    Mosaic's interpret-mode pallas execution dispatches through ordered
+    io_callbacks on a background thread; without a barrier the thread can
+    still be mid-callback when the next test starts tracing, deadlocking
+    the suite (observed ~30% of runs at test_svgd_streaming, stacks show
+    interpret_pallas_call's io_callback blocked against the main thread).
+    """
+    yield
+    jax.effects_barrier()

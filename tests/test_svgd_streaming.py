@@ -47,6 +47,11 @@ def test_sampler_streaming_impl_matches_dense():
         key = jax.random.PRNGKey(i)
         state_d, _ = dense.step(state_d, key)
         state_s, _ = stream.step(state_s, key)
+        # interpret-mode pallas dispatches through io_callbacks on a
+        # background thread; synchronize before the next (eagerly traced)
+        # step or the two deadlock (~30% of runs)
+        jax.block_until_ready(state_s.position)
+        jax.effects_barrier()
     np.testing.assert_allclose(
         np.asarray(state_s.position), np.asarray(state_d.position),
         rtol=1e-4, atol=1e-6,
