@@ -559,36 +559,95 @@ class BayesianNeuralNetwork(BaseModel):
                 block = cand
                 break
 
-        @jax.jit
-        def run(positions):
-            def burn_one(position, ck):
-                k_init, k_burn = jax.random.split(ck)
-                state = sampler.init(position, k_init)
-                if self.burn_in_steps > 0:
-                    state, _ = sample_chain(
-                        sampler, state, k_burn, 1, batch_fn=select_batch,
-                        keep_every=self.burn_in_steps,
-                        collect_costs=False, phase="burn_in",
-                    )
-                return state
+        state_dtype = (
+            jnp.bfloat16 if self.compute_dtype is not None
+            else jnp.float32
+        )
+        interpret = jax.default_backend() == "cpu"
 
-            states = jax.vmap(burn_one)(
-                positions, jax.random.split(key_burn, n_chains)
+        metric = lambda pos: self.negative_log_likelihood(  # noqa: E731
+            apply_fn, pos, x_dev, y_dev, n_datapoints
+        )
+        metrics_fn = jax.jit(jax.vmap(metric))
+
+        def log_point(iteration, positions_now, n_samples=None):
+            if self.log_every is None or not logging.getLogger(
+            ).isEnabledFor(logging.INFO):
+                return
+            nll, mse = metrics_fn(positions_now)
+            suffix = "" if n_samples is None else " Samples = {}".format(
+                n_samples)
+            logging.info(
+                "Iter %8d : NLL = %.4e MSE = %.4e%s Time = %5.2f",
+                iteration, float(jnp.mean(nll)), float(jnp.mean(mse)),
+                suffix, time.time() - start_time,
             )
-            state_dtype = (
-                jnp.bfloat16 if self.compute_dtype is not None
-                else jnp.float32
-            )
+
+        def make_burn(n_steps):
+            @jax.jit
+            def burn(states, keys):
+                def one(state, ck):
+                    state, _ = sample_chain(
+                        sampler, state, ck, 1, batch_fn=select_batch,
+                        keep_every=n_steps, collect_costs=False,
+                        phase="burn_in",
+                    )
+                    return state
+                return jax.vmap(one)(states, keys)
+            return burn
+
+        def sample_seg(states, key, n_keep):
             return sample_chain_fused(
-                sampler, states, key_sample, per_chain, x_dev, y_dev,
+                sampler, states, key, n_keep, x_dev, y_dev,
                 batch_size=self.batch_size, keep_every=self.sample_steps,
                 block_chains=block, state_dtype=state_dtype,
                 # CPU has no TPU PRNG: interpret mode checks the plumbing
                 # (tests); real noise requires the chip
-                interpret=jax.default_backend() == "cpu",
+                interpret=interpret,
             )
+        sample_seg = jax.jit(sample_seg, static_argnums=2)
 
-        _, samples, costs = run(positions)
+        states = jax.jit(jax.vmap(sampler.init))(
+            positions, jax.random.split(key_init, n_chains)
+        )
+        log_point(0, states.position)
+
+        # telemetry chunks the burn-in at log boundaries (like the pytree
+        # chunked path); with telemetry off everything runs in one segment
+        if self.log_every is not None and self.burn_in_steps > 0:
+            n_full, rem = divmod(self.burn_in_steps, self.log_every)
+            seg_lengths = [self.log_every] * n_full + ([rem] if rem else [])
+        else:
+            seg_lengths = (
+                [self.burn_in_steps] if self.burn_in_steps > 0 else [])
+        burn_fns = {n: make_burn(n) for n in set(seg_lengths)}
+        iteration = 0
+        burn_keys = jax.random.split(key_burn, max(1, len(seg_lengths)))
+        for i, n_steps in enumerate(seg_lengths):
+            states = burn_fns[n_steps](
+                states, jax.random.split(burn_keys[i], n_chains))
+            iteration += n_steps
+            log_point(iteration, states.position)
+
+        if self.log_every is not None:
+            # one fused segment per collected sample, logged like the
+            # reference's per-sample progress line
+            sample_keys = jax.random.split(key_sample, per_chain)
+            pos_chunks, cost_chunks = [], []
+            for j in range(per_chain):
+                states, pos, cost = sample_seg(states, sample_keys[j], 1)
+                pos_chunks.append(pos)
+                cost_chunks.append(cost)
+                iteration += self.sample_steps
+                log_point(iteration, states.position,
+                          n_samples=(j + 1) * n_chains)
+            samples = jax.tree_util.tree_map(
+                lambda *leaves: jnp.concatenate(leaves, axis=1), *pos_chunks
+            )
+        else:
+            states, samples, costs = sample_seg(
+                states, key_sample, per_chain)
+
         # pool: (n_chains, per_chain, ...) -> (n_chains*per_chain, ...)
         self.samples = jax.tree_util.tree_map(
             lambda leaf: leaf.reshape((-1,) + leaf.shape[2:]), samples

@@ -111,3 +111,17 @@ def test_telemetry_deterministic(caplog):
         jax.tree_util.tree_leaves(samples[1]),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_path_telemetry(caplog):
+    """step_impl='fused' chunks burn-in + per-sample logs like the
+    pytree chunked path (kernel in interpret mode on CPU)."""
+    bnn, matches = _train(
+        caplog, log_every=50, network="dense", step_impl="fused",
+        n_chains=2, n_nets=4, sample_steps=20,
+    )
+    burn_iters = [int(m.group(1)) for m in matches if m.group(4) is None]
+    assert burn_iters == [0, 50, 100]
+    sampling = [m for m in matches if m.group(4) is not None]
+    assert [int(m.group(4)) for m in sampling] == [2, 4]
+    assert bnn._n_collected == 4
