@@ -216,7 +216,7 @@ class BayesianNeuralNetwork(BaseModel):
             if get_net is not None:
                 raise ValueError(
                     "step_impl='fused' supports only the default 3x50 "
-                    "architecture"
+                    "architecture family"
                 )
             if mesh is not None:
                 raise ValueError("step_impl='fused' does not support mesh")
@@ -503,11 +503,13 @@ class BayesianNeuralNetwork(BaseModel):
         from pysgmcmc_tpu.parallel.packed import sample_chain_fused
         from pysgmcmc_tpu.utils.pytree import tree_size
 
-        if x_dev.shape[1] != 1:
+        from pysgmcmc_tpu.ops.fused_step import MAX_INPUTS
+
+        if x_dev.shape[1] > MAX_INPUTS:
             raise ValueError(
-                "step_impl='fused' supports 1-D inputs (the flagship "
-                "architecture family); got n_inputs={}".format(
-                    x_dev.shape[1])
+                "step_impl='fused' supports up to {} input features (the "
+                "flagship architecture family); got n_inputs={}".format(
+                    MAX_INPUTS, x_dev.shape[1])
             )
         n_chains = max(1, self.n_chains)
         per_chain = self._n_collect(

@@ -94,14 +94,27 @@ def _normal_3d(shape):
 S = 64        # per-chain matrix slot (both dims); fits H = 50
 B_PAD = 24    # padded batch rows (B = 20)
 BIAS_ROW = 50  # biases ride row 50 of their weight matrix (ones-lane trick)
-VEC_ROWS = 8  # [w1, b1, w4, (b4, lvb), 0, 0, 0, 0]
+VEC_ROWS = 8  # [w1 (n_inputs rows), b1, w4, (b4, lvb), 0...]
+MAX_INPUTS = VEC_ROWS - 3  # w1 rows + b1 + w4 + scal must fit
 # The vector rows live INSIDE the first state array (rows S..S+VEC_ROWS of
 # a (S+8, S) slab): XLA's memory-space assignment promotes small separate
 # outputs into scoped VMEM, which OOMs at 8192 chains; matrix-shaped
 # buffers stay in HBM.
 BIG_ROWS = S + VEC_ROWS
-ROW_W1, ROW_B1, ROW_W4, ROW_SCAL = S + 0, S + 1, S + 2, S + 3
+ROW_W1 = S + 0
 LANE_B4, LANE_LVB = 0, 1
+
+
+def _vec_rows(n_inputs):
+    """(row_b1, row_w4, row_scal) for a given input dimension."""
+    if not 1 <= n_inputs <= MAX_INPUTS:
+        raise ValueError(
+            "fused step supports 1..{} input features; got {}".format(
+                MAX_INPUTS, n_inputs))
+    return S + n_inputs, S + n_inputs + 1, S + n_inputs + 2
+
+
+ROW_B1, ROW_W4, ROW_SCAL = _vec_rows(1)  # the flagship 1-input layout
 
 LOG_MP = float(np.log(1e-6))   # log-variance prior mean (reference)
 VAR_P = 0.01                   # log-variance prior variance
@@ -146,28 +159,38 @@ def pack_fused(params):
         [jnp.reshape(params["b4"], (n, 1)),
          jnp.reshape(params["log_variance_bias"], (n, 1))], axis=1)
     zero = jnp.zeros((n, S), jnp.float32)
-    vec = jnp.stack(
-        [row(params["w1"]), row(params["b1"]), row(params["w4"]),
-         row(scal), zero, zero, zero, zero],
-        axis=1)
+    w1 = jnp.asarray(params["w1"], jnp.float32)
+    w1_rows = (
+        [row(w1)] if w1.ndim == 2
+        else [row(w1[:, i]) for i in range(w1.shape[1])]
+    )
+    _vec_rows(len(w1_rows))  # validates the input dimension
+    rows = w1_rows + [row(params["b1"]), row(params["w4"]), row(scal)]
+    rows += [zero] * (VEC_ROWS - len(rows))
+    vec = jnp.stack(rows, axis=1)
     big = jnp.concatenate([mat("w2", "b2"), vec], axis=1)  # (n, S+8, S)
     return big, mat("w3", "b3")
 
 
-def unpack_fused(packed, h):
+def unpack_fused(packed, h, n_inputs=1):
     """Inverse of :func:`pack_fused` -> stacked dense-network pytree."""
     big, w3m = packed
     n = big.shape[0]
+    row_b1, row_w4, row_scal = _vec_rows(n_inputs)
+    w1 = (
+        big[:, ROW_W1, :h] if n_inputs == 1
+        else big[:, ROW_W1:row_b1, :h]
+    )
     return {
-        "w1": big[:, ROW_W1, :h],
-        "b1": big[:, ROW_B1, :h],
+        "w1": w1,
+        "b1": big[:, row_b1, :h],
         "w2": big[:, :h, :h],
         "b2": big[:, BIAS_ROW, :h],
         "w3": w3m[:, :h, :h],
         "b3": w3m[:, BIAS_ROW, :h],
-        "w4": big[:, ROW_W4, :h],
-        "b4": big[:, ROW_SCAL, LANE_B4].reshape(n, 1),
-        "log_variance_bias": big[:, ROW_SCAL, LANE_LVB].reshape(n, 1, 1),
+        "w4": big[:, row_w4, :h],
+        "b4": big[:, row_scal, LANE_B4].reshape(n, 1),
+        "log_variance_bias": big[:, row_scal, LANE_LVB].reshape(n, 1, 1),
     }
 
 
@@ -183,25 +206,37 @@ def data_windows(x, y, batch_size):
         raise ValueError(
             "data_windows: batch_size {} exceeds the kernel's padded "
             "batch rows ({})".format(batch_size, B_PAD))
-    x = jnp.asarray(x, jnp.float32).reshape(-1)
+    x = jnp.asarray(x, jnp.float32)
+    if x.ndim == 1:
+        x = x[:, None]
     y = jnp.asarray(y, jnp.float32).reshape(-1)
-    n = x.shape[0]
+    n, k = x.shape
     n_windows = n - batch_size + 1
-    pad = jnp.zeros((n_windows, B_PAD - batch_size), jnp.float32)
+    pad_rows = B_PAD - batch_size
     xw = jnp.concatenate(
         [jnp.stack([x[b:b + n_windows] for b in range(batch_size)], axis=1),
-         pad], axis=1)
+         jnp.zeros((n_windows, pad_rows, k), jnp.float32)], axis=1)
+    if k == 1:
+        xw = xw[:, :, 0]                      # (n_windows, B_PAD)
     yw = jnp.concatenate(
         [jnp.stack([y[b:b + n_windows] for b in range(batch_size)], axis=1),
-         pad], axis=1)
+         jnp.zeros((n_windows, pad_rows), jnp.float32)], axis=1)
     return xw, yw
 
 
 def gather_batch(x_win, y_win, widx):
-    """One-hot MXU gather of each chain's window: ``(n, B_PAD)`` x2."""
+    """One-hot MXU gather of each chain's window.
+
+    Returns ``x_sel`` of shape ``(n, B_PAD)`` (1-D inputs) or
+    ``(n, B_PAD, k)`` and ``y_sel`` of shape ``(n, B_PAD)``."""
     n_windows = x_win.shape[0]
     onehot = jax.nn.one_hot(widx, n_windows, dtype=jnp.float32)
-    return onehot @ x_win, onehot @ y_win
+    if x_win.ndim == 3:
+        w, b, k = x_win.shape
+        x_sel = (onehot @ x_win.reshape(w, b * k)).reshape(-1, b, k)
+    else:
+        x_sel = onehot @ x_win
+    return x_sel, onehot @ y_win
 
 
 #  Kernel -------------------------------------------------------------------
@@ -395,11 +430,12 @@ def _make_kernel_paired(batch_size, n_data, block_chains):
 
 
 def _make_kernel(batch_size, n_data, with_noise, block_chains,
-                 n_windows=None):
+                 n_windows=None, n_inputs=1):
     bf16 = jnp.bfloat16
     inv_b = 1.0 / batch_size
     inv_n = 1.0 / n_data
     select_in_kernel = n_windows is not None
+    row_b1, row_w4, row_scal = _vec_rows(n_inputs)
 
     def kernel(int_ref, float_ref,
                tbig, tw3,
@@ -433,8 +469,8 @@ def _make_kernel(batch_size, n_data, with_noise, block_chains,
             jnp.int32, (block_chains, B_PAD, S), 2)
 
         big = tbig[:]                                        # (C, S+8, S)
-        w4 = big[:, ROW_W4, :]                               # (C, S)
-        scal = big[:, ROW_SCAL, :]
+        w4 = big[:, row_w4, :]                               # (C, S)
+        scal = big[:, row_scal, :]
         b4 = scal[:, LANE_B4:LANE_B4 + 1]                    # (C, 1)
         lvb = scal[:, LANE_LVB:LANE_LVB + 1]
 
@@ -469,7 +505,7 @@ def _make_kernel(batch_size, n_data, with_noise, block_chains,
         # with "Check failed: limits[i] <= dim(i)" on the straightforward
         # broadcast-bias expression graph.)
         xin_bf = xin.astype(bf16)
-        w1m_bf = big[:, ROW_W1:ROW_B1 + 1, :].astype(bf16)   # [w1, b1]
+        w1m_bf = big[:, ROW_W1:row_b1 + 1, :].astype(bf16)   # [w1.., b1]
         z1 = _bdot(xin_bf, w1m_bf, (((2,), (1,))))           # (C, B, S)
         s_a1[:] = jnp.where(
             lane3 == BIAS_ROW, 1.0, jnp.tanh(z1)).astype(bf16)
@@ -524,8 +560,8 @@ def _make_kernel(batch_size, n_data, with_noise, block_chains,
         g_w2 = _bdot(a1, dz2_bf, (((1,), (1,))))
         da1 = _bdot(dz2_bf, w2_bf, (((2,), (2,))))
         dz1_bf = (da1 * (1.0 - a1f * a1f)).astype(bf16)      # dz1
-        # rows [g_w1, g_b1] from one dot against the [x, 1] input lanes
-        g_w1m = _bdot(xin_bf, dz1_bf, (((1,), (1,))))        # (C, 2, S)
+        # rows [g_w1.., g_b1] from one dot against the [x.., 1] lanes
+        g_w1m = _bdot(xin_bf, dz1_bf, (((1,), (1,))))        # (C, k+1, S)
 
         lane2 = jax.lax.broadcasted_iota(
             jnp.int32, (block_chains, S), 1)
@@ -535,11 +571,13 @@ def _make_kernel(batch_size, n_data, with_noise, block_chains,
         ).astype(jnp.float32)                                # (C, S)
         # small vector-rows gradient slab (the W2-section gradient feeds
         # the update directly -- no full-slab scratch round trip)
-        s_gvec[:, 0:2, :] = g_w1m
-        s_gvec[:, ROW_W4 - S, :] = g_w4
-        s_gvec[:, ROW_SCAL - S, :] = g_scal
-        s_gvec[:, ROW_SCAL - S + 1:VEC_ROWS, :] = jnp.zeros(
-            (block_chains, VEC_ROWS - (ROW_SCAL - S) - 1, S), jnp.float32)
+        s_gvec[:, 0:n_inputs + 1, :] = g_w1m
+        s_gvec[:, row_w4 - S, :] = g_w4
+        s_gvec[:, row_scal - S, :] = g_scal
+        if row_scal - S + 1 < VEC_ROWS:
+            s_gvec[:, row_scal - S + 1:VEC_ROWS, :] = jnp.zeros(
+                (block_chains, VEC_ROWS - (row_scal - S) - 1, S),
+                jnp.float32)
         g_vec = s_gvec[:]
 
         # ---- fused SGHMC update ----------------------------------------------
@@ -595,14 +633,15 @@ def _make_kernel(batch_size, n_data, with_noise, block_chains,
     jax.jit,
     static_argnames=("mdecay", "scale_grad", "prior_scale", "batch_size",
                      "n_data", "block_chains", "state_dtype",
-                     "select_in_kernel", "pair_dots", "interpret"),
+                     "select_in_kernel", "pair_dots", "n_inputs",
+                     "interpret"),
 )
 def fused_bnn_step(
     theta, v, minv, x_sel, y_sel, eps, seed,
     mdecay=0.05, scale_grad=1.0, prior_scale=0.0,
     batch_size=20, n_data=100, block_chains=64,
     state_dtype=jnp.bfloat16, select_in_kernel=False, pair_dots=False,
-    noise=None, interpret=False,
+    n_inputs=1, noise=None, interpret=False,
 ):
     """One fused forward+backward+update SGHMC step.
 
@@ -634,12 +673,18 @@ def fused_bnn_step(
         y_sel = jnp.asarray(y_sel, jnp.float32)
     else:
         n_windows = None
-        # layer-1 input lanes [x, 1]: the constant lane carries b1 through
-        # the first matmul (and its gradient through the g_w1m dot).  bf16:
-        # the kernel casts it for the MXU anyway, and the (C, B, 2) block
-        # pads its 2 lanes to 128 physically -- halving the dtype halves it
-        xin = jnp.stack(
-            [x_sel, jnp.ones_like(x_sel)], axis=2).astype(jnp.bfloat16)
+        # layer-1 input lanes [x.., 1]: the constant lane carries b1
+        # through the first matmul (and its gradient through the g_w1m
+        # dot).  bf16: the kernel casts it for the MXU anyway, and the
+        # (C, B, k+1) block pads its lanes to 128 physically
+        if n_inputs == 1:
+            parts = [x_sel]
+            ones_like = jnp.ones_like(x_sel)
+        else:
+            # x_sel: (n, B, n_inputs)
+            parts = [x_sel[:, :, i] for i in range(n_inputs)]
+            ones_like = jnp.ones_like(parts[0])
+        xin = jnp.stack(parts + [ones_like], axis=2).astype(jnp.bfloat16)
 
     eps32 = jnp.asarray(eps, jnp.float32)
     int_scalars = jnp.asarray(seed, jnp.int32).reshape(1)
@@ -672,7 +717,7 @@ def fused_bnn_step(
                 tuple(xin.shape), lambda i, *_: (0, 0),
                 memory_space=pltpu.VMEM)
         return pl.BlockSpec(
-            (block_chains, B_PAD, 2), lambda i, *_: (i, 0, 0),
+            (block_chains, B_PAD, n_inputs + 1), lambda i, *_: (i, 0, 0),
             memory_space=pltpu.VMEM)
 
     state_specs = [big_spec(), mat_spec()]
@@ -716,12 +761,14 @@ def fused_bnn_step(
                 "select_in_kernel")
         if block_chains % 2:
             raise ValueError("pair_dots requires an even block_chains")
+        if n_inputs != 1:
+            raise ValueError("pair_dots supports n_inputs=1 only")
         kernel = _make_kernel_paired(
             float(batch_size), float(n_data), block_chains)
     else:
         kernel = _make_kernel(
             float(batch_size), float(n_data), with_noise, block_chains,
-            n_windows=n_windows)
+            n_windows=n_windows, n_inputs=n_inputs)
     interpreter = pltpu.InterpretParams() if interpret else False
     outs = pl.pallas_call(
         kernel,

@@ -419,7 +419,9 @@ def sample_chain_fused(
         )
     h = states.position["w2"].shape[-1]
     n_chains = states.position["w2"].shape[0]
-    n_data = jnp.asarray(x).reshape(-1).shape[0]
+    w1 = states.position["w1"]
+    n_inputs = 1 if w1.ndim == 2 else w1.shape[1]
+    n_data = jnp.asarray(x).shape[0]
     x_win, y_win = data_windows(x, y, batch_size)
     n_windows = x_win.shape[0]
 
@@ -447,13 +449,13 @@ def sample_chain_fused(
             prior_scale=sampler.gaussian_prior_scale,
             batch_size=batch_size, n_data=n_data,
             block_chains=block_chains, state_dtype=state_dtype,
-            interpret=interpret,
+            n_inputs=n_inputs, interpret=interpret,
         )
         return (theta, v, key, step + 1), cost[:, 0]
 
     def thinned(carry, _):
         carry, costs = jax.lax.scan(one_step, carry, None, length=keep_every)
-        out = unpack_fused(carry[0], h) if collect_positions else None
+        out = unpack_fused(carry[0], h, n_inputs) if collect_positions else None
         return carry, (out, costs[-1])
 
     (theta, v, _, step), (positions, costs) = jax.lax.scan(
@@ -461,10 +463,10 @@ def sample_chain_fused(
     )
 
     new_states = SGHMCState(
-        position=unpack_fused(theta, h),
+        position=unpack_fused(theta, h, n_inputs),
         momentum=jax.tree_util.tree_map(
             lambda l: l.astype(jnp.float32),
-            unpack_fused(v, h),
+            unpack_fused(v, h, n_inputs),
         ),
         stats=states.stats,
         step=states.step + n_samples * keep_every,

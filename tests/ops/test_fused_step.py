@@ -196,3 +196,56 @@ def test_fused_driver_finite_and_bookkeeping():
         np.asarray(l).ravel()
         for l in jax.tree_util.tree_leaves(states.position)])
     assert np.isfinite(leaves).all()
+
+
+def test_multi_input_pack_roundtrip_and_step():
+    """n_inputs > 1: packing round-trips and one fused step runs.
+
+    The flagship family generalizes to up to MAX_INPUTS features: w1 is a
+    matrix occupying the first rows of the vector slab.
+    """
+    from pysgmcmc_tpu.models.architectures import dense_network
+    from pysgmcmc_tpu.ops.fused_step import MAX_INPUTS
+
+    k = 3
+    assert k <= MAX_INPUTS
+    init_fn, apply_fn = dense_network(k)
+    params = jax.vmap(init_fn)(jax.random.split(jax.random.PRNGKey(0), 4))
+    assert params["w1"].shape == (4, k, 50)
+    packed = pack_fused(params)
+    out = unpack_fused(packed, 50, n_inputs=k)
+    for key in params:
+        np.testing.assert_array_equal(
+            np.asarray(params[key]), np.asarray(out[key]), err_msg=key)
+
+    # one fused step on multi-feature data (interpret, injected noise)
+    from pysgmcmc_tpu.utils.pytree import tree_zeros_like
+
+    rng = np.random.RandomState(0)
+    x = rng.uniform(0, 1, (50, k)).astype(np.float32)
+    y = rng.uniform(0, 1, 50).astype(np.float32)
+    x_win, y_win = data_windows(x, y, 20)
+    assert x_win.shape == (31, B_PAD, k)
+    x_sel, y_sel = gather_batch(
+        x_win, y_win, jnp.asarray([0, 5, 11, 30], jnp.int32))
+    assert x_sel.shape == (4, B_PAD, k)
+    np.testing.assert_array_equal(np.asarray(x_sel)[1, :20], x[5:25])
+
+    theta = packed
+    v = pack_fused(tree_zeros_like(params))
+    minv = pack_fused(
+        jax.tree_util.tree_map(lambda l: jnp.ones_like(l), params))
+    noise = pack_fused(tree_zeros_like(params))
+    theta2, v2, cost = fused_bnn_step(
+        theta, v, minv, x_sel, y_sel, 0.01, 0,
+        mdecay=0.05, scale_grad=50.0, prior_scale=1e-6,
+        batch_size=20, n_data=50, block_chains=4,
+        state_dtype=jnp.float32, n_inputs=k, noise=noise, interpret=True,
+    )
+    assert np.isfinite(np.asarray(cost)).all()
+    got = unpack_fused(theta2, 50, n_inputs=k)
+    # zero noise: theta moved only by the gradient terms; finite + moved
+    moved = sum(
+        float(np.abs(np.asarray(got[key]) - np.asarray(params[key])).max())
+        for key in got)
+    assert np.isfinite(moved) and moved > 0
