@@ -37,7 +37,6 @@ from pysgmcmc_tpu.models.bayesian_neural_network import (
 )
 from pysgmcmc_tpu.samplers.base import sample_chain
 from pysgmcmc_tpu.samplers.sghmc import SGHMCSampler
-from pysgmcmc_tpu.utils.numeric import safe_divide
 
 
 def build_workload(
