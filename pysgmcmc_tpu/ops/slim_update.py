@@ -476,3 +476,117 @@ def slim_sgld_update(
         interpret=interpreter,
     )(int_scalars, float_scalars, *operands)
     return out
+
+
+#  pSGLD (RMSprop-preconditioned) --------------------------------------------
+
+def _psgld_math(theta, v, grad, mask, eta, eps, alpha, lam, inv_sg,
+                prior_scale):
+    v32 = v.astype(jnp.float32)
+    g = grad.astype(jnp.float32) + prior_scale * theta
+    v_new = alpha * v32 + (1.0 - alpha) * g * g
+    precond = 1.0 / (lam + jnp.sqrt(jnp.maximum(v_new, 0.0)))
+    sigma = jnp.sqrt(jnp.maximum(eps * precond * inv_sg, 0.0))
+    theta_new = theta + (-0.5 * eps * precond * g + sigma * eta) * mask
+    return theta_new, v_new * mask
+
+
+def _psgld_kernel_rng(int_ref, float_ref, theta_ref, v_ref, grad_ref,
+                      mask_ref, theta_out, v_out):
+    pid = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+    pltpu.prng_seed(int_ref[0] + pid)
+    eta = _normal_from_bits(theta_ref.shape)
+    theta_new, v_new = _psgld_math(
+        theta_ref[:], v_ref[:], grad_ref[:], mask_ref[:], eta,
+        float_ref[0], float_ref[1], float_ref[2], float_ref[3],
+        float_ref[4])
+    theta_out[:] = theta_new
+    v_out[:] = v_new.astype(v_out.dtype)
+
+
+def _psgld_kernel_noise(int_ref, float_ref, theta_ref, v_ref, grad_ref,
+                        mask_ref, eta_ref, theta_out, v_out):
+    theta_new, v_new = _psgld_math(
+        theta_ref[:], v_ref[:], grad_ref[:], mask_ref[:], eta_ref[:],
+        float_ref[0], float_ref[1], float_ref[2], float_ref[3],
+        float_ref[4])
+    theta_out[:] = theta_new
+    v_out[:] = v_new.astype(v_out.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("alpha", "lambda_reg", "scale_grad", "prior_scale",
+                     "interpret"),
+)
+def slim_psgld_update(
+    theta, v, grad, mask, eps, seed,
+    alpha=0.99, lambda_reg=1e-5, scale_grad=1.0, prior_scale=0.0,
+    noise=None, interpret=False,
+):
+    """One fused pSGLD step over packed flat state.
+
+    pSGLD semantics of :mod:`pysgmcmc_tpu.samplers.psgld` (Li et al. 2016,
+    RMSprop preconditioner adapting every step — there is no frozen
+    phase):
+
+        v'     = alpha v + (1 - alpha) grad^2
+        G      = 1 / (lambda + sqrt(v'))
+        theta' = theta - eps/2 G grad + sqrt(eps G / scale_grad) eta
+
+    ``v`` is the preconditioner accumulator (may be ``bfloat16``; the
+    arithmetic runs in f32 in VMEM).  Returns ``(theta', v')`` aliased
+    in place."""
+    n_rows, n_cols = theta.shape
+    if n_cols % LANES != 0:
+        raise ValueError(
+            "slim_psgld_update: width must be a multiple of {}; got "
+            "{}".format(LANES, n_cols))
+    if mask is None:
+        mask = jnp.ones((1, n_cols), jnp.float32)
+    with_noise = noise is not None
+    n_buffers = 6 + (1 if with_noise else 0)
+    block_rows, block_cols = _block_shape(n_rows, n_cols, n_buffers)
+    grid = (n_rows // block_rows, n_cols // block_cols)
+
+    int_scalars = jnp.asarray(seed, jnp.int32).reshape(1)
+    float_scalars = jnp.stack([
+        jnp.asarray(eps, jnp.float32),
+        jnp.asarray(alpha, jnp.float32),
+        jnp.asarray(lambda_reg, jnp.float32),
+        jnp.asarray(1.0 / scale_grad, jnp.float32),
+        jnp.asarray(prior_scale, jnp.float32),
+    ])
+
+    def spec():
+        return pl.BlockSpec(
+            (block_rows, block_cols), lambda i, j, *_: (i, j),
+            memory_space=pltpu.VMEM)
+
+    mask_spec = pl.BlockSpec(
+        (1, block_cols), lambda i, j, *_: (0, j), memory_space=pltpu.VMEM)
+    in_specs = [spec(), spec(), spec(), mask_spec]
+    operands = (theta, v, grad, mask)
+    if with_noise:
+        in_specs.append(spec())
+        operands = operands + (noise,)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(spec(), spec()),
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct(theta.shape, jnp.float32),
+        jax.ShapeDtypeStruct(v.shape, v.dtype),
+    )
+    kernel = _psgld_kernel_noise if with_noise else _psgld_kernel_rng
+    interpreter = pltpu.InterpretParams() if interpret else False
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        input_output_aliases={2: 0, 3: 1},
+        interpret=interpreter,
+    )(int_scalars, float_scalars, *operands)

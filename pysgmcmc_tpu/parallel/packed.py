@@ -47,10 +47,12 @@ import numpy as np
 
 from pysgmcmc_tpu.ops.fused_update import pad_dim
 from pysgmcmc_tpu.ops.slim_update import (
+    slim_psgld_update,
     slim_sghmc_update,
     slim_sghmc_update_tree,
     slim_sgld_update,
 )
+from pysgmcmc_tpu.samplers.psgld import PSGLDSampler, PSGLDState
 from pysgmcmc_tpu.samplers.sghmc import SGHMCSampler, SGHMCState
 from pysgmcmc_tpu.samplers.sgld import SGLDSampler, SGLDState
 
@@ -249,12 +251,18 @@ def sample_chain_lanes(
     (bitwise-testable on CPU).  Returns ``(states, positions, costs)``
     shaped like :func:`pysgmcmc_tpu.samplers.base.sample_chain`.
     """
-    is_sghmc = isinstance(sampler, SGHMCSampler)
-    if not is_sghmc and not isinstance(sampler, SGLDSampler):
+    if isinstance(sampler, SGHMCSampler):
+        kind = "sghmc"
+    elif isinstance(sampler, SGLDSampler):
+        kind = "sgld"
+    elif isinstance(sampler, PSGLDSampler):
+        kind = "psgld"
+    else:
         raise NotImplementedError(
-            "sample_chain_lanes supports SGHMCSampler and SGLDSampler; "
+            "sample_chain_lanes supports SGHMC, SGLD and PSGLD samplers; "
             "got {!r}".format(type(sampler).__name__)
         )
+    is_sghmc = kind == "sghmc"
     if backend not in ("pallas", "xla"):
         raise ValueError("backend must be 'pallas' or 'xla'")
 
@@ -263,15 +271,20 @@ def sample_chain_lanes(
     spec = make_lanes_spec(template)
 
     theta = pack_lanes(spec, states.position)
-    # state_dtype=bfloat16 keeps the momentum and the frozen mass-matrix
-    # inverse in bf16 HBM (update arithmetic stays f32 in VMEM): halves
-    # their traffic for an O(2^-8) relative rounding on the momentum —
-    # far below the injected sampling noise (moments pinned in tests).
-    v = (
-        pack_lanes(spec, states.momentum, dtype=state_dtype)
-        if is_sghmc else None
+    # state_dtype=bfloat16 keeps the momentum/accumulator and the frozen
+    # mass-matrix inverse in bf16 HBM (update arithmetic stays f32 in
+    # VMEM): halves their traffic for an O(2^-8) relative rounding — far
+    # below the injected sampling noise (moments pinned in tests).
+    if kind == "sghmc":
+        v = pack_lanes(spec, states.momentum, dtype=state_dtype)
+    elif kind == "psgld":
+        v = pack_lanes(spec, states.v, dtype=state_dtype)
+    else:
+        v = None
+    minv = (
+        pack_lanes(spec, states.stats.minv, dtype=state_dtype)
+        if kind != "psgld" else None
     )
-    minv = pack_lanes(spec, states.stats.minv, dtype=state_dtype)
 
     grad_fn = jax.vmap(
         lambda pos, batch: jax.value_and_grad(sampler.cost_fn)(pos, batch)
@@ -283,9 +296,9 @@ def sample_chain_lanes(
     key, key_seed = jax.random.split(key)
     base_seed = _base_seed(key_seed)
     scale_grad = sampler.scale_grad
-    prior_scale = sampler.gaussian_prior_scale
+    prior_scale = getattr(sampler, "gaussian_prior_scale", 0.0)
     mdecay = sampler.mdecay if is_sghmc else None
-    a_coef = None if is_sghmc else sampler.A
+    a_coef = sampler.A if kind == "sgld" else None
     schedule_state0 = _shared_schedule_state(states)
     step0 = jnp.max(states.step) if jnp.ndim(states.step) else states.step
 
@@ -311,11 +324,18 @@ def sample_chain_lanes(
                 mdecay=mdecay, scale_grad=scale_grad,
                 prior_scale=prior_scale, interpret=interpret,
             )
-        elif backend == "pallas":
+        elif backend == "pallas" and kind == "sgld":
             theta = slim_sgld_update(
                 theta, grad_flat, minv, None, eps, seed,
                 a_coef=float(a_coef), scale_grad=scale_grad,
                 prior_scale=prior_scale, interpret=interpret,
+            )
+        elif backend == "pallas":
+            theta, v = slim_psgld_update(
+                theta, v, grad_flat, None, eps, seed,
+                alpha=sampler.alpha, lambda_reg=sampler.lambda_reg,
+                scale_grad=scale_grad, prior_scale=prior_scale,
+                interpret=interpret,
             )
         elif is_sghmc:
             key, key_noise = jax.random.split(key)
@@ -330,7 +350,7 @@ def sample_chain_lanes(
             v32 = v32 - eps**2 * minv32 * g - mdecay * v32 + sigma * eta
             theta = theta + v32
             v = v32.astype(state_dtype)
-        else:
+        elif kind == "sgld":
             key, key_noise = jax.random.split(key)
             eta = jax.random.normal(key_noise, theta.shape, jnp.float32)
             g = grad_flat.astype(jnp.float32) + prior_scale * theta
@@ -338,6 +358,18 @@ def sample_chain_lanes(
             sigma = jnp.sqrt(jnp.maximum(
                 2.0 * eps * minv32 * a_coef / scale_grad, 0.0))
             theta = theta - eps * minv32 * a_coef * g + sigma * eta
+        else:
+            key, key_noise = jax.random.split(key)
+            eta = jax.random.normal(key_noise, theta.shape, jnp.float32)
+            g = grad_flat.astype(jnp.float32) + prior_scale * theta
+            v32 = sampler.alpha * v.astype(jnp.float32) \
+                + (1.0 - sampler.alpha) * g * g
+            precond = 1.0 / (sampler.lambda_reg + jnp.sqrt(
+                jnp.maximum(v32, 0.0)))
+            sigma = jnp.sqrt(jnp.maximum(
+                eps * precond / scale_grad, 0.0))
+            theta = theta - 0.5 * eps * precond * g + sigma * eta
+            v = v32.astype(state_dtype)
         return (theta, v, key, step + 1), cost
 
     def thinned(carry, _):
@@ -354,6 +386,13 @@ def sample_chain_lanes(
             position=unpack_lanes(spec, theta),
             momentum=unpack_lanes(spec, v, jnp.float32),
             stats=states.stats,
+            step=states.step + n_samples * keep_every,
+            schedule_state=states.schedule_state,
+        )
+    elif kind == "psgld":
+        new_states = PSGLDState(
+            position=unpack_lanes(spec, theta),
+            v=unpack_lanes(spec, v, jnp.float32),
             step=states.step + n_samples * keep_every,
             schedule_state=states.schedule_state,
         )
