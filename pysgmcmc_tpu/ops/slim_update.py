@@ -590,3 +590,122 @@ def slim_psgld_update(
         input_output_aliases={2: 0, 3: 1},
         interpret=interpreter,
     )(int_scalars, float_scalars, *operands)
+
+
+#  Relativistic SGHMC ---------------------------------------------------------
+
+def _rsghmc_math(theta, pm, grad, mask, eta, eps, noise_scale, d_coef,
+                 inv_m, inv_m2c2, prior_scale):
+    p32 = pm.astype(jnp.float32)
+    # dynamics use the log-likelihood gradient = -(cost gradient)
+    g = -(grad.astype(jnp.float32) + prior_scale * theta)
+
+    def vel(p):
+        return eps * p * inv_m * jax.lax.rsqrt(p * p * inv_m2c2 + 1.0)
+
+    p_new = (p32 + eps * g + noise_scale * eta - d_coef * vel(p32)) * mask
+    theta_new = theta + vel(p_new) * mask
+    return theta_new, p_new
+
+
+def _rsghmc_kernel_rng(int_ref, float_ref, theta_ref, p_ref, grad_ref,
+                       mask_ref, theta_out, p_out):
+    pid = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+    pltpu.prng_seed(int_ref[0] + pid)
+    eta = _normal_from_bits(theta_ref.shape)
+    theta_new, p_new = _rsghmc_math(
+        theta_ref[:], p_ref[:], grad_ref[:], mask_ref[:], eta,
+        float_ref[0], float_ref[1], float_ref[2], float_ref[3],
+        float_ref[4], float_ref[5])
+    theta_out[:] = theta_new
+    p_out[:] = p_new.astype(p_out.dtype)
+
+
+def _rsghmc_kernel_noise(int_ref, float_ref, theta_ref, p_ref, grad_ref,
+                         mask_ref, eta_ref, theta_out, p_out):
+    theta_new, p_new = _rsghmc_math(
+        theta_ref[:], p_ref[:], grad_ref[:], mask_ref[:], eta_ref[:],
+        float_ref[0], float_ref[1], float_ref[2], float_ref[3],
+        float_ref[4], float_ref[5])
+    theta_out[:] = theta_new
+    p_out[:] = p_new.astype(p_out.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("d_coef", "bhat", "mass", "speed_of_light",
+                     "prior_scale", "interpret"),
+)
+def slim_rsghmc_update(
+    theta, p, grad, mask, eps, seed,
+    d_coef=1.0, bhat=0.0, mass=1.0, speed_of_light=1.0, prior_scale=0.0,
+    noise=None, interpret=False,
+):
+    """One fused relativistic-SGHMC step over packed flat state.
+
+    Semantics of :mod:`pysgmcmc_tpu.samplers.relativistic_sghmc`
+    (Lu et al. 2017):
+
+        v(p)   = eps p / (m sqrt(p^2/(m^2 c^2) + 1))
+        p'     = p + eps d(loglik)/dtheta + sqrt(eps (2D - eps Bhat)) eta
+                 - D v(p)
+        theta' = theta + v(p')
+
+    ``p`` is the relativistic momentum (bfloat16 supported; arithmetic in
+    f32).  Returns ``(theta', p')`` aliased in place."""
+    n_rows, n_cols = theta.shape
+    if n_cols % LANES != 0:
+        raise ValueError(
+            "slim_rsghmc_update: width must be a multiple of {}; got "
+            "{}".format(LANES, n_cols))
+    if mask is None:
+        mask = jnp.ones((1, n_cols), jnp.float32)
+    with_noise = noise is not None
+    n_buffers = 6 + (1 if with_noise else 0)
+    block_rows, block_cols = _block_shape(n_rows, n_cols, n_buffers)
+    grid = (n_rows // block_rows, n_cols // block_cols)
+
+    eps32 = jnp.asarray(eps, jnp.float32)
+    int_scalars = jnp.asarray(seed, jnp.int32).reshape(1)
+    float_scalars = jnp.stack([
+        eps32,
+        jnp.sqrt(jnp.maximum(
+            eps32 * (2.0 * d_coef - eps32 * bhat), 0.0)),
+        jnp.asarray(d_coef, jnp.float32),
+        jnp.asarray(1.0 / mass, jnp.float32),
+        jnp.asarray(1.0 / (mass**2 * speed_of_light**2), jnp.float32),
+        jnp.asarray(prior_scale, jnp.float32),
+    ])
+
+    def spec():
+        return pl.BlockSpec(
+            (block_rows, block_cols), lambda i, j, *_: (i, j),
+            memory_space=pltpu.VMEM)
+
+    mask_spec = pl.BlockSpec(
+        (1, block_cols), lambda i, j, *_: (0, j), memory_space=pltpu.VMEM)
+    in_specs = [spec(), spec(), spec(), mask_spec]
+    operands = (theta, p, grad, mask)
+    if with_noise:
+        in_specs.append(spec())
+        operands = operands + (noise,)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(spec(), spec()),
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct(theta.shape, jnp.float32),
+        jax.ShapeDtypeStruct(p.shape, p.dtype),
+    )
+    kernel = _rsghmc_kernel_noise if with_noise else _rsghmc_kernel_rng
+    interpreter = pltpu.InterpretParams() if interpret else False
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        input_output_aliases={2: 0, 3: 1},
+        interpret=interpreter,
+    )(int_scalars, float_scalars, *operands)

@@ -48,11 +48,16 @@ import numpy as np
 from pysgmcmc_tpu.ops.fused_update import pad_dim
 from pysgmcmc_tpu.ops.slim_update import (
     slim_psgld_update,
+    slim_rsghmc_update,
     slim_sghmc_update,
     slim_sghmc_update_tree,
     slim_sgld_update,
 )
 from pysgmcmc_tpu.samplers.psgld import PSGLDSampler, PSGLDState
+from pysgmcmc_tpu.samplers.relativistic_sghmc import (
+    RelativisticSGHMCSampler,
+    RelativisticSGHMCState,
+)
 from pysgmcmc_tpu.samplers.sghmc import SGHMCSampler, SGHMCState
 from pysgmcmc_tpu.samplers.sgld import SGLDSampler, SGLDState
 
@@ -257,10 +262,13 @@ def sample_chain_lanes(
         kind = "sgld"
     elif isinstance(sampler, PSGLDSampler):
         kind = "psgld"
+    elif isinstance(sampler, RelativisticSGHMCSampler):
+        kind = "rsghmc"
     else:
         raise NotImplementedError(
-            "sample_chain_lanes supports SGHMC, SGLD and PSGLD samplers; "
-            "got {!r}".format(type(sampler).__name__)
+            "sample_chain_lanes supports the SGHMC, SGLD, PSGLD and "
+            "RelativisticSGHMC samplers; got {!r}".format(
+                type(sampler).__name__)
         )
     is_sghmc = kind == "sghmc"
     if backend not in ("pallas", "xla"):
@@ -275,7 +283,7 @@ def sample_chain_lanes(
     # mass-matrix inverse in bf16 HBM (update arithmetic stays f32 in
     # VMEM): halves their traffic for an O(2^-8) relative rounding — far
     # below the injected sampling noise (moments pinned in tests).
-    if kind == "sghmc":
+    if kind in ("sghmc", "rsghmc"):
         v = pack_lanes(spec, states.momentum, dtype=state_dtype)
     elif kind == "psgld":
         v = pack_lanes(spec, states.v, dtype=state_dtype)
@@ -283,7 +291,7 @@ def sample_chain_lanes(
         v = None
     minv = (
         pack_lanes(spec, states.stats.minv, dtype=state_dtype)
-        if kind != "psgld" else None
+        if kind in ("sghmc", "sgld") else None
     )
 
     grad_fn = jax.vmap(
@@ -295,7 +303,7 @@ def sample_chain_lanes(
 
     key, key_seed = jax.random.split(key)
     base_seed = _base_seed(key_seed)
-    scale_grad = sampler.scale_grad
+    scale_grad = getattr(sampler, "scale_grad", 1.0)
     prior_scale = getattr(sampler, "gaussian_prior_scale", 0.0)
     mdecay = sampler.mdecay if is_sghmc else None
     a_coef = sampler.A if kind == "sgld" else None
@@ -330,12 +338,19 @@ def sample_chain_lanes(
                 a_coef=float(a_coef), scale_grad=scale_grad,
                 prior_scale=prior_scale, interpret=interpret,
             )
-        elif backend == "pallas":
+        elif backend == "pallas" and kind == "psgld":
             theta, v = slim_psgld_update(
                 theta, v, grad_flat, None, eps, seed,
                 alpha=sampler.alpha, lambda_reg=sampler.lambda_reg,
                 scale_grad=scale_grad, prior_scale=prior_scale,
                 interpret=interpret,
+            )
+        elif backend == "pallas":
+            theta, v = slim_rsghmc_update(
+                theta, v, grad_flat, None, eps, seed,
+                d_coef=sampler.D, bhat=sampler.Bhat, mass=sampler.mass,
+                speed_of_light=sampler.speed_of_light,
+                prior_scale=prior_scale, interpret=interpret,
             )
         elif is_sghmc:
             key, key_noise = jax.random.split(key)
@@ -358,6 +373,23 @@ def sample_chain_lanes(
             sigma = jnp.sqrt(jnp.maximum(
                 2.0 * eps * minv32 * a_coef / scale_grad, 0.0))
             theta = theta - eps * minv32 * a_coef * g + sigma * eta
+        elif kind == "rsghmc":
+            key, key_noise = jax.random.split(key)
+            eta = jax.random.normal(key_noise, theta.shape, jnp.float32)
+            g = -(grad_flat.astype(jnp.float32) + prior_scale * theta)
+            m, c = sampler.mass, sampler.speed_of_light
+            p32 = v.astype(jnp.float32)
+
+            def vel(pp):
+                return eps * pp / (m * jnp.sqrt(
+                    pp * pp / (m**2 * c**2) + 1.0))
+
+            noise_scale = jnp.sqrt(jnp.maximum(
+                eps * (2.0 * sampler.D - eps * sampler.Bhat), 0.0))
+            p32 = p32 + eps * g + noise_scale * eta \
+                - sampler.D * vel(p32)
+            theta = theta + vel(p32)
+            v = p32.astype(state_dtype)
         else:
             key, key_noise = jax.random.split(key)
             eta = jax.random.normal(key_noise, theta.shape, jnp.float32)
@@ -393,6 +425,13 @@ def sample_chain_lanes(
         new_states = PSGLDState(
             position=unpack_lanes(spec, theta),
             v=unpack_lanes(spec, v, jnp.float32),
+            step=states.step + n_samples * keep_every,
+            schedule_state=states.schedule_state,
+        )
+    elif kind == "rsghmc":
+        new_states = RelativisticSGHMCState(
+            position=unpack_lanes(spec, theta),
+            momentum=unpack_lanes(spec, v, jnp.float32),
             step=states.step + n_samples * keep_every,
             schedule_state=states.schedule_state,
         )

@@ -555,3 +555,104 @@ def test_lanes_psgld_samples_gaussian():
     ])
     assert abs(draws.mean() - ref.mean()) < 0.15
     assert abs(draws.std() - ref.std()) < 0.25 * ref.std()
+
+
+def test_slim_rsghmc_update_matches_pytree_step():
+    """The flat relativistic kernel math == RelativisticSGHMCSampler.step."""
+    from pysgmcmc_tpu.ops.slim_update import slim_rsghmc_update
+    from pysgmcmc_tpu.samplers.relativistic_sghmc import (
+        RelativisticSGHMCSampler,
+    )
+
+    template = _template()
+    spec = make_pack_spec(template)
+    rng = np.random.RandomState(9)
+    n = 3
+    positions = jax.tree_util.tree_map(
+        lambda l: jnp.asarray(rng.standard_normal((n,) + l.shape),
+                              jnp.float32), template)
+    sampler = RelativisticSGHMCSampler(
+        lambda p, b: 0.5 * sum(jnp.sum(x**2) for x in
+                               jax.tree_util.tree_leaves(p)),
+        stepsize_schedule=0.05,
+    )
+    states = jax.vmap(sampler.init)(
+        positions, jax.random.split(jax.random.PRNGKey(0), n))
+
+    eta = jax.vmap(normal_like_tree, in_axes=(0, 0))(
+        jax.random.split(jax.random.PRNGKey(2), n), states.position)
+    ref_state, _ = jax.vmap(
+        lambda s, e: sampler.step(
+            s, jax.random.PRNGKey(0), jnp.zeros(()), noise=e)
+    )(states, eta)
+
+    grads = jax.vmap(jax.grad(sampler.cost_fn))(
+        states.position, jnp.zeros((n,)))
+    theta2, p2 = slim_rsghmc_update(
+        pack_tree(spec, states.position),
+        pack_tree(spec, states.momentum),
+        pack_tree(spec, grads),
+        pack_mask(spec), eps=0.05, seed=0,
+        d_coef=sampler.D, bhat=sampler.Bhat, mass=sampler.mass,
+        speed_of_light=sampler.speed_of_light,
+        noise=pack_tree(spec, eta), interpret=True,
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(ref_state.position),
+                    jax.tree_util.tree_leaves(unpack_tree(spec, theta2))):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(ref_state.momentum),
+                    jax.tree_util.tree_leaves(unpack_tree(spec, p2))):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_lanes_rsghmc_samples_gaussian():
+    """The lanes driver with relativistic SGHMC matches pytree moments."""
+    from pysgmcmc_tpu.parallel.packed import sample_chain_lanes
+    from pysgmcmc_tpu.samplers.relativistic_sghmc import (
+        RelativisticSGHMCSampler,
+    )
+
+    sampler = RelativisticSGHMCSampler(
+        lambda p, b: 0.5 * sum(jnp.sum(x**2) for x in
+                               jax.tree_util.tree_leaves(p)),
+        stepsize_schedule=0.05,
+    )
+    n = 16
+    template = {"x": jnp.zeros(4), "y": jnp.zeros((2, 3))}
+    positions = jax.tree_util.tree_map(
+        lambda l: 0.1 * jax.random.normal(
+            jax.random.PRNGKey(3), (n,) + l.shape), template)
+    states = jax.vmap(sampler.init)(
+        positions, jax.random.split(jax.random.PRNGKey(4), n))
+    states, _ = jax.vmap(
+        lambda s, k: sample_chain(
+            sampler, s, k, 1, batch_fn=lambda kk: jnp.zeros(()),
+            keep_every=200, collect_costs=False)
+    )(states, jax.random.split(jax.random.PRNGKey(5), n))
+
+    run = jax.jit(lambda s, k: sample_chain_lanes(
+        sampler, s, k, 400, batch_fn=lambda kk: jnp.zeros(()),
+        keep_every=5, compute_dtype=None, backend="xla"))
+    states2, positions_out, costs = run(states, jax.random.PRNGKey(6))
+    draws = np.concatenate([
+        np.asarray(l).reshape(-1)
+        for l in jax.tree_util.tree_leaves(positions_out)
+    ])
+    assert np.isfinite(draws).all()
+
+    ref_run = jax.jit(jax.vmap(
+        lambda s, k: sample_chain(
+            sampler, s, k, 400, batch_fn=lambda kk: jnp.zeros(()),
+            keep_every=5)[1]))
+    ref_positions = ref_run(
+        states, jax.random.split(jax.random.PRNGKey(7), n))
+    ref = np.concatenate([
+        np.asarray(l).reshape(-1)
+        for l in jax.tree_util.tree_leaves(ref_positions)
+    ])
+    assert abs(draws.mean() - ref.mean()) < 0.15
+    assert abs(draws.std() - ref.std()) < 0.25 * ref.std()
+    assert int(states2.step[0]) == 200 + 400 * 5
