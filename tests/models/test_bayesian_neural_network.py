@@ -274,3 +274,30 @@ def test_fused_step_impl_trains_and_validates():
     with pytest.raises(ValueError, match="mesh"):
         BayesianNeuralNetwork(
             step_impl="fused", network="dense", mesh=object())
+
+
+def test_lanes_step_impl_all_samplers():
+    """step_impl='lanes' trains with every gradient-based sampler."""
+    from pysgmcmc_tpu.sampling import Sampler
+
+    x, y = _sinc_data()[:2]
+    for method, kw in (
+        (Sampler.SGHMC, {}),
+        (Sampler.SGLD, {"stepsize_schedule": 1e-5}),
+        (Sampler.PSGLD, {"stepsize_schedule": 1e-4}),
+        (Sampler.RelativisticSGHMC, {"stepsize_schedule": 1e-3}),
+    ):
+        bnn = BayesianNeuralNetwork(
+            sampling_method=method, step_impl="lanes", n_chains=2,
+            n_nets=4, n_iters=300, burn_in_steps=100, sample_steps=10,
+            batch_size=10, log_every=None, seed=3, **kw)
+        bnn.train(x, y)
+        mean, variance = bnn.predict(x)
+        assert bnn._n_collected == 4
+        assert np.all(np.isfinite(mean)), method
+        assert np.all(variance >= 0), method
+
+    import pytest
+
+    with pytest.raises(ValueError, match="lanes"):
+        BayesianNeuralNetwork(step_impl="lanes", sampling_method=Sampler.SVGD)
