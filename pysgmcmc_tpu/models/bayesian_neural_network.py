@@ -196,7 +196,10 @@ class BayesianNeuralNetwork(BaseModel):
         self.log_every = log_every
         # network="dense": the TPU-lane-friendly parameterization of the
         # same architecture (models/architectures.dense_network — identical
-        # math and init draws).  step_impl="fused": run the sampling phase
+        # math and init draws).  step_impl="lanes": run the sampling phase
+        # on the chains-on-lanes fused elementwise kernels (any sampler in
+        # the gradient-based family, any architecture; ops/slim_update).
+        # step_impl="fused": run the sampling phase
         # on the flash-SGHMC whole-step Pallas kernel (ops/fused_step) —
         # measured 1.90M steps/sec/chip vs 1.48M for the pytree path on
         # the 8192-chain flagship; requires network="dense", SGHMC, the
