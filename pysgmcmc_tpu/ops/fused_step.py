@@ -95,7 +95,10 @@ S = 64        # per-chain matrix slot (both dims); fits H = 50
 B_PAD = 24    # padded batch rows (B = 20)
 BIAS_ROW = 50  # biases ride row 50 of their weight matrix (ones-lane trick)
 VEC_ROWS = 8  # [w1 (n_inputs rows), b1, w4, (b4, lvb), 0...]
-MAX_INPUTS = VEC_ROWS - 3  # w1 rows + b1 + w4 + scal must fit
+# w1 rows + b1 + w4 + scal must fit, AND the last row must stay free:
+# the per-chain cost is written to (row BIG_ROWS-1, lane LANE_B4) of the
+# theta slab, so the scal row may never be the last row
+MAX_INPUTS = VEC_ROWS - 4
 # The vector rows live INSIDE the first state array (rows S..S+VEC_ROWS of
 # a (S+8, S) slab): XLA's memory-space assignment promotes small separate
 # outputs into scoped VMEM, which OOMs at 8192 chains; matrix-shaped
@@ -111,7 +114,10 @@ def _vec_rows(n_inputs):
         raise ValueError(
             "fused step supports 1..{} input features; got {}".format(
                 MAX_INPUTS, n_inputs))
-    return S + n_inputs, S + n_inputs + 1, S + n_inputs + 2
+    row_scal = S + n_inputs + 2
+    assert row_scal < BIG_ROWS - 1, (
+        "scal row would collide with the cost row")
+    return S + n_inputs, S + n_inputs + 1, row_scal
 
 
 ROW_B1, ROW_W4, ROW_SCAL = _vec_rows(1)  # the flagship 1-input layout
@@ -295,7 +301,7 @@ def _make_kernel_paired(batch_size, n_data, block_chains):
                xin_ref, y_ref,
                obig, ow3, pbig, pw3,
                s_a1, s_a2, s_a3, s_gvec):
-        pltpu.prng_seed(int_ref[0] + pl.program_id(0))
+        pltpu.prng_seed(int_ref[0], pl.program_id(0))
         eps = float_ref[0]
         eps_scaled = float_ref[1]
         mdecay = float_ref[2]
@@ -454,7 +460,7 @@ def _make_kernel(batch_size, n_data, with_noise, block_chains,
         else:
             (obig, ow3, pbig, pw3,
              s_a1, s_a2, s_a3, s_gvec) = rest
-            pltpu.prng_seed(int_ref[0] + pl.program_id(0))
+            pltpu.prng_seed(int_ref[0], pl.program_id(0))
 
         eps = float_ref[0]
         eps_scaled = float_ref[1]

@@ -124,7 +124,10 @@ def _kernel_rng(int_ref, float_ref, theta_ref, v_ref, tau_ref, g_ref,
                 v_hat_ref, minv_ref, grad_ref,
                 theta_out, v_out, tau_out, g_out, v_hat_out, minv_out):
     pid = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
-    pltpu.prng_seed(int_ref[0] + pid)
+    # two-word seeding MIXES the (per-step seed, block id) material, so
+    # streams can never collide across (step, block) pairs the way an
+    # additive seed + pid would (seed+1, pid) == (seed, pid+1)
+    pltpu.prng_seed(int_ref[0], pid)
     eps = float_ref[0]
     eps_scaled = float_ref[1]
     mdecay = float_ref[2]

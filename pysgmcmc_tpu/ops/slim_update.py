@@ -80,6 +80,21 @@ def _block_shape(n_rows, n_cols, n_buffers):
     return block_rows, block_cols
 
 
+def _check_eps_row(eps32, n_cols, name):
+    """Validate/shape a per-chain stepsize into a ``(1, n_cols)`` row.
+
+    Per-chain stepsizes only make sense in the chains-on-lanes layout
+    (chains on the minor axis), where a ``(1, width)`` row broadcasts one
+    value per chain across all of its parameter rows.
+    """
+    if eps32.size != n_cols:
+        raise ValueError(
+            "{}: per-chain eps must have one entry per column "
+            "(chains-on-lanes layout); got {} entries for width {}".format(
+                name, eps32.size, n_cols))
+    return eps32.reshape(1, n_cols)
+
+
 def _update_math(theta, v, grad, minv, mask, eta,
                  eps, eps_scaled, mdecay, prior_scale):
     """All arithmetic in f32; v/minv/grad may arrive bfloat16."""
@@ -92,28 +107,48 @@ def _update_math(theta, v, grad, minv, mask, eta,
     return theta + v_new, v_new
 
 
-def _kernel_rng(int_ref, float_ref, theta_ref, v_ref, grad_ref, minv_ref,
-                mask_ref, theta_out, v_out):
+def _seeded_eta(int_ref, shape):
     pid = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
-    pltpu.prng_seed(int_ref[0] + pid)
-    eta = _normal_from_bits(theta_ref.shape)
-    theta_new, v_new = _update_math(
-        theta_ref[:], v_ref[:], grad_ref[:], minv_ref[:], mask_ref[:], eta,
-        float_ref[0], float_ref[1], float_ref[2], float_ref[3],
-    )
-    theta_out[:] = theta_new
-    v_out[:] = v_new.astype(v_out.dtype)
+    # two-word seeding MIXES the (per-step seed, block id) material, so
+    # streams can never collide across (step, block) pairs the way an
+    # additive seed + pid would ((seed+1, pid) == (seed, pid+1))
+    pltpu.prng_seed(int_ref[0], pid)
+    return _normal_from_bits(shape)
 
 
-def _kernel_noise(int_ref, float_ref, theta_ref, v_ref, grad_ref, minv_ref,
-                  mask_ref, eta_ref, theta_out, v_out):
-    theta_new, v_new = _update_math(
-        theta_ref[:], v_ref[:], grad_ref[:], minv_ref[:], mask_ref[:],
-        eta_ref[:],
-        float_ref[0], float_ref[1], float_ref[2], float_ref[3],
-    )
-    theta_out[:] = theta_new
-    v_out[:] = v_new.astype(v_out.dtype)
+def _make_sghmc_kernel(with_noise, with_eps):
+    """SGHMC sampling-phase kernel.
+
+    ``with_eps``: the stepsize arrives as two ``(1, block_cols)`` row
+    operands (per-chain ``eps`` and ``eps_scaled`` in the chains-on-lanes
+    layout) instead of ``float_ref`` scalars — one compiled program then
+    advances every chain at its own stepsize (the ESS-sweep pattern of
+    :class:`pysgmcmc_tpu.stepsize_schedules.TracedStepsizeSchedule`).
+    """
+
+    def kernel(int_ref, float_ref, *refs):
+        theta_ref, v_ref, grad_ref, minv_ref, mask_ref = refs[:5]
+        i = 5
+        if with_eps:
+            eps_ref, eps_s_ref = refs[i], refs[i + 1]
+            i += 2
+            eps, eps_scaled = eps_ref[:], eps_s_ref[:]
+        else:
+            eps, eps_scaled = float_ref[0], float_ref[1]
+        if with_noise:
+            eta = refs[i][:]
+            i += 1
+        else:
+            eta = _seeded_eta(int_ref, theta_ref.shape)
+        theta_out, v_out = refs[i], refs[i + 1]
+        theta_new, v_new = _update_math(
+            theta_ref[:], v_ref[:], grad_ref[:], minv_ref[:], mask_ref[:],
+            eta, eps, eps_scaled, float_ref[2], float_ref[3],
+        )
+        theta_out[:] = theta_new
+        v_out[:] = v_new.astype(v_out.dtype)
+
+    return kernel
 
 
 def _leaf_uniform(shape):
@@ -125,7 +160,7 @@ def _leaf_uniform(shape):
 
 def _leaf_kernel_rng(int_ref, float_ref, theta_ref, v_ref, grad_ref,
                      minv_ref, *outs):
-    pltpu.prng_seed(int_ref[0] + pl.program_id(0))
+    pltpu.prng_seed(int_ref[0], pl.program_id(0))
     u1 = _leaf_uniform(theta_ref.shape)
     u2 = _leaf_uniform(theta_ref.shape)
     eta = jnp.sqrt(-2.0 * jnp.log1p(-u1)) * jnp.cos(2.0 * jnp.pi * u2)
@@ -305,7 +340,9 @@ def slim_sghmc_update(
     theta, v, minv : (n_chains, width) float32, ``width`` a multiple of 128
     grad : (n_chains, width) float32 or bfloat16
     mask : (1, width) float32 — 1 on real lanes, 0 on slot padding
-    eps : scalar stepsize (traced ok)
+    eps : scalar stepsize (traced ok), or a ``(width,)``/``(1, width)``
+        per-chain stepsize vector for the chains-on-lanes layout (one
+        entry per lane = per chain; the ESS-sweep pattern)
     seed : scalar int32 — per-step seed for the in-kernel PRNG
     noise : optional (n_chains, width) float32 standard normals; replaces
         the in-kernel draw (bitwise-testable math-only mode)
@@ -327,6 +364,7 @@ def slim_sghmc_update(
     if mask is None:  # no slot padding to zero (e.g. chains-on-lanes packs)
         mask = jnp.ones((1, n_cols), jnp.float32)
     with_noise = noise is not None
+    with_eps = jnp.ndim(eps) != 0
     n_buffers = 7 + (1 if with_noise else 0)
     block_rows, block_cols = _block_shape(n_rows, n_cols, n_buffers)
     grid = (n_rows // block_rows, n_cols // block_cols)
@@ -334,8 +372,10 @@ def slim_sghmc_update(
     eps32 = jnp.asarray(eps, jnp.float32)
     eps_scaled32 = eps32 / jnp.sqrt(jnp.asarray(scale_grad, jnp.float32))
     int_scalars = jnp.asarray(seed, jnp.int32).reshape(1)
+    zero = jnp.zeros((), jnp.float32)
     float_scalars = jnp.stack([
-        eps32, eps_scaled32,
+        zero if with_eps else eps32,
+        zero if with_eps else eps_scaled32,
         jnp.asarray(mdecay, jnp.float32),
         jnp.asarray(prior_scale, jnp.float32),
     ])
@@ -347,11 +387,19 @@ def slim_sghmc_update(
             memory_space=pltpu.VMEM,
         )
 
-    mask_spec = pl.BlockSpec(
-        (1, block_cols), lambda i, j, *_: (0, j), memory_space=pltpu.VMEM
-    )
-    in_specs = [spec(), spec(), spec(), spec(), mask_spec]
+    def row_spec():
+        return pl.BlockSpec(
+            (1, block_cols), lambda i, j, *_: (0, j),
+            memory_space=pltpu.VMEM,
+        )
+
+    in_specs = [spec(), spec(), spec(), spec(), row_spec()]
     operands = (theta, v, grad, minv, mask)
+    if with_eps:
+        eps_row = _check_eps_row(eps32, n_cols, "slim_sghmc_update")
+        eps_s_row = eps_scaled32.reshape(1, n_cols)
+        in_specs += [row_spec(), row_spec()]
+        operands = operands + (eps_row, eps_s_row)
     if with_noise:
         in_specs.append(spec())
         operands = operands + (noise,)
@@ -371,7 +419,7 @@ def slim_sghmc_update(
     # alias theta (operand idx 2 incl. the two scalar-prefetch args) and v
     # onto the two outputs: the update is in-place in HBM
     aliases = {2: 0, 3: 1}
-    kernel = _kernel_noise if with_noise else _kernel_rng
+    kernel = _make_sghmc_kernel(with_noise, with_eps)
     interpreter = pltpu.InterpretParams() if interpret else False
     return pl.pallas_call(
         kernel,
@@ -392,21 +440,26 @@ def _sgld_math(theta, grad, minv, mask, eta, eps, a_over_sg, a_coef,
     return theta + (-eps * minv * a_coef * g + sigma * eta) * mask
 
 
-def _sgld_kernel_rng(int_ref, float_ref, theta_ref, grad_ref, minv_ref,
-                     mask_ref, theta_out):
-    pid = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
-    pltpu.prng_seed(int_ref[0] + pid)
-    eta = _normal_from_bits(theta_ref.shape)
-    theta_out[:] = _sgld_math(
-        theta_ref[:], grad_ref[:], minv_ref[:], mask_ref[:], eta,
-        float_ref[0], float_ref[1], float_ref[2], float_ref[3])
+def _make_sgld_kernel(with_noise, with_eps):
+    def kernel(int_ref, float_ref, *refs):
+        theta_ref, grad_ref, minv_ref, mask_ref = refs[:4]
+        i = 4
+        if with_eps:
+            eps = refs[i][:]
+            i += 1
+        else:
+            eps = float_ref[0]
+        if with_noise:
+            eta = refs[i][:]
+            i += 1
+        else:
+            eta = _seeded_eta(int_ref, theta_ref.shape)
+        theta_out = refs[i]
+        theta_out[:] = _sgld_math(
+            theta_ref[:], grad_ref[:], minv_ref[:], mask_ref[:], eta,
+            eps, float_ref[1], float_ref[2], float_ref[3])
 
-
-def _sgld_kernel_noise(int_ref, float_ref, theta_ref, grad_ref, minv_ref,
-                       mask_ref, eta_ref, theta_out):
-    theta_out[:] = _sgld_math(
-        theta_ref[:], grad_ref[:], minv_ref[:], mask_ref[:], eta_ref[:],
-        float_ref[0], float_ref[1], float_ref[2], float_ref[3])
+    return kernel
 
 
 @functools.partial(
@@ -434,6 +487,7 @@ def slim_sgld_update(
     if mask is None:
         mask = jnp.ones((1, n_cols), jnp.float32)
     with_noise = noise is not None
+    with_eps = jnp.ndim(eps) != 0
     n_buffers = 5 + (1 if with_noise else 0)
     block_rows, block_cols = _block_shape(n_rows, n_cols, n_buffers)
     grid = (n_rows // block_rows, n_cols // block_cols)
@@ -441,7 +495,7 @@ def slim_sgld_update(
     eps32 = jnp.asarray(eps, jnp.float32)
     int_scalars = jnp.asarray(seed, jnp.int32).reshape(1)
     float_scalars = jnp.stack([
-        eps32,
+        jnp.zeros((), jnp.float32) if with_eps else eps32,
         jnp.asarray(a_coef / scale_grad, jnp.float32),
         jnp.asarray(a_coef, jnp.float32),
         jnp.asarray(prior_scale, jnp.float32),
@@ -452,10 +506,17 @@ def slim_sgld_update(
             (block_rows, block_cols), lambda i, j, *_: (i, j),
             memory_space=pltpu.VMEM)
 
-    mask_spec = pl.BlockSpec(
-        (1, block_cols), lambda i, j, *_: (0, j), memory_space=pltpu.VMEM)
-    in_specs = [spec(), spec(), spec(), mask_spec]
+    def row_spec():
+        return pl.BlockSpec(
+            (1, block_cols), lambda i, j, *_: (0, j),
+            memory_space=pltpu.VMEM)
+
+    in_specs = [spec(), spec(), spec(), row_spec()]
     operands = (theta, grad, minv, mask)
+    if with_eps:
+        in_specs.append(row_spec())
+        operands = operands + (
+            _check_eps_row(eps32, n_cols, "slim_sgld_update"),)
     if with_noise:
         in_specs.append(spec())
         operands = operands + (noise,)
@@ -466,7 +527,7 @@ def slim_sgld_update(
         in_specs=in_specs,
         out_specs=(spec(),),
     )
-    kernel = _sgld_kernel_noise if with_noise else _sgld_kernel_rng
+    kernel = _make_sgld_kernel(with_noise, with_eps)
     interpreter = pltpu.InterpretParams() if interpret else False
     (out,) = pl.pallas_call(
         kernel,
@@ -491,27 +552,29 @@ def _psgld_math(theta, v, grad, mask, eta, eps, alpha, lam, inv_sg,
     return theta_new, v_new * mask
 
 
-def _psgld_kernel_rng(int_ref, float_ref, theta_ref, v_ref, grad_ref,
-                      mask_ref, theta_out, v_out):
-    pid = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
-    pltpu.prng_seed(int_ref[0] + pid)
-    eta = _normal_from_bits(theta_ref.shape)
-    theta_new, v_new = _psgld_math(
-        theta_ref[:], v_ref[:], grad_ref[:], mask_ref[:], eta,
-        float_ref[0], float_ref[1], float_ref[2], float_ref[3],
-        float_ref[4])
-    theta_out[:] = theta_new
-    v_out[:] = v_new.astype(v_out.dtype)
+def _make_psgld_kernel(with_noise, with_eps):
+    def kernel(int_ref, float_ref, *refs):
+        theta_ref, v_ref, grad_ref, mask_ref = refs[:4]
+        i = 4
+        if with_eps:
+            eps = refs[i][:]
+            i += 1
+        else:
+            eps = float_ref[0]
+        if with_noise:
+            eta = refs[i][:]
+            i += 1
+        else:
+            eta = _seeded_eta(int_ref, theta_ref.shape)
+        theta_out, v_out = refs[i], refs[i + 1]
+        theta_new, v_new = _psgld_math(
+            theta_ref[:], v_ref[:], grad_ref[:], mask_ref[:], eta,
+            eps, float_ref[1], float_ref[2], float_ref[3],
+            float_ref[4])
+        theta_out[:] = theta_new
+        v_out[:] = v_new.astype(v_out.dtype)
 
-
-def _psgld_kernel_noise(int_ref, float_ref, theta_ref, v_ref, grad_ref,
-                        mask_ref, eta_ref, theta_out, v_out):
-    theta_new, v_new = _psgld_math(
-        theta_ref[:], v_ref[:], grad_ref[:], mask_ref[:], eta_ref[:],
-        float_ref[0], float_ref[1], float_ref[2], float_ref[3],
-        float_ref[4])
-    theta_out[:] = theta_new
-    v_out[:] = v_new.astype(v_out.dtype)
+    return kernel
 
 
 @functools.partial(
@@ -545,13 +608,15 @@ def slim_psgld_update(
     if mask is None:
         mask = jnp.ones((1, n_cols), jnp.float32)
     with_noise = noise is not None
+    with_eps = jnp.ndim(eps) != 0
     n_buffers = 6 + (1 if with_noise else 0)
     block_rows, block_cols = _block_shape(n_rows, n_cols, n_buffers)
     grid = (n_rows // block_rows, n_cols // block_cols)
 
+    eps32 = jnp.asarray(eps, jnp.float32)
     int_scalars = jnp.asarray(seed, jnp.int32).reshape(1)
     float_scalars = jnp.stack([
-        jnp.asarray(eps, jnp.float32),
+        jnp.zeros((), jnp.float32) if with_eps else eps32,
         jnp.asarray(alpha, jnp.float32),
         jnp.asarray(lambda_reg, jnp.float32),
         jnp.asarray(1.0 / scale_grad, jnp.float32),
@@ -563,10 +628,17 @@ def slim_psgld_update(
             (block_rows, block_cols), lambda i, j, *_: (i, j),
             memory_space=pltpu.VMEM)
 
-    mask_spec = pl.BlockSpec(
-        (1, block_cols), lambda i, j, *_: (0, j), memory_space=pltpu.VMEM)
-    in_specs = [spec(), spec(), spec(), mask_spec]
+    def row_spec():
+        return pl.BlockSpec(
+            (1, block_cols), lambda i, j, *_: (0, j),
+            memory_space=pltpu.VMEM)
+
+    in_specs = [spec(), spec(), spec(), row_spec()]
     operands = (theta, v, grad, mask)
+    if with_eps:
+        in_specs.append(row_spec())
+        operands = operands + (
+            _check_eps_row(eps32, n_cols, "slim_psgld_update"),)
     if with_noise:
         in_specs.append(spec())
         operands = operands + (noise,)
@@ -581,7 +653,7 @@ def slim_psgld_update(
         jax.ShapeDtypeStruct(theta.shape, jnp.float32),
         jax.ShapeDtypeStruct(v.shape, v.dtype),
     )
-    kernel = _psgld_kernel_noise if with_noise else _psgld_kernel_rng
+    kernel = _make_psgld_kernel(with_noise, with_eps)
     interpreter = pltpu.InterpretParams() if interpret else False
     return pl.pallas_call(
         kernel,
@@ -608,27 +680,29 @@ def _rsghmc_math(theta, pm, grad, mask, eta, eps, noise_scale, d_coef,
     return theta_new, p_new
 
 
-def _rsghmc_kernel_rng(int_ref, float_ref, theta_ref, p_ref, grad_ref,
-                       mask_ref, theta_out, p_out):
-    pid = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
-    pltpu.prng_seed(int_ref[0] + pid)
-    eta = _normal_from_bits(theta_ref.shape)
-    theta_new, p_new = _rsghmc_math(
-        theta_ref[:], p_ref[:], grad_ref[:], mask_ref[:], eta,
-        float_ref[0], float_ref[1], float_ref[2], float_ref[3],
-        float_ref[4], float_ref[5])
-    theta_out[:] = theta_new
-    p_out[:] = p_new.astype(p_out.dtype)
+def _make_rsghmc_kernel(with_noise, with_eps):
+    def kernel(int_ref, float_ref, *refs):
+        theta_ref, p_ref, grad_ref, mask_ref = refs[:4]
+        i = 4
+        if with_eps:
+            eps, noise_scale = refs[i][:], refs[i + 1][:]
+            i += 2
+        else:
+            eps, noise_scale = float_ref[0], float_ref[1]
+        if with_noise:
+            eta = refs[i][:]
+            i += 1
+        else:
+            eta = _seeded_eta(int_ref, theta_ref.shape)
+        theta_out, p_out = refs[i], refs[i + 1]
+        theta_new, p_new = _rsghmc_math(
+            theta_ref[:], p_ref[:], grad_ref[:], mask_ref[:], eta,
+            eps, noise_scale, float_ref[2], float_ref[3],
+            float_ref[4], float_ref[5])
+        theta_out[:] = theta_new
+        p_out[:] = p_new.astype(p_out.dtype)
 
-
-def _rsghmc_kernel_noise(int_ref, float_ref, theta_ref, p_ref, grad_ref,
-                         mask_ref, eta_ref, theta_out, p_out):
-    theta_new, p_new = _rsghmc_math(
-        theta_ref[:], p_ref[:], grad_ref[:], mask_ref[:], eta_ref[:],
-        float_ref[0], float_ref[1], float_ref[2], float_ref[3],
-        float_ref[4], float_ref[5])
-    theta_out[:] = theta_new
-    p_out[:] = p_new.astype(p_out.dtype)
+    return kernel
 
 
 @functools.partial(
@@ -661,16 +735,19 @@ def slim_rsghmc_update(
     if mask is None:
         mask = jnp.ones((1, n_cols), jnp.float32)
     with_noise = noise is not None
+    with_eps = jnp.ndim(eps) != 0
     n_buffers = 6 + (1 if with_noise else 0)
     block_rows, block_cols = _block_shape(n_rows, n_cols, n_buffers)
     grid = (n_rows // block_rows, n_cols // block_cols)
 
     eps32 = jnp.asarray(eps, jnp.float32)
+    noise_scale32 = jnp.sqrt(jnp.maximum(
+        eps32 * (2.0 * d_coef - eps32 * bhat), 0.0))
     int_scalars = jnp.asarray(seed, jnp.int32).reshape(1)
+    zero = jnp.zeros((), jnp.float32)
     float_scalars = jnp.stack([
-        eps32,
-        jnp.sqrt(jnp.maximum(
-            eps32 * (2.0 * d_coef - eps32 * bhat), 0.0)),
+        zero if with_eps else eps32,
+        zero if with_eps else noise_scale32,
         jnp.asarray(d_coef, jnp.float32),
         jnp.asarray(1.0 / mass, jnp.float32),
         jnp.asarray(1.0 / (mass**2 * speed_of_light**2), jnp.float32),
@@ -682,10 +759,19 @@ def slim_rsghmc_update(
             (block_rows, block_cols), lambda i, j, *_: (i, j),
             memory_space=pltpu.VMEM)
 
-    mask_spec = pl.BlockSpec(
-        (1, block_cols), lambda i, j, *_: (0, j), memory_space=pltpu.VMEM)
-    in_specs = [spec(), spec(), spec(), mask_spec]
+    def row_spec():
+        return pl.BlockSpec(
+            (1, block_cols), lambda i, j, *_: (0, j),
+            memory_space=pltpu.VMEM)
+
+    in_specs = [spec(), spec(), spec(), row_spec()]
     operands = (theta, p, grad, mask)
+    if with_eps:
+        in_specs += [row_spec(), row_spec()]
+        operands = operands + (
+            _check_eps_row(eps32, n_cols, "slim_rsghmc_update"),
+            noise_scale32.reshape(1, n_cols),
+        )
     if with_noise:
         in_specs.append(spec())
         operands = operands + (noise,)
@@ -700,12 +786,306 @@ def slim_rsghmc_update(
         jax.ShapeDtypeStruct(theta.shape, jnp.float32),
         jax.ShapeDtypeStruct(p.shape, p.dtype),
     )
-    kernel = _rsghmc_kernel_noise if with_noise else _rsghmc_kernel_rng
+    kernel = _make_rsghmc_kernel(with_noise, with_eps)
     interpreter = pltpu.InterpretParams() if interpret else False
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         input_output_aliases={2: 0, 3: 1},
+        interpret=interpreter,
+    )(int_scalars, float_scalars, *operands)
+
+#  Scale-adapted burn-in (SGHMC / SGLD) ---------------------------------------
+#
+# The Springenberg et al. self-tuning burn-in EMAs
+# (pysgmcmc_tpu/samplers/_adaptive.py, reference semantics
+# /root/reference/pysgmcmc/samplers/sghmc.py:126-196) fused with the
+# parameter update into one VMEM pass, so full runs never touch the pytree
+# path: burn-in traffic is theta/v/tau/g/v_hat in, the updated five plus
+# minv_used out, with in-kernel noise.  The math below reproduces the
+# pytree path term for term under injected noise (pinned in
+# tests/parallel/test_burnin_lanes.py: tau/minv bitwise, the
+# mul-add-bearing outputs to 1-2 ulp of FMA-contraction freedom between
+# compilations): safe_divide's sign-aware epsilon and safe_sqrt's clip
+# are inlined exactly as utils/numeric.py defines them.
+#
+# Padding rows need no masking: their gradient is identically zero, so
+# g stays 0, v_hat stays 0, minv saturates at 1/1e-16 and the injected
+# sigma*eta random walk stays finite and is never unpacked.
+
+def _sghmc_burnin_math(theta, v, tau, g, v_hat, grad, mask, eta,
+                       eps, eps_scaled, mdecay, prior_scale):
+    small = 1e-16
+    v32 = v.astype(jnp.float32)
+    gg = grad.astype(jnp.float32) + prior_scale * theta
+    # minv_used = safe_divide(1, safe_sqrt(OLD v_hat))
+    sqrt_vhat = jnp.sqrt(jnp.maximum(v_hat, 0.0))
+    minv = 1.0 / (sqrt_vhat + 2.0 * jnp.sign(sqrt_vhat) * small + small)
+    # tau' = tau + safe_divide(-g*g*tau, v_hat) + 1     (OLD g, v_hat)
+    denom = v_hat + 2.0 * jnp.sign(v_hat) * small + small
+    tau_new = tau + (-g * g * tau) / denom + 1.0
+    r = 1.0 / (tau + 1.0)                               # OLD tau
+    g_new = g - r * g + r * gg
+    v_hat_new = v_hat - r * v_hat + r * gg * gg
+    sigma = jnp.sqrt(jnp.maximum(
+        2.0 * eps_scaled**2 * mdecay * minv - eps_scaled**4, 1e-16))
+    v_new = (v32 - eps**2 * minv * gg - mdecay * v32 + sigma * eta) * mask
+    return theta + v_new, v_new, tau_new, g_new, v_hat_new, minv
+
+
+def _make_sghmc_burnin_kernel(with_noise, with_eps):
+    def kernel(int_ref, float_ref, *refs):
+        theta_ref, v_ref, tau_ref, g_ref, v_hat_ref, grad_ref, mask_ref = \
+            refs[:7]
+        i = 7
+        if with_eps:
+            eps, eps_scaled = refs[i][:], refs[i + 1][:]
+            i += 2
+        else:
+            eps, eps_scaled = float_ref[0], float_ref[1]
+        if with_noise:
+            eta = refs[i][:]
+            i += 1
+        else:
+            eta = _seeded_eta(int_ref, theta_ref.shape)
+        outs = refs[i:i + 6]
+        vals = _sghmc_burnin_math(
+            theta_ref[:], v_ref[:], tau_ref[:], g_ref[:], v_hat_ref[:],
+            grad_ref[:], mask_ref[:], eta,
+            eps, eps_scaled, float_ref[2], float_ref[3])
+        for ref, val in zip(outs, vals):
+            ref[:] = val.astype(ref.dtype)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mdecay", "scale_grad", "prior_scale", "interpret"),
+)
+def slim_sghmc_burnin_update(
+    theta, v, tau, g, v_hat, grad, mask, eps, seed,
+    mdecay=0.05, scale_grad=1.0, prior_scale=0.0,
+    noise=None, interpret=False,
+):
+    """One fused burn-in SGHMC step (EMA adaptation + update) over flat state.
+
+    Semantics of :func:`pysgmcmc_tpu.samplers._adaptive.update_stats`
+    (``phase="burn_in"``) followed by the SGHMC momentum/position update,
+    matching the pytree path under injected ``noise`` (tau/minv bitwise,
+    the rest to 1-2 ulp of FMA-contraction freedom).  All of
+    ``theta, v, tau, g, v_hat`` are ``(n_rows, n_cols)`` float32 (``v`` may
+    be bfloat16); ``eps`` is a scalar or a per-chain ``(1, n_cols)`` row
+    (chains-on-lanes layout).  Returns
+    ``(theta', v', tau', g', v_hat', minv_used)`` with the first five
+    aliased in place; ``minv_used = 1/sqrt(old v_hat)`` is what the step
+    actually used — after the final burn-in step it is the frozen mass
+    matrix the sampling phase feeds to :func:`slim_sghmc_update`.
+    """
+    n_rows, n_cols = theta.shape
+    if n_cols % LANES != 0:
+        raise ValueError(
+            "slim_sghmc_burnin_update: width must be a multiple of {}; "
+            "got {}".format(LANES, n_cols))
+    if mask is None:
+        mask = jnp.ones((1, n_cols), jnp.float32)
+    with_noise = noise is not None
+    with_eps = jnp.ndim(eps) != 0
+    n_buffers = 13 + (1 if with_noise else 0)
+    block_rows, block_cols = _block_shape(n_rows, n_cols, n_buffers)
+    grid = (n_rows // block_rows, n_cols // block_cols)
+
+    eps32 = jnp.asarray(eps, jnp.float32)
+    eps_scaled32 = eps32 / jnp.sqrt(jnp.asarray(scale_grad, jnp.float32))
+    int_scalars = jnp.asarray(seed, jnp.int32).reshape(1)
+    zero = jnp.zeros((), jnp.float32)
+    float_scalars = jnp.stack([
+        zero if with_eps else eps32,
+        zero if with_eps else eps_scaled32,
+        jnp.asarray(mdecay, jnp.float32),
+        jnp.asarray(prior_scale, jnp.float32),
+    ])
+
+    def spec():
+        return pl.BlockSpec(
+            (block_rows, block_cols), lambda i, j, *_: (i, j),
+            memory_space=pltpu.VMEM)
+
+    def row_spec():
+        return pl.BlockSpec(
+            (1, block_cols), lambda i, j, *_: (0, j),
+            memory_space=pltpu.VMEM)
+
+    in_specs = [spec()] * 6 + [row_spec()]
+    operands = (theta, v, tau, g, v_hat, grad, mask)
+    if with_eps:
+        in_specs += [row_spec(), row_spec()]
+        operands = operands + (
+            _check_eps_row(eps32, n_cols, "slim_sghmc_burnin_update"),
+            eps_scaled32.reshape(1, n_cols),
+        )
+    if with_noise:
+        in_specs.append(spec())
+        operands = operands + (noise,)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tuple(spec() for _ in range(6)),
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct(theta.shape, jnp.float32),
+        jax.ShapeDtypeStruct(v.shape, v.dtype),
+        jax.ShapeDtypeStruct(tau.shape, jnp.float32),
+        jax.ShapeDtypeStruct(g.shape, jnp.float32),
+        jax.ShapeDtypeStruct(v_hat.shape, jnp.float32),
+        jax.ShapeDtypeStruct(v_hat.shape, jnp.float32),  # minv_used
+    )
+    # alias the five state operands (idx 2.. incl. scalar-prefetch args)
+    aliases = {2: 0, 3: 1, 4: 2, 5: 3, 6: 4}
+    kernel = _make_sghmc_burnin_kernel(with_noise, with_eps)
+    interpreter = pltpu.InterpretParams() if interpret else False
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+        interpret=interpreter,
+    )(int_scalars, float_scalars, *operands)
+
+
+def _sgld_burnin_math(theta, tau, g, v_hat, grad, mask, eta,
+                      eps, a_coef, sg_safe, prior_scale):
+    small = 1e-16
+    gg = grad.astype(jnp.float32) + prior_scale * theta
+    sqrt_vhat = jnp.sqrt(jnp.maximum(v_hat, 0.0))
+    minv = 1.0 / (sqrt_vhat + 2.0 * jnp.sign(sqrt_vhat) * small + small)
+    denom = v_hat + 2.0 * jnp.sign(v_hat) * small + small
+    tau_new = tau + (-g * g * tau) / denom + 1.0
+    r = 1.0 / (tau + 1.0)
+    g_new = g - r * g + r * gg
+    v_hat_new = v_hat - r * v_hat + r * gg * gg
+    # sigma = safe_sqrt(2 eps safe_divide(minv A, scale_grad)); sg_safe is
+    # the sign-nudged denominator computed once in the wrapper
+    sigma = jnp.sqrt(jnp.maximum(
+        2.0 * eps * ((minv * a_coef) / sg_safe), 0.0))
+    theta_new = theta + (-eps * minv * a_coef * gg + sigma * eta) * mask
+    return theta_new, tau_new, g_new, v_hat_new, minv
+
+
+def _make_sgld_burnin_kernel(with_noise, with_eps):
+    def kernel(int_ref, float_ref, *refs):
+        theta_ref, tau_ref, g_ref, v_hat_ref, grad_ref, mask_ref = refs[:6]
+        i = 6
+        if with_eps:
+            eps = refs[i][:]
+            i += 1
+        else:
+            eps = float_ref[0]
+        if with_noise:
+            eta = refs[i][:]
+            i += 1
+        else:
+            eta = _seeded_eta(int_ref, theta_ref.shape)
+        outs = refs[i:i + 5]
+        vals = _sgld_burnin_math(
+            theta_ref[:], tau_ref[:], g_ref[:], v_hat_ref[:], grad_ref[:],
+            mask_ref[:], eta,
+            eps, float_ref[1], float_ref[2], float_ref[3])
+        for ref, val in zip(outs, vals):
+            ref[:] = val.astype(ref.dtype)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("a_coef", "scale_grad", "prior_scale", "interpret"),
+)
+def slim_sgld_burnin_update(
+    theta, tau, g, v_hat, grad, mask, eps, seed,
+    a_coef=1.0, scale_grad=1.0, prior_scale=0.0,
+    noise=None, interpret=False,
+):
+    """One fused burn-in SGLD step (EMA adaptation + update) over flat state.
+
+    Semantics of :func:`pysgmcmc_tpu.samplers._adaptive.update_stats`
+    (``phase="burn_in"``) followed by the SGLD update of
+    :mod:`pysgmcmc_tpu.samplers.sgld`, matching the pytree path under
+    injected ``noise`` (tau/minv bitwise, the rest to 1-2 ulp).  Returns
+    ``(theta', tau', g', v_hat', minv_used)``, the first four aliased in
+    place (see :func:`slim_sghmc_burnin_update` for the layout and the
+    ``eps`` row convention).
+    """
+    n_rows, n_cols = theta.shape
+    if n_cols % LANES != 0:
+        raise ValueError(
+            "slim_sgld_burnin_update: width must be a multiple of {}; "
+            "got {}".format(LANES, n_cols))
+    if mask is None:
+        mask = jnp.ones((1, n_cols), jnp.float32)
+    with_noise = noise is not None
+    with_eps = jnp.ndim(eps) != 0
+    n_buffers = 10 + (1 if with_noise else 0)
+    block_rows, block_cols = _block_shape(n_rows, n_cols, n_buffers)
+    grid = (n_rows // block_rows, n_cols // block_cols)
+
+    eps32 = jnp.asarray(eps, jnp.float32)
+    int_scalars = jnp.asarray(seed, jnp.int32).reshape(1)
+    # safe_divide's sign-nudged denominator, computed with the same jnp
+    # ops as utils/numeric.safe_divide so the kernel divides bitwise-equal
+    sg = jnp.asarray(scale_grad, jnp.float32)
+    c = jnp.asarray(1e-16, jnp.float32)
+    sg_safe = sg + 2.0 * jnp.sign(sg) * c + c
+    float_scalars = jnp.stack([
+        jnp.zeros((), jnp.float32) if with_eps else eps32,
+        jnp.asarray(a_coef, jnp.float32),
+        sg_safe,
+        jnp.asarray(prior_scale, jnp.float32),
+    ])
+
+    def spec():
+        return pl.BlockSpec(
+            (block_rows, block_cols), lambda i, j, *_: (i, j),
+            memory_space=pltpu.VMEM)
+
+    def row_spec():
+        return pl.BlockSpec(
+            (1, block_cols), lambda i, j, *_: (0, j),
+            memory_space=pltpu.VMEM)
+
+    in_specs = [spec()] * 5 + [row_spec()]
+    operands = (theta, tau, g, v_hat, grad, mask)
+    if with_eps:
+        in_specs.append(row_spec())
+        operands = operands + (
+            _check_eps_row(eps32, n_cols, "slim_sgld_burnin_update"),)
+    if with_noise:
+        in_specs.append(spec())
+        operands = operands + (noise,)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tuple(spec() for _ in range(5)),
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct(theta.shape, jnp.float32),
+        jax.ShapeDtypeStruct(tau.shape, jnp.float32),
+        jax.ShapeDtypeStruct(g.shape, jnp.float32),
+        jax.ShapeDtypeStruct(v_hat.shape, jnp.float32),
+        jax.ShapeDtypeStruct(v_hat.shape, jnp.float32),  # minv_used
+    )
+    aliases = {2: 0, 3: 1, 4: 2, 5: 3}
+    kernel = _make_sgld_burnin_kernel(with_noise, with_eps)
+    interpreter = pltpu.InterpretParams() if interpret else False
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        input_output_aliases=aliases,
         interpret=interpreter,
     )(int_scalars, float_scalars, *operands)

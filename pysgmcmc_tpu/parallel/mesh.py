@@ -69,9 +69,22 @@ def initialize_multihost(coordinator_address=None, num_processes=None,
     ``/root/reference/pysgmcmc/diagnostics/sample_chains.py:369-382``).
     """
     global _DISTRIBUTED_INITIALIZED
-    if _DISTRIBUTED_INITIALIZED or jax.process_count() > 1:
-        _DISTRIBUTED_INITIALIZED = True
+    if _DISTRIBUTED_INITIALIZED:
         return
+    # Already-initialized test WITHOUT touching the backend:
+    # jax.process_count() would initialize XLA, after which
+    # jax.distributed.initialize() hard-fails ("must be called before the
+    # backend is initialized") — turning a real multi-host run into N
+    # silently-independent single-host processes.  The distributed
+    # client handle is the backend-free signal.
+    try:
+        from jax._src import distributed as _jax_distributed
+
+        if _jax_distributed.global_state.client is not None:
+            _DISTRIBUTED_INITIALIZED = True
+            return
+    except (ImportError, AttributeError):
+        pass  # private-API drift: fall through to initialize()
     explicit = not (
         coordinator_address is None and num_processes is None
         and process_id is None and not kwargs
@@ -101,11 +114,11 @@ def initialize_multihost(coordinator_address=None, num_processes=None,
     except (RuntimeError, ValueError) as err:
         if "already" in str(err).lower():  # initialized elsewhere — fine
             _DISTRIBUTED_INITIALIZED = True
-        elif not explicit:
-            # No cluster detected and nothing specified: a plain
-            # single-process run.  Leave JAX as-is.
-            return
         else:
+            # Includes "must be called before the backend is initialized":
+            # swallowing it would let a cluster run proceed as N independent
+            # single-host processes.  (The auto-detect path only reaches
+            # initialize() when cluster env vars are actually set.)
             raise
 
 

@@ -123,14 +123,72 @@ def _schedule_eps(sampler, schedule_state, step):
     return jnp.asarray(eps, jnp.float32)
 
 
-def _shared_schedule_state(states):
+def _shared_schedule_state(states, driver="this driver"):
+    """Collapse a stacked per-chain schedule state to the shared one.
+
+    The packed/stacked/fused drivers advance all chains at ONE stepsize,
+    so a stacked schedule state is only admissible when every chain
+    carries the same values.  Heterogeneous concrete states (e.g. a
+    per-chain :class:`~pysgmcmc_tpu.stepsize_schedules.
+    TracedStepsizeSchedule` sweep) raise instead of silently running every
+    chain at chain 0's stepsize; under tracing the values cannot be
+    inspected — use :func:`sample_chain_lanes` (native per-chain eps) or
+    the pytree path for stepsize sweeps.
+    """
     schedule_state = states.schedule_state
-    if jax.tree_util.tree_leaves(schedule_state):
-        # stacked per-chain schedule state: lockstep chains share it
+    leaves = jax.tree_util.tree_leaves(schedule_state)
+    if leaves:
+        for leaf in leaves:
+            if isinstance(leaf, jax.core.Tracer) or jnp.ndim(leaf) < 1:
+                continue
+            arr = np.asarray(leaf)
+            if not (arr == arr[:1]).all():
+                raise ValueError(
+                    "{}: chains carry heterogeneous per-chain schedule "
+                    "state, but this driver advances all chains at one "
+                    "shared stepsize.  Use sample_chain_lanes (which "
+                    "supports per-chain stepsizes) or the pytree path "
+                    "for stepsize sweeps.".format(driver)
+                )
+        # stacked homogeneous schedule state: lockstep chains share it
         schedule_state = jax.tree_util.tree_map(
-            lambda l: l[0], schedule_state
+            lambda l: l[0] if jnp.ndim(l) >= 1 else l, schedule_state
         )
     return schedule_state
+
+
+def _lanes_eps_fn(sampler, states, n_chains):
+    """Per-step stepsize closure for the chains-on-lanes drivers.
+
+    With a stacked per-chain schedule state (every leaf carrying a
+    leading ``n_chains`` axis — the
+    :class:`~pysgmcmc_tpu.stepsize_schedules.TracedStepsizeSchedule`
+    sweep pattern) this returns a ``(1, n_chains)`` per-chain stepsize
+    row each step; the slim kernels broadcast it across each chain's
+    parameter rows, so one compiled program advances every chain at its
+    own stepsize.  Otherwise a scalar, exactly as before.
+    """
+    ss = states.schedule_state
+    leaves = jax.tree_util.tree_leaves(ss)
+    per_chain = bool(leaves) and all(
+        jnp.ndim(leaf) >= 1 and leaf.shape[0] == n_chains
+        for leaf in leaves
+    )
+    if per_chain:
+        def eps_of(step):
+            vec = jax.vmap(
+                lambda s: sampler.stepsize_schedule.value(s, step)
+            )(ss)
+            return jnp.asarray(vec, jnp.float32).reshape(1, n_chains)
+        return eps_of
+
+    shared = jax.tree_util.tree_map(
+        lambda l: l[0] if jnp.ndim(l) >= 1 else l, ss
+    ) if leaves else ss
+
+    def eps_of(step):
+        return _schedule_eps(sampler, shared, step)
+    return eps_of
 
 
 def _base_seed(key):
@@ -138,6 +196,62 @@ def _base_seed(key):
         key, (), jnp.iinfo(jnp.int32).min // 2,
         jnp.iinfo(jnp.int32).max // 2, jnp.int32,
     )
+
+
+def _run_sharded(body, states, key, mesh, axis_name):
+    """shard_map ``body(states, key) -> chain-leading outputs`` over a mesh.
+
+    The mesh composition layer for the kernel fast paths: chains are pure
+    SPMD (zero collectives in the hot loop), so the whole driver body —
+    packing, per-step gradient, Pallas update kernel — runs replicated on
+    every device over its local slice of chains.  This is what scales the
+    single-chip kernel throughput to N chips.
+
+    Every leaf of ``states`` is normalized to carry a leading chain axis
+    (scalars broadcast), so ONE PartitionSpec prefix shards the entire
+    state/outputs pytree.  The PRNG key is replicated in and folded with
+    the device's mesh coordinates inside the body, so shards draw
+    decorrelated streams.  Outputs are therefore deterministic in
+    (inputs, mesh) but not bitwise-equal to the unsharded run — in-kernel
+    PRNG streams are block-local by construction.  (The pytree path via
+    :func:`pysgmcmc_tpu.parallel.chains.run_chains` does give bitwise
+    sharded == unsharded; statistical parity of this path is pinned in
+    ``tests/parallel/test_sharded_kernels.py``.)
+    """
+    from jax.sharding import PartitionSpec
+
+    from pysgmcmc_tpu.parallel.mesh import mesh_chain_axes
+
+    axes = mesh_chain_axes(mesh, axis_name)
+    n_chains = jax.tree_util.tree_leaves(states.position)[0].shape[0]
+    n_dev = mesh.devices.size
+    if n_chains % n_dev:
+        raise ValueError(
+            "sharded kernel driver: n_chains ({}) must be divisible by "
+            "the mesh size ({})".format(n_chains, n_dev)
+        )
+
+    def bcast(leaf):
+        if jnp.ndim(leaf) == 0 or jnp.shape(leaf)[0] != n_chains:
+            return jnp.broadcast_to(
+                jnp.asarray(leaf)[None], (n_chains,) + jnp.shape(leaf)
+            )
+        return leaf
+
+    states = jax.tree_util.tree_map(bcast, states)
+    spec = PartitionSpec(axes)
+    axis_list = axes if isinstance(axes, tuple) else (axes,)
+
+    def shard_body(states, key):
+        for ax in axis_list:
+            key = jax.random.fold_in(key, jax.lax.axis_index(ax))
+        return body(states, key)
+
+    return jax.shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(spec, PartitionSpec()),
+        out_specs=spec,
+    )(states, key)
 
 
 class LanesSpec(NamedTuple):
@@ -222,6 +336,8 @@ def sample_chain_lanes(
     backend="pallas",
     state_dtype=jnp.float32,
     collect_positions=True,
+    mesh=None,
+    axis_name=None,
     interpret=False,
 ):
     """Sampling-phase driver with chains-on-lanes packed state.
@@ -253,9 +369,28 @@ def sample_chain_lanes(
     walk.
 
     ``backend="xla"`` is the same schedule with jnp math + threefry noise
-    (bitwise-testable on CPU).  Returns ``(states, positions, costs)``
-    shaped like :func:`pysgmcmc_tpu.samplers.base.sample_chain`.
+    (bitwise-testable on CPU).  ``mesh`` shards the chain axis over a
+    device mesh via :func:`_run_sharded` — the whole driver (gradient,
+    pack, kernel) runs SPMD per device, scaling kernel throughput to N
+    chips with zero hot-loop collectives.  Returns
+    ``(states, positions, costs)`` shaped like
+    :func:`pysgmcmc_tpu.samplers.base.sample_chain`.
     """
+    if mesh is not None:
+        from pysgmcmc_tpu.parallel.mesh import CHAIN_AXIS
+
+        def body(local_states, local_key):
+            return sample_chain_lanes(
+                sampler, local_states, local_key, n_samples,
+                batch_fn=batch_fn, keep_every=keep_every,
+                compute_dtype=compute_dtype, backend=backend,
+                state_dtype=state_dtype,
+                collect_positions=collect_positions, interpret=interpret,
+            )
+
+        return _run_sharded(
+            body, states, key, mesh, axis_name or CHAIN_AXIS)
+
     if isinstance(sampler, SGHMCSampler):
         kind = "sghmc"
     elif isinstance(sampler, SGLDSampler):
@@ -307,7 +442,7 @@ def sample_chain_lanes(
     prior_scale = getattr(sampler, "gaussian_prior_scale", 0.0)
     mdecay = sampler.mdecay if is_sghmc else None
     a_coef = sampler.A if kind == "sgld" else None
-    schedule_state0 = _shared_schedule_state(states)
+    eps_of = _lanes_eps_fn(sampler, states, n_chains)
     step0 = jnp.max(states.step) if jnp.ndim(states.step) else states.step
 
     def one_step(carry, _):
@@ -324,7 +459,7 @@ def sample_chain_lanes(
         grad_flat = pack_lanes(
             spec, grads, dtype=jax.tree_util.tree_leaves(grads)[0].dtype
         )
-        eps = _schedule_eps(sampler, schedule_state0, step)
+        eps = eps_of(step)
         seed = base_seed + step.astype(jnp.int32)
         if backend == "pallas" and is_sghmc:
             theta, v = slim_sghmc_update(
@@ -462,6 +597,8 @@ def sample_chain_fused(
     block_chains=64,
     state_dtype=jnp.bfloat16,
     collect_positions=True,
+    mesh=None,
+    axis_name=None,
     interpret=False,
 ):
     """Sampling-phase driver over the flash-SGHMC fused step.
@@ -479,9 +616,27 @@ def sample_chain_fused(
     ``x``/``y`` are the raw training data (the driver precomputes the
     contiguous windows of :func:`pysgmcmc_tpu.data_batches.batch_fn`).
 
+    ``mesh`` shards the chain axis over a device mesh (chains are pure
+    SPMD — every device runs the fused kernel on its local block of
+    chains; the training data ``x``/``y`` is replicated).
+
     Returns ``(states, positions, costs)`` shaped like
     :func:`pysgmcmc_tpu.samplers.base.sample_chain`.
     """
+    if mesh is not None:
+        from pysgmcmc_tpu.parallel.mesh import CHAIN_AXIS
+
+        def body(local_states, local_key):
+            return sample_chain_fused(
+                sampler, local_states, local_key, n_samples, x, y,
+                batch_size=batch_size, keep_every=keep_every,
+                block_chains=block_chains, state_dtype=state_dtype,
+                collect_positions=collect_positions, interpret=interpret,
+            )
+
+        return _run_sharded(
+            body, states, key, mesh, axis_name or CHAIN_AXIS)
+
     from pysgmcmc_tpu.ops.fused_step import (
         data_windows,
         fused_bnn_step,
@@ -511,7 +666,7 @@ def sample_chain_fused(
 
     key, key_seed = jax.random.split(key)
     base_seed = _base_seed(key_seed)
-    schedule_state0 = _shared_schedule_state(states)
+    schedule_state0 = _shared_schedule_state(states, "sample_chain_fused")
     step0 = jnp.max(states.step) if jnp.ndim(states.step) else states.step
 
     def one_step(carry, _):
@@ -610,7 +765,7 @@ def sample_chain_stacked(
     mdecay = sampler.mdecay
     scale_grad = sampler.scale_grad
     prior_scale = sampler.gaussian_prior_scale
-    schedule_state0 = _shared_schedule_state(states)
+    schedule_state0 = _shared_schedule_state(states, "sample_chain_stacked")
     step0 = jnp.max(states.step) if jnp.ndim(states.step) else states.step
 
     grad_fn = jax.vmap(
@@ -758,8 +913,9 @@ def sample_chain_packed(
         in_axes=(0, 0 if batch_fn is not None else None),
     )
 
-    # one int32 per run seeds the kernel PRNG; the per-step seed is
-    # base_seed + step so streams never collide across steps or blocks
+    # one int32 per run seeds the kernel PRNG; the kernel mixes the
+    # per-step seed (base_seed + step) with the block id as separate seed
+    # words, so streams never collide across (step, block) pairs
     key, key_seed = jax.random.split(key)
     base_seed = jax.random.randint(
         key_seed, (), jnp.iinfo(jnp.int32).min // 2,
@@ -839,3 +995,192 @@ def sample_chain_packed(
         )
     costs = jnp.swapaxes(costs, 0, 1)
     return new_states, positions, costs
+
+
+def burnin_chain_lanes(
+    sampler,
+    states,
+    key,
+    n_steps,
+    batch_fn=None,
+    compute_dtype=jnp.bfloat16,
+    backend="pallas",
+    state_dtype=jnp.float32,
+    mesh=None,
+    axis_name=None,
+    interpret=False,
+):
+    """Burn-in driver with chains-on-lanes packed state and fused EMA kernels.
+
+    The burn-in analog of :func:`sample_chain_lanes` for the adaptive
+    samplers (SGHMC, SGLD): each step runs the whole Springenberg et al.
+    self-tuning update — tau/g/v_hat EMAs, mass-matrix inverse, noise and
+    parameter update (semantics of
+    :func:`pysgmcmc_tpu.samplers._adaptive.update_stats` with
+    ``phase="burn_in"``; reference
+    ``/root/reference/pysgmcmc/samplers/sghmc.py:126-196``) — as ONE
+    Pallas kernel over the packed ``(rows, n_chains)`` state
+    (:func:`pysgmcmc_tpu.ops.slim_update.slim_sghmc_burnin_update` /
+    ``slim_sgld_burnin_update``), so full training runs never touch the
+    pytree path.
+
+    Per-chain stepsizes (stacked
+    :class:`~pysgmcmc_tpu.stepsize_schedules.TracedStepsizeSchedule`
+    state) are supported exactly as in :func:`sample_chain_lanes`.
+
+    ``backend="xla"`` runs the same schedule with jnp math + threefry
+    noise (bitwise-testable on CPU).  Returns the advanced states (with
+    ``stats.minv`` holding the mass-matrix inverse the final step used —
+    the value the sampling phase freezes).
+    """
+    if mesh is not None:
+        from pysgmcmc_tpu.parallel.mesh import CHAIN_AXIS
+
+        def body(local_states, local_key):
+            return burnin_chain_lanes(
+                sampler, local_states, local_key, n_steps,
+                batch_fn=batch_fn, compute_dtype=compute_dtype,
+                backend=backend, state_dtype=state_dtype,
+                interpret=interpret,
+            )
+
+        return _run_sharded(
+            body, states, key, mesh, axis_name or CHAIN_AXIS)
+
+    from pysgmcmc_tpu.ops.slim_update import (
+        slim_sghmc_burnin_update,
+        slim_sgld_burnin_update,
+    )
+    from pysgmcmc_tpu.samplers._adaptive import AdaptiveStats
+
+    if isinstance(sampler, SGHMCSampler):
+        kind = "sghmc"
+    elif isinstance(sampler, SGLDSampler):
+        kind = "sgld"
+    else:
+        raise NotImplementedError(
+            "burnin_chain_lanes supports the adaptive (burn-in) samplers "
+            "SGHMC and SGLD; got {!r}".format(type(sampler).__name__)
+        )
+    if backend not in ("pallas", "xla"):
+        raise ValueError("backend must be 'pallas' or 'xla'")
+    is_sghmc = kind == "sghmc"
+
+    n_chains = jax.tree_util.tree_leaves(states.position)[0].shape[0]
+    template = jax.tree_util.tree_map(lambda l: l[0], states.position)
+    spec = make_lanes_spec(template)
+
+    theta = pack_lanes(spec, states.position)
+    v = (
+        pack_lanes(spec, states.momentum, dtype=state_dtype)
+        if is_sghmc else None
+    )
+    tau = pack_lanes(spec, states.stats.tau)
+    g = pack_lanes(spec, states.stats.g)
+    v_hat = pack_lanes(spec, states.stats.v_hat)
+    minv = pack_lanes(spec, states.stats.minv)
+
+    grad_fn = jax.vmap(
+        lambda pos, batch: jax.value_and_grad(sampler.cost_fn)(pos, batch)
+        if batch is not None
+        else jax.value_and_grad(sampler.cost_fn)(pos),
+        in_axes=(0, 0 if batch_fn is not None else None),
+    )
+
+    key, key_seed = jax.random.split(key)
+    base_seed = _base_seed(key_seed)
+    scale_grad = getattr(sampler, "scale_grad", 1.0)
+    prior_scale = getattr(sampler, "gaussian_prior_scale", 0.0)
+    mdecay = sampler.mdecay if is_sghmc else None
+    a_coef = sampler.A if kind == "sgld" else None
+    eps_of = _lanes_eps_fn(sampler, states, n_chains)
+    step0 = jnp.max(states.step) if jnp.ndim(states.step) else states.step
+
+    def one_step(carry, _):
+        theta, v, tau, g, v_hat, minv, key, step = carry
+        key, key_step = jax.random.split(key)
+        theta_tree = unpack_lanes(spec, theta, compute_dtype)
+        if batch_fn is not None:
+            batches = jax.vmap(batch_fn)(
+                jax.random.split(key_step, n_chains)
+            )
+            _, grads = grad_fn(theta_tree, batches)
+        else:
+            _, grads = grad_fn(theta_tree, None)
+        grad_flat = pack_lanes(
+            spec, grads, dtype=jax.tree_util.tree_leaves(grads)[0].dtype
+        )
+        eps = eps_of(step)
+        seed = base_seed + step.astype(jnp.int32)
+        if backend == "pallas" and is_sghmc:
+            theta, v, tau, g, v_hat, minv = slim_sghmc_burnin_update(
+                theta, v, tau, g, v_hat, grad_flat, None, eps, seed,
+                mdecay=mdecay, scale_grad=scale_grad,
+                prior_scale=prior_scale, interpret=interpret,
+            )
+        elif backend == "pallas":
+            theta, tau, g, v_hat, minv = slim_sgld_burnin_update(
+                theta, tau, g, v_hat, grad_flat, None, eps, seed,
+                a_coef=float(a_coef), scale_grad=scale_grad,
+                prior_scale=prior_scale, interpret=interpret,
+            )
+        else:
+            # jnp mirror of the kernel math (bitwise-testable on CPU)
+            key, key_noise = jax.random.split(key)
+            eta = jax.random.normal(key_noise, theta.shape, jnp.float32)
+            small = 1e-16
+            gg = grad_flat.astype(jnp.float32) + prior_scale * theta
+            sqrt_vhat = jnp.sqrt(jnp.maximum(v_hat, 0.0))
+            minv = 1.0 / (
+                sqrt_vhat + 2.0 * jnp.sign(sqrt_vhat) * small + small
+            )
+            denom = v_hat + 2.0 * jnp.sign(v_hat) * small + small
+            tau_new = tau + (-g * g * tau) / denom + 1.0
+            r = 1.0 / (tau + 1.0)
+            g = g - r * g + r * gg
+            v_hat = v_hat - r * v_hat + r * gg * gg
+            tau = tau_new
+            if is_sghmc:
+                eps_scaled = eps / jnp.sqrt(
+                    jnp.asarray(scale_grad, jnp.float32))
+                sigma = jnp.sqrt(jnp.maximum(
+                    2.0 * eps_scaled**2 * mdecay * minv - eps_scaled**4,
+                    1e-16))
+                v32 = v.astype(jnp.float32)
+                v32 = v32 - eps**2 * minv * gg - mdecay * v32 + sigma * eta
+                theta = theta + v32
+                v = v32.astype(state_dtype)
+            else:
+                sg = jnp.asarray(scale_grad, jnp.float32)
+                c = jnp.asarray(1e-16, jnp.float32)
+                sg_safe = sg + 2.0 * jnp.sign(sg) * c + c
+                sigma = jnp.sqrt(jnp.maximum(
+                    2.0 * eps * ((minv * a_coef) / sg_safe), 0.0))
+                theta = theta - eps * minv * a_coef * gg + sigma * eta
+        return (theta, v, tau, g, v_hat, minv, key, step + 1), ()
+
+    (theta, v, tau, g, v_hat, minv, _, step), _ = jax.lax.scan(
+        one_step, (theta, v, tau, g, v_hat, minv, key, step0), None,
+        length=n_steps,
+    )
+
+    stats = AdaptiveStats(
+        tau=unpack_lanes(spec, tau),
+        g=unpack_lanes(spec, g),
+        v_hat=unpack_lanes(spec, v_hat),
+        minv=unpack_lanes(spec, minv),
+    )
+    if is_sghmc:
+        return SGHMCState(
+            position=unpack_lanes(spec, theta),
+            momentum=unpack_lanes(spec, v, jnp.float32),
+            stats=stats,
+            step=states.step + n_steps,
+            schedule_state=states.schedule_state,
+        )
+    return SGLDState(
+        position=unpack_lanes(spec, theta),
+        stats=stats,
+        step=states.step + n_steps,
+        schedule_state=states.schedule_state,
+    )
