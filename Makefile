@@ -3,7 +3,7 @@
 
 PYTEST ?= python -m pytest
 
-.PHONY: test test-fast examples docs bench clean
+.PHONY: test test-fast examples docs figures bench clean
 
 test:
 	$(PYTEST) tests/ -q
@@ -21,6 +21,7 @@ examples:
 	PYTHONPATH=. JAX_PLATFORMS=cpu python examples/bnn_sinc.py
 	PYTHONPATH=. JAX_PLATFORMS=cpu python examples/flash_sghmc.py
 	PYTHONPATH=. JAX_PLATFORMS=cpu python examples/checkpoint_resume.py
+	PYTHONPATH=. JAX_PLATFORMS=cpu python examples/bayesian_optimization.py
 	PYTHONPATH=. JAX_PLATFORMS=cpu python examples/compute_ess.py banana \
 	    --stepsize 0.5 --n-chains 2 --samples-per-chain 500 \
 	    -o /tmp/ess_banana_ci.json
@@ -30,6 +31,12 @@ examples:
 # from the package docstrings, whose examples the doctest suite executes.
 docs:
 	PYTHONPATH=. JAX_PLATFORMS=cpu python docs/gen_api_docs.py
+
+# Result figures (the analog of the reference's executed-notebook plots:
+# ESS-vs-stepsize curves and the RSGHMC banana reproduction), rendered
+# from the committed sweep artifacts + a live CPU banana chain.
+figures:
+	PYTHONPATH=. JAX_PLATFORMS=cpu python docs/gen_figures.py
 
 bench:
 	python bench.py

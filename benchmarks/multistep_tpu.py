@@ -1,0 +1,94 @@
+"""On-chip A/B: round-2 single-step flash-SGHMC vs round-3 variants.
+
+Measures, on the 8192-chain flagship after a full burn-in:
+
+  A. single-step kernel, round-3 noise (full-width + real-rows trim)
+  B. multi-step kernel (k = 200 steps per launch, VMEM-resident state,
+     in-kernel window selection)
+
+Run ON THE CHIP (no JAX_PLATFORMS override):
+    PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/multistep_tpu.py
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from bench import build_workload  # noqa: E402
+from pysgmcmc_tpu.parallel.packed import sample_chain_fused  # noqa: E402
+from pysgmcmc_tpu.samplers.base import sample_chain  # noqa: E402
+
+
+def main():
+    n_chains = 8192
+    burn_in_steps = 3000
+    scan_steps = 200
+    repeats = 3
+
+    sampler, positions, select_batch, (x_data, y_data) = build_workload(
+        n_chains, network="dense", return_data=True)
+
+    @jax.jit
+    def init_and_burn(positions, key):
+        def one_chain(position, chain_key):
+            k_init, k_burn = jax.random.split(chain_key)
+            state = sampler.init(position, k_init)
+            state, _ = sample_chain(
+                sampler, state, k_burn, 1, batch_fn=select_batch,
+                keep_every=burn_in_steps, collect_costs=False,
+                phase="burn_in",
+            )
+            return state
+        return jax.vmap(one_chain)(
+            positions, jax.random.split(key, n_chains))
+
+    def make_scan(multistep):
+        @jax.jit
+        def scan(states, key):
+            states, _, costs = sample_chain_fused(
+                sampler, states, key, 1, x_data, y_data,
+                batch_size=20, keep_every=scan_steps, block_chains=32,
+                state_dtype=jnp.bfloat16, collect_positions=False,
+                multistep=multistep,
+            )
+            return states, costs
+        return scan
+
+    t0 = time.perf_counter()
+    states = init_and_burn(positions, jax.random.PRNGKey(2))
+    jax.block_until_ready(states)
+    print("burn-in done in %.1fs" % (time.perf_counter() - t0), flush=True)
+
+    for name, multistep in (("single-step", False), ("multi-step", True)):
+        scan = make_scan(multistep)
+        t0 = time.perf_counter()
+        st, costs = scan(states, jax.random.PRNGKey(3))
+        jax.block_until_ready(st)
+        print("%s compile+run: %.1fs" % (name, time.perf_counter() - t0),
+              flush=True)
+        assert np.isfinite(np.asarray(costs)).all(), (name, "non-finite")
+
+        elapsed = []
+        for i in range(repeats):
+            t0 = time.perf_counter()
+            st, costs = scan(st, jax.random.PRNGKey(4 + i))
+            jax.block_until_ready(st)
+            elapsed.append(time.perf_counter() - t0)
+        best = min(elapsed)
+        steps_per_sec = n_chains * scan_steps / best
+        print(json.dumps({
+            "variant": name,
+            "ms_per_step": round(1000.0 * best / scan_steps, 3),
+            "steps_per_sec_per_chip": round(steps_per_sec, 1),
+            "mean_final_cost": float(np.asarray(costs).mean()),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

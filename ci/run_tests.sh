@@ -25,6 +25,7 @@ MODE="${1:-fast}"
 if [ "$MODE" = "full" ]; then
     python -m pytest tests/ -q
     make examples
+    make figures
 else
     python -m pytest tests/ -q -m "not slow"
 fi

@@ -213,9 +213,11 @@ class BayesianNeuralNetwork(BaseModel):
             raise ValueError(
                 "step_impl must be 'pytree', 'fused' or 'lanes'")
         if step_impl == "lanes":
-            # chains-on-lanes fused sampling-phase kernels: works for any
-            # architecture/cost and for SGHMC, SGLD, PSGLD and
-            # RelativisticSGHMC (ops/slim_update + parallel/packed)
+            # chains-on-lanes fused kernels (burn-in AND sampling phase):
+            # works for any architecture/cost and for SGHMC, SGLD, PSGLD
+            # and RelativisticSGHMC (ops/slim_update + parallel/packed).
+            # Composes with ``mesh`` — the drivers shard_map the kernel
+            # path over the chain axis.
             lanes_ok = (
                 Sampler.SGHMC, Sampler.SGLD, Sampler.PSGLD,
                 Sampler.RelativisticSGHMC,
@@ -224,8 +226,6 @@ class BayesianNeuralNetwork(BaseModel):
                 raise ValueError(
                     "step_impl='lanes' supports SGHMC, SGLD, PSGLD and "
                     "RelativisticSGHMC")
-            if mesh is not None:
-                raise ValueError("step_impl='lanes' does not support mesh")
         if step_impl == "fused":
             if network != "dense":
                 raise ValueError("step_impl='fused' requires network='dense'")
@@ -236,8 +236,6 @@ class BayesianNeuralNetwork(BaseModel):
                     "step_impl='fused' supports only the default 3x50 "
                     "architecture family"
                 )
-            if mesh is not None:
-                raise ValueError("step_impl='fused' does not support mesh")
         self.network = network
         self.step_impl = step_impl
         # Mixed precision: run the network's matmuls in ``compute_dtype``
@@ -401,6 +399,7 @@ class BayesianNeuralNetwork(BaseModel):
             self._train_lanes(
                 cost_fn, init_fn, select_batch, n_datapoints,
                 key_net, key_init, key_burn, key_sample, start_time,
+                apply_fn, x_dev, y_dev,
             )
             return
 
@@ -510,16 +509,31 @@ class BayesianNeuralNetwork(BaseModel):
     def _train_lanes(
         self, cost_fn, init_fn, select_batch, n_datapoints,
         key_net, key_init, key_burn, key_sample, start_time,
+        apply_fn, x_dev, y_dev,
     ):
-        """Training with the chains-on-lanes fused sampling kernels.
+        """Training with the chains-on-lanes fused kernels, end to end.
 
-        Burn-in runs on the (vmapped) pytree path; the sampling phase
-        runs :func:`pysgmcmc_tpu.parallel.packed.sample_chain_lanes` —
-        one fused elementwise kernel per step with in-kernel RNG, for any
-        architecture/cost function and all four gradient-based samplers
-        (on-chip: SGHMC 5.21, SGLD 5.11, pSGLD 4.98, RSGHMC 5.04 ms/step
-        at 8192 chains vs 5.41-7.81 for the pytree paths)."""
-        from pysgmcmc_tpu.parallel.packed import sample_chain_lanes
+        BOTH phases run on the packed chains-on-lanes kernel path: burn-in
+        via :func:`pysgmcmc_tpu.parallel.packed.burnin_chain_lanes` (the
+        fused EMA-adaptation kernels, for the adaptive SGHMC/SGLD; the
+        non-adaptive PSGLD/RSGHMC discard early lanes-kernel samples
+        instead) and sampling via
+        :func:`pysgmcmc_tpu.parallel.packed.sample_chain_lanes` — for any
+        architecture/cost function and all four gradient-based samplers.
+        Composes with ``mesh`` (the drivers shard_map over the chain
+        axis).
+
+        Telemetry matches the reference's training logs
+        (``bayesian_neural_network.py:472-519``): full-training-set
+        NLL/MSE at iteration 0, every ``log_every`` burn-in iterations,
+        and at every collected sample, via chunked driver segments (one
+        compile per segment shape).  ``log_every=None`` recovers the
+        single-segment program.
+        """
+        from pysgmcmc_tpu.parallel.packed import (
+            burnin_chain_lanes,
+            sample_chain_lanes,
+        )
 
         n_chains = max(1, self.n_chains)
         per_chain = self._n_collect(
@@ -532,31 +546,89 @@ class BayesianNeuralNetwork(BaseModel):
             jnp.bfloat16 if self.compute_dtype is not None else jnp.float32
         )
         backend = "xla" if jax.default_backend() == "cpu" else "pallas"
+        adaptive = Sampler.is_burn_in_mcmc(self.sampling_method)
+        mesh = self.mesh
 
-        @jax.jit
-        def run(positions):
-            def burn_one(position, ck):
-                k_init, k_burn = jax.random.split(ck)
-                state = sampler.init(position, k_init)
-                if self.burn_in_steps > 0:
-                    state, _ = sample_chain(
-                        sampler, state, k_burn, 1, batch_fn=select_batch,
-                        keep_every=self.burn_in_steps,
-                        collect_costs=False, phase="burn_in",
-                    )
-                return state
+        states = jax.jit(jax.vmap(sampler.init))(
+            positions, jax.random.split(key_init, n_chains)
+        )
 
-            states = jax.vmap(burn_one)(
-                positions, jax.random.split(key_burn, n_chains)
+        metric = lambda pos: self.negative_log_likelihood(  # noqa: E731
+            apply_fn, pos, x_dev, y_dev, n_datapoints
+        )
+        metrics_fn = jax.jit(jax.vmap(metric))
+
+        def log_point(iteration, positions_now, n_samples=None):
+            if self.log_every is None or not logging.getLogger(
+            ).isEnabledFor(logging.INFO):
+                return
+            nll, mse = metrics_fn(positions_now)
+            suffix = "" if n_samples is None else " Samples = {}".format(
+                n_samples)
+            logging.info(
+                "Iter %8d : NLL = %.4e MSE = %.4e%s Time = %5.2f",
+                iteration, float(jnp.mean(nll)), float(jnp.mean(mse)),
+                suffix, time.time() - start_time,
             )
-            return sample_chain_lanes(
-                sampler, states, key_sample, per_chain,
-                batch_fn=select_batch, keep_every=self.sample_steps,
-                compute_dtype=self.compute_dtype,
+
+        def make_burn(n_steps):
+            if adaptive:
+                return jax.jit(lambda s, k: burnin_chain_lanes(
+                    sampler, s, k, n_steps, batch_fn=select_batch,
+                    compute_dtype=self.compute_dtype, backend=backend,
+                    state_dtype=jnp.float32, mesh=mesh,
+                ))
+            # PSGLD adapts continuously / RSGHMC has no burn-in machinery:
+            # "burn-in" is simply discarded lanes-kernel steps
+            return jax.jit(lambda s, k: sample_chain_lanes(
+                sampler, s, k, 1, batch_fn=select_batch,
+                keep_every=n_steps, compute_dtype=self.compute_dtype,
                 backend=backend, state_dtype=state_dtype,
-            )
+                collect_positions=False, mesh=mesh,
+            )[0])
 
-        _, samples, costs = run(positions)
+        # telemetry chunks the burn-in at log boundaries; telemetry off
+        # runs one segment
+        if self.log_every is not None and self.burn_in_steps > 0:
+            n_full, rem = divmod(self.burn_in_steps, self.log_every)
+            seg_lengths = [self.log_every] * n_full + ([rem] if rem else [])
+        else:
+            seg_lengths = (
+                [self.burn_in_steps] if self.burn_in_steps > 0 else [])
+        burn_fns = {n: make_burn(n) for n in set(seg_lengths)}
+
+        log_point(0, states.position)
+        iteration = 0
+        burn_keys = jax.random.split(key_burn, max(1, len(seg_lengths)))
+        for i, n_steps in enumerate(seg_lengths):
+            states = burn_fns[n_steps](states, burn_keys[i])
+            iteration += n_steps
+            log_point(iteration, states.position)
+
+        def sample_seg(states, key, n_keep):
+            return sample_chain_lanes(
+                sampler, states, key, n_keep, batch_fn=select_batch,
+                keep_every=self.sample_steps,
+                compute_dtype=self.compute_dtype,
+                backend=backend, state_dtype=state_dtype, mesh=mesh,
+            )
+        sample_seg = jax.jit(sample_seg, static_argnums=2)
+
+        if self.log_every is not None:
+            sample_keys = jax.random.split(key_sample, per_chain)
+            pos_chunks = []
+            for j in range(per_chain):
+                states, pos, _ = sample_seg(states, sample_keys[j], 1)
+                pos_chunks.append(pos)
+                iteration += self.sample_steps
+                log_point(iteration, states.position,
+                          n_samples=(j + 1) * n_chains)
+            samples = jax.tree_util.tree_map(
+                lambda *leaves: jnp.concatenate(leaves, axis=1), *pos_chunks
+            )
+        else:
+            _, samples, _ = sample_seg(states, key_sample, per_chain)
+
         self.samples = jax.tree_util.tree_map(
             lambda leaf: leaf.reshape((-1,) + leaf.shape[2:]), samples
         )
@@ -671,23 +743,24 @@ class BayesianNeuralNetwork(BaseModel):
             )
 
         def make_burn(n_steps):
-            @jax.jit
-            def burn(states, keys):
-                def one(state, ck):
-                    state, _ = sample_chain(
-                        sampler, state, ck, 1, batch_fn=select_batch,
-                        keep_every=n_steps, collect_costs=False,
-                        phase="burn_in",
-                    )
-                    return state
-                return jax.vmap(one)(states, keys)
-            return burn
+            # burn-in on the fused EMA-adaptation lanes kernels
+            # (parallel/packed.burnin_chain_lanes) — the whole training
+            # run stays on the kernel path; mesh-composable
+            from pysgmcmc_tpu.parallel.packed import burnin_chain_lanes
+
+            return jax.jit(lambda s, k: burnin_chain_lanes(
+                sampler, s, k, n_steps, batch_fn=select_batch,
+                compute_dtype=self.compute_dtype,
+                backend="xla" if interpret else "pallas",
+                state_dtype=jnp.float32, mesh=self.mesh,
+            ))
 
         def sample_seg(states, key, n_keep):
             return sample_chain_fused(
                 sampler, states, key, n_keep, x_dev, y_dev,
                 batch_size=self.batch_size, keep_every=self.sample_steps,
                 block_chains=block, state_dtype=state_dtype,
+                mesh=self.mesh,
                 # CPU has no TPU PRNG: interpret mode checks the plumbing
                 # (tests); real noise requires the chip
                 interpret=interpret,
@@ -711,8 +784,7 @@ class BayesianNeuralNetwork(BaseModel):
         iteration = 0
         burn_keys = jax.random.split(key_burn, max(1, len(seg_lengths)))
         for i, n_steps in enumerate(seg_lengths):
-            states = burn_fns[n_steps](
-                states, jax.random.split(burn_keys[i], n_chains))
+            states = burn_fns[n_steps](states, burn_keys[i])
             iteration += n_steps
             log_point(iteration, states.position)
 

@@ -91,6 +91,41 @@ def _normal_3d(shape):
     return jnp.sqrt(-2.0 * jnp.log1p(-u1)) * jnp.cos(2.0 * jnp.pi * u2)
 
 
+# real rows per 64-lane matrix slab that actually need noise: rows 0..50
+# (H=50 weights + the bias row) rounded up to the 8-sublane tile
+_ETA_MAT_ROWS = 56
+
+
+def _block_etas(c):
+    """(eta_w2, eta_vec, eta_w3) for one chain block, full-width draw.
+
+    Two wins over three per-slab ``_normal_3d`` calls (the round-2
+    formulation):
+
+    - **Full vector registers.**  The kernel's ``(C, ., 64)`` slabs
+      occupy only HALF of each physical (8, 128)-lane f32 register, so
+      per-slab generation wastes half the VPU's transcendental
+      throughput.  One ``(C, 60, 128)`` draw runs the Box-Muller
+      logs/trigs at full lane width; the three eta slabs are carved out
+      of its two static 64-lane halves (static lane slices are free —
+      the dynamic-slice 128-alignment restriction does not apply).
+    - **No noise for dead rows.**  Rows 56..63 of each matrix slab are
+      pure padding (``minv == 0`` there masks any noise), so only
+      ``_ETA_MAT_ROWS`` = 56 rows per slab are generated: 120x64 normals
+      instead of the naive 136x64 for ~106x64 real parameters.
+    """
+    half = _ETA_MAT_ROWS + (VEC_ROWS // 2)  # 60 rows per 128-lane half
+    eta = _normal_3d((c, half, 2 * S))
+    a = eta[:, :, 0:S]
+    b = eta[:, :, S:2 * S]
+    zeros_pad = jnp.zeros((c, S - _ETA_MAT_ROWS, S), jnp.float32)
+    eta_w2 = jnp.concatenate([a[:, 0:_ETA_MAT_ROWS], zeros_pad], axis=1)
+    eta_w3 = jnp.concatenate([b[:, 0:_ETA_MAT_ROWS], zeros_pad], axis=1)
+    eta_vec = jnp.concatenate(
+        [a[:, _ETA_MAT_ROWS:half], b[:, _ETA_MAT_ROWS:half]], axis=1)
+    return eta_w2, eta_vec, eta_w3
+
+
 S = 64        # per-chain matrix slot (both dims); fits H = 50
 B_PAD = 24    # padded batch rows (B = 20)
 BIAS_ROW = 50  # biases ride row 50 of their weight matrix (ones-lane trick)
@@ -590,11 +625,7 @@ def _make_kernel(batch_size, n_data, with_noise, block_chains,
         if with_noise:
             etas = (nbig[:][:, 0:S, :], nbig[:][:, S:BIG_ROWS, :], nw3[:])
         else:
-            etas = (
-                _normal_3d((block_chains, S, S)),
-                _normal_3d((block_chains, VEC_ROWS, S)),
-                _normal_3d((block_chains, S, S)),
-            )
+            etas = _block_etas(block_chains)
 
         def _update(theta, v, minv, grad, eta):
             v32 = v.astype(jnp.float32)
@@ -791,5 +822,277 @@ def fused_bnn_step(
     theta_new = tuple(outs[0:2])
     v_new = tuple(outs[2:4])
     # per-chain cost from lane 0 of the theta slab's last row
+    cost = theta_new[0][:, BIG_ROWS - 1, 0:1]
+    return theta_new, v_new, cost
+
+
+#  Multi-step kernel: k steps per launch, state resident in VMEM -------------
+
+def _make_multistep_kernel(batch_size, n_data, block_chains, n_windows,
+                           k_steps):
+    """flash-SGHMC kernel advancing ``k_steps`` steps per launch.
+
+    The round-2 kernel round-trips theta/v through HBM every step (~1 GB
+    per step at 8192 chains) and pays one launch + grid sweep per step.
+    Here the block's state is copied into the (aliased) output refs once,
+    a ``fori_loop`` advances it ``k_steps`` times entirely in VMEM — the
+    minibatch window is drawn from the in-kernel PRNG and gathered from
+    the shared window tables with one masked dot, exactly the
+    ``select_in_kernel`` machinery — and only the final state is written
+    back.  With ``k_steps = keep_every`` (thinning), the kernel emits
+    exactly the states the driver would have kept, and the per-chain cost
+    of the LAST step rides the usual slab row (matching the thinned
+    driver's ``costs[-1]`` semantics).
+
+    Same forward/likelihood/backward/update formulation as
+    :func:`_make_kernel` (the one proven to compile on v5e); 1-input
+    flagship family only.
+    """
+    bf16 = jnp.bfloat16
+    inv_b = 1.0 / batch_size
+    inv_n = 1.0 / n_data
+    C = block_chains
+
+    def kernel(int_ref, float_ref,
+               tbig, tw3, vbig, vw3, mbig, mw3, xw_ref, yw_ref,
+               obig, ow3, pbig, pw3,
+               s_a1, s_a2, s_a3, s_gvec):
+        pltpu.prng_seed(int_ref[0], pl.program_id(0))
+        eps = float_ref[0]
+        eps_scaled = float_ref[1]
+        mdecay = float_ref[2]
+        prior_scale = float_ref[3]
+
+        # state lives in the output refs for the whole k-step loop
+        obig[:] = tbig[:]
+        ow3[:] = tw3[:]
+        pbig[:] = vbig[:]
+        pw3[:] = vw3[:]
+
+        brow = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD), 1)
+        bmask = (brow < batch_size).astype(jnp.float32)
+        lane3 = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD, S), 2)
+        lane2 = jax.lax.broadcasted_iota(jnp.int32, (C, S), 1)
+        win_iota = jax.lax.broadcasted_iota(jnp.int32, (C, n_windows), 1)
+
+        def body(t, carry):
+            big = obig[:]
+            w4 = big[:, ROW_W4, :]
+            scal = big[:, ROW_SCAL, :]
+            b4 = scal[:, LANE_B4:LANE_B4 + 1]
+            lvb = scal[:, LANE_LVB:LANE_LVB + 1]
+
+            # ---- in-kernel minibatch selection ----
+            u = _uniform_3d((C, 8))[:, 0:1]
+            widx = jnp.clip(
+                (u * n_windows).astype(jnp.int32), 0, n_windows - 1)
+            onehot = (win_iota == widx).astype(jnp.float32)
+            x_sel = jax.lax.dot_general(
+                onehot, xw_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            y = jax.lax.dot_general(
+                onehot, yw_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            xin = jnp.stack([x_sel, jnp.ones_like(x_sel)], axis=2)
+
+            # ---- forward ----
+            xin_bf = xin.astype(bf16)
+            w1m_bf = big[:, ROW_W1:ROW_B1 + 1, :].astype(bf16)
+            z1 = _bdot(xin_bf, w1m_bf, (((2,), (1,))))
+            s_a1[:] = jnp.where(
+                lane3 == BIAS_ROW, 1.0, jnp.tanh(z1)).astype(bf16)
+            a1 = s_a1[:]
+            a1f = a1.astype(jnp.float32)
+
+            w2_bf = big[:, 0:S, :].astype(bf16)
+            w3_bf = ow3[:].astype(bf16)
+            z2 = _bdot(a1, w2_bf, (((2,), (1,))))
+            s_a2[:] = jnp.where(
+                lane3 == BIAS_ROW, 1.0, jnp.tanh(z2)).astype(bf16)
+            a2 = s_a2[:]
+            a2f = a2.astype(jnp.float32)
+            z3 = _bdot(a2, w3_bf, (((2,), (1,))))
+            s_a3[:] = jnp.tanh(z3).astype(bf16)
+            a3f = s_a3[:].astype(jnp.float32)
+            f_mean = jnp.sum(a3f * w4[:, None, :], axis=2) + b4
+
+            # ---- likelihood + head gradients ----
+            e_lv = jnp.exp(lvb)
+            var_inv = 1.0 / (e_lv + 1e-16)
+            diff = (f_mean - y) * bmask
+            mse = diff * diff
+            ll = jnp.sum(
+                -mse * (0.5 * var_inv) - 0.5 * lvb * bmask,
+                axis=1, keepdims=True) * inv_b
+            p_term = -jnp.square(lvb - LOG_MP) / (2.0 * VAR_P) \
+                - 0.5 * float(np.log(VAR_P))
+            cost = -(ll + p_term * inv_n)
+            d_mean = diff * var_inv * inv_b
+            d_lvb = -jnp.sum(
+                mse * (0.5 * e_lv) * jnp.square(var_inv) - 0.5 * bmask,
+                axis=1, keepdims=True) * inv_b
+            d_lvb = d_lvb + (lvb - LOG_MP) / VAR_P * inv_n
+            g_b4 = jnp.sum(d_mean, axis=1, keepdims=True)
+
+            # ---- backward ----
+            g_w4 = jnp.sum(a3f * d_mean[:, :, None], axis=1)
+            dz3_bf = ((d_mean[:, :, None] * w4[:, None, :])
+                      * (1.0 - a3f * a3f)).astype(bf16)
+            g_w3 = _bdot(a2, dz3_bf, (((1,), (1,))))
+            da2 = _bdot(dz3_bf, w3_bf, (((2,), (2,))))
+            dz2_bf = (da2 * (1.0 - a2f * a2f)).astype(bf16)
+            g_w2 = _bdot(a1, dz2_bf, (((1,), (1,))))
+            da1 = _bdot(dz2_bf, w2_bf, (((2,), (2,))))
+            dz1_bf = (da1 * (1.0 - a1f * a1f)).astype(bf16)
+            g_w1m = _bdot(xin_bf, dz1_bf, (((1,), (1,))))
+
+            g_scal = jnp.where(
+                lane2 == LANE_B4, g_b4,
+                jnp.where(lane2 == LANE_LVB, d_lvb, 0.0),
+            ).astype(jnp.float32)
+            s_gvec[:, 0:2, :] = g_w1m
+            s_gvec[:, ROW_W4 - S, :] = g_w4
+            s_gvec[:, ROW_SCAL - S, :] = g_scal
+            s_gvec[:, ROW_SCAL - S + 1:VEC_ROWS, :] = jnp.zeros(
+                (C, VEC_ROWS - (ROW_SCAL - S) - 1, S), jnp.float32)
+            g_vec = s_gvec[:]
+
+            etas = _block_etas(C)
+
+            def _update(theta, v, minv, grad, eta):
+                v32 = v.astype(jnp.float32)
+                minv = minv.astype(jnp.float32)
+                g = grad + prior_scale * theta
+                sigma = jnp.sqrt(jnp.maximum(
+                    2.0 * eps_scaled**2 * mdecay * minv - eps_scaled**4,
+                    1e-16))
+                v_new = v32 - eps**2 * minv * g - mdecay * v32 + sigma * eta
+                v_new = jnp.where(minv > 0.0, v_new, 0.0)
+                return theta + v_new, v_new
+
+            t_new, v_new = _update(
+                obig[:, 0:S, :], pbig[:, 0:S, :], mbig[:, 0:S, :],
+                g_w2, etas[0])
+            obig[:, 0:S, :] = t_new
+            pbig[:, 0:S, :] = v_new.astype(pbig.dtype)
+            t_new, v_new = _update(
+                obig[:, S:BIG_ROWS, :], pbig[:, S:BIG_ROWS, :],
+                mbig[:, S:BIG_ROWS, :], g_vec, etas[1])
+            obig[:, S:BIG_ROWS, :] = t_new
+            pbig[:, S:BIG_ROWS, :] = v_new.astype(pbig.dtype)
+            t_new, v_new = _update(ow3[:], pw3[:], mw3[:], g_w3, etas[2])
+            ow3[:] = t_new
+            pw3[:] = v_new.astype(pw3.dtype)
+
+            obig[:, BIG_ROWS - 1, LANE_B4:LANE_B4 + 1] = cost
+            return carry
+
+        jax.lax.fori_loop(0, k_steps, body, 0)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mdecay", "scale_grad", "prior_scale", "batch_size",
+                     "n_data", "block_chains", "state_dtype", "k_steps",
+                     "interpret"),
+)
+def fused_bnn_multistep(
+    theta, v, minv, x_win, y_win, eps, seed,
+    mdecay=0.05, scale_grad=1.0, prior_scale=0.0,
+    batch_size=20, n_data=100, block_chains=32,
+    state_dtype=jnp.bfloat16, k_steps=1, interpret=False,
+):
+    """``k_steps`` fused SGHMC steps in ONE kernel launch, VMEM-resident.
+
+    ``theta``/``v``/``minv`` as in :func:`fused_bnn_step`;
+    ``x_win``/``y_win`` are the SHARED window tables from
+    :func:`data_windows` (each chain draws its window index from the
+    in-kernel PRNG every step).  The per-chain cost of the final step is
+    returned; intermediate states never leave VMEM.  1-input family only.
+
+    Returns ``(theta', v', cost)``.
+    """
+    tbig, tw3 = theta
+    n_chains = tbig.shape[0]
+    if n_chains % block_chains:
+        raise ValueError(
+            "fused_bnn_multistep: n_chains ({}) must be divisible by "
+            "block_chains ({})".format(n_chains, block_chains))
+    n_windows = x_win.shape[0]
+    if x_win.ndim != 2:
+        raise ValueError(
+            "fused_bnn_multistep supports the 1-input flagship family "
+            "(x_win of shape (n_windows, B_PAD)); got shape {}".format(
+                x_win.shape))
+
+    eps32 = jnp.asarray(eps, jnp.float32)
+    int_scalars = jnp.asarray(seed, jnp.int32).reshape(1)
+    float_scalars = jnp.stack([
+        eps32, eps32 / jnp.sqrt(jnp.asarray(scale_grad, jnp.float32)),
+        jnp.asarray(mdecay, jnp.float32),
+        jnp.asarray(prior_scale, jnp.float32),
+    ])
+
+    def mat_spec():
+        return pl.BlockSpec((block_chains, S, S), lambda i, *_: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def big_spec():
+        return pl.BlockSpec(
+            (block_chains, BIG_ROWS, S), lambda i, *_: (i, 0, 0),
+            memory_space=pltpu.VMEM)
+
+    def table_spec(arr):
+        return pl.BlockSpec(
+            tuple(arr.shape), lambda i, *_: (0,) * arr.ndim,
+            memory_space=pltpu.VMEM)
+
+    state_specs = [big_spec(), mat_spec()]
+    in_specs = (
+        state_specs + state_specs + state_specs
+        + [table_spec(x_win), table_spec(y_win)]
+    )
+    operands = list(theta) + list(v) + list(minv) + [
+        jnp.asarray(x_win, jnp.float32), jnp.asarray(y_win, jnp.float32)]
+
+    out_shape = (
+        tuple(jax.ShapeDtypeStruct(t.shape, jnp.float32) for t in theta)
+        + tuple(jax.ShapeDtypeStruct(t.shape, state_dtype) for t in theta)
+    )
+    out_specs = tuple(state_specs) + tuple(state_specs)
+
+    bbs = (block_chains, B_PAD, S)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_chains // block_chains,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM(bbs, jnp.bfloat16),
+            pltpu.VMEM(bbs, jnp.bfloat16),
+            pltpu.VMEM(bbs, jnp.bfloat16),
+            pltpu.VMEM((block_chains, VEC_ROWS, S), jnp.float32),
+        ],
+    )
+    aliases = {i + 2: i for i in range(2)}
+    aliases.update({i + 4: i + 2 for i in range(2)})
+
+    kernel = _make_multistep_kernel(
+        float(batch_size), float(n_data), block_chains, n_windows,
+        int(k_steps))
+    interpreter = pltpu.InterpretParams() if interpret else False
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpreter,
+    )(int_scalars, float_scalars, *operands)
+    theta_new = tuple(outs[0:2])
+    v_new = tuple(outs[2:4])
     cost = theta_new[0][:, BIG_ROWS - 1, 0:1]
     return theta_new, v_new, cost

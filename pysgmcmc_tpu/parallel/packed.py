@@ -45,7 +45,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pysgmcmc_tpu.ops.fused_update import pad_dim
+from pysgmcmc_tpu.ops.fused_update import LANES, pad_dim
 from pysgmcmc_tpu.ops.slim_update import (
     slim_psgld_update,
     slim_rsghmc_update,
@@ -247,10 +247,15 @@ def _run_sharded(body, states, key, mesh, axis_name):
             key = jax.random.fold_in(key, jax.lax.axis_index(ax))
         return body(states, key)
 
+    # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
+    # annotation, which the checker would reject; the body is pure SPMD
+    # over the chain axis with every output chain-leading, so the check
+    # adds nothing here
     return jax.shard_map(
         shard_body, mesh=mesh,
         in_specs=(spec, PartitionSpec()),
         out_specs=spec,
+        check_vma=False,
     )(states, key)
 
 
@@ -410,6 +415,10 @@ def sample_chain_lanes(
         raise ValueError("backend must be 'pallas' or 'xla'")
 
     n_chains = jax.tree_util.tree_leaves(states.position)[0].shape[0]
+    if backend == "pallas" and n_chains % LANES != 0:
+        # the slim kernels need 128-aligned chain lanes; small or odd
+        # chain counts run the (identical-math) jnp path instead
+        backend = "xla"
     template = jax.tree_util.tree_map(lambda l: l[0], states.position)
     spec = make_lanes_spec(template)
 
@@ -599,6 +608,7 @@ def sample_chain_fused(
     collect_positions=True,
     mesh=None,
     axis_name=None,
+    multistep=False,
     interpret=False,
 ):
     """Sampling-phase driver over the flash-SGHMC fused step.
@@ -631,7 +641,8 @@ def sample_chain_fused(
                 sampler, local_states, local_key, n_samples, x, y,
                 batch_size=batch_size, keep_every=keep_every,
                 block_chains=block_chains, state_dtype=state_dtype,
-                collect_positions=collect_positions, interpret=interpret,
+                collect_positions=collect_positions, multistep=multistep,
+                interpret=interpret,
             )
 
         return _run_sharded(
@@ -669,6 +680,10 @@ def sample_chain_fused(
     schedule_state0 = _shared_schedule_state(states, "sample_chain_fused")
     step0 = jnp.max(states.step) if jnp.ndim(states.step) else states.step
 
+    if multistep and n_inputs != 1:
+        raise ValueError(
+            "multistep supports the 1-input flagship family only")
+
     def one_step(carry, _):
         theta, v, key, step = carry
         key, key_batch = jax.random.split(key)
@@ -691,8 +706,34 @@ def sample_chain_fused(
         out = unpack_fused(carry[0], h, n_inputs) if collect_positions else None
         return carry, (out, costs[-1])
 
+    def thinned_multistep(carry, _):
+        # keep_every steps advance INSIDE one kernel launch, VMEM-resident
+        # (ops/fused_step.fused_bnn_multistep); the kernel draws each
+        # chain's minibatch window from its own in-kernel PRNG stream and
+        # reports the final step's cost — identical to the thinned scan's
+        # costs[-1].  The stepsize is evaluated once per segment (exact
+        # for constant schedules; step-varying schedules should use
+        # multistep=False).
+        from pysgmcmc_tpu.ops.fused_step import fused_bnn_multistep
+
+        theta, v, key, step = carry
+        eps = _schedule_eps(sampler, schedule_state0, step)
+        theta, v, cost = fused_bnn_multistep(
+            theta, v, minv, x_win, y_win, eps,
+            base_seed + step.astype(jnp.int32),
+            mdecay=sampler.mdecay, scale_grad=sampler.scale_grad,
+            prior_scale=sampler.gaussian_prior_scale,
+            batch_size=batch_size, n_data=n_data,
+            block_chains=block_chains, state_dtype=state_dtype,
+            k_steps=keep_every, interpret=interpret,
+        )
+        carry = (theta, v, key, step + keep_every)
+        out = unpack_fused(theta, h, n_inputs) if collect_positions else None
+        return carry, (out, cost[:, 0])
+
     (theta, v, _, step), (positions, costs) = jax.lax.scan(
-        thinned, (theta, v, key, step0), None, length=n_samples
+        thinned_multistep if multistep else thinned,
+        (theta, v, key, step0), None, length=n_samples
     )
 
     new_states = SGHMCState(
@@ -1067,6 +1108,10 @@ def burnin_chain_lanes(
     is_sghmc = kind == "sghmc"
 
     n_chains = jax.tree_util.tree_leaves(states.position)[0].shape[0]
+    if backend == "pallas" and n_chains % LANES != 0:
+        # the slim kernels need 128-aligned chain lanes; small or odd
+        # chain counts run the (identical-math) jnp path instead
+        backend = "xla"
     template = jax.tree_util.tree_map(lambda l: l[0], states.position)
     spec = make_lanes_spec(template)
 

@@ -271,9 +271,9 @@ def test_fused_step_impl_trains_and_validates():
         BayesianNeuralNetwork(
             step_impl="fused", network="dense",
             sampling_method=Sampler.SGLD)
-    with pytest.raises(ValueError, match="mesh"):
-        BayesianNeuralNetwork(
-            step_impl="fused", network="dense", mesh=object())
+    # round 3: mesh composes with the fused path (sharded kernel drivers)
+    assert BayesianNeuralNetwork(
+        step_impl="fused", network="dense", mesh=object()).mesh is not None
 
 
 def test_lanes_step_impl_all_samplers():
