@@ -42,7 +42,16 @@ BENCHMARKS = {
 
 
 def sweep(benchmark, n_chains=20, samples_per_chain=10_000, keep_every=10,
-          stepsize_step=0.05, seed=0):
+          stepsize_step=0.05, seed=0, driver="lanes"):
+    """Run the sweep.
+
+    ``driver="lanes"``: the whole (stepsize x chain) grid runs as ONE
+    flat chains-on-lanes kernel program (``parallel/packed.
+    sample_chain_lanes``) — every chain advances at its own stepsize via
+    the per-chain eps row, on the same fused Pallas update kernels the
+    BNN fast path ships (falls back to the identical-math jnp backend on
+    CPU).  ``driver="pytree"`` is the round-1 vmapped pytree program.
+    """
     log_like, dim, (eps_min, eps_max) = BENCHMARKS[benchmark]
     cost_fn = to_negative_log_likelihood(log_like)
     stepsizes = np.arange(eps_min, eps_max, stepsize_step, dtype=np.float32)
@@ -52,30 +61,60 @@ def sweep(benchmark, n_chains=20, samples_per_chain=10_000, keep_every=10,
         cost_fn, stepsize_schedule=TracedStepsizeSchedule(0.001)
     )
 
-    def one_chain(eps, position, chain_key):
-        key_init, key_run = jax.random.split(chain_key)
-        state = sampler.init(position, key_init)
-        state = state._replace(schedule_state=eps)
-        _, positions, _ = sample_chain(
-            sampler, state, key_run, samples_per_chain, keep_every=keep_every
-        )
-        return positions
-
-    # grid: (n_eps, n_chains)
     key = jax.random.PRNGKey(seed)
     key_pos, key_run = jax.random.split(key)
-    positions0 = jax.random.normal(key_pos, (n_eps, n_chains, dim))
-    chain_keys = jax.random.split(key_run, n_eps * n_chains).reshape(
-        n_eps, n_chains, -1
-    )
-    eps_grid = jnp.asarray(stepsizes)[:, None].repeat(n_chains, axis=1)
 
-    run = jax.jit(jax.vmap(jax.vmap(one_chain)))
+    if driver == "lanes":
+        from pysgmcmc_tpu.parallel.packed import sample_chain_lanes
 
-    t0 = time.perf_counter()
-    chains = run(eps_grid, positions0, chain_keys)
-    jax.block_until_ready(chains)
-    compile_and_run = time.perf_counter() - t0
+        n_real = n_eps * n_chains
+        n_total = ((n_real + 127) // 128) * 128  # kernel lane alignment
+        positions0 = jax.random.normal(key_pos, (n_total, dim))
+        eps_flat = np.full(n_total, eps_min, np.float32)
+        eps_flat[:n_real] = np.repeat(stepsizes, n_chains)
+
+        states = jax.jit(jax.vmap(sampler.init))(
+            positions0, jax.random.split(key_pos, n_total))
+        states = states._replace(schedule_state=jnp.asarray(eps_flat))
+
+        backend = "xla" if jax.default_backend() == "cpu" else "pallas"
+        run = jax.jit(lambda s, k: sample_chain_lanes(
+            sampler, s, k, samples_per_chain, keep_every=keep_every,
+            compute_dtype=None, state_dtype=jnp.float32,
+            backend=backend)[1])
+
+        t0 = time.perf_counter()
+        flat = run(states, key_run)
+        jax.block_until_ready(flat)
+        compile_and_run = time.perf_counter() - t0
+        # (n_total, n_samples, dim) -> (n_eps, n_chains, n_samples, dim)
+        chains = np.asarray(flat)[:n_real].reshape(
+            n_eps, n_chains, samples_per_chain, dim)
+        chains = jnp.asarray(chains)
+    else:
+        def one_chain(eps, position, chain_key):
+            key_init, key_run2 = jax.random.split(chain_key)
+            state = sampler.init(position, key_init)
+            state = state._replace(schedule_state=eps)
+            _, positions, _ = sample_chain(
+                sampler, state, key_run2, samples_per_chain,
+                keep_every=keep_every
+            )
+            return positions
+
+        # grid: (n_eps, n_chains)
+        positions0 = jax.random.normal(key_pos, (n_eps, n_chains, dim))
+        chain_keys = jax.random.split(key_run, n_eps * n_chains).reshape(
+            n_eps, n_chains, -1
+        )
+        eps_grid = jnp.asarray(stepsizes)[:, None].repeat(n_chains, axis=1)
+
+        run = jax.jit(jax.vmap(jax.vmap(one_chain)))
+
+        t0 = time.perf_counter()
+        chains = run(eps_grid, positions0, chain_keys)
+        jax.block_until_ready(chains)
+        compile_and_run = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     # ESS per stepsize (vmapped over the sweep axis), mean over dims
@@ -86,6 +125,10 @@ def sweep(benchmark, n_chains=20, samples_per_chain=10_000, keep_every=10,
     total_steps = n_eps * n_chains * samples_per_chain * keep_every
     return {
         "benchmark": benchmark,
+        "driver": (
+            "sample_chain_lanes (chains-on-lanes fused kernels, per-chain "
+            "eps row)" if driver == "lanes"
+            else "vmapped pytree sample_chain"),
         "protocol": {
             "sampler": "RelativisticSGHMC",
             "n_chains": n_chains,
@@ -112,6 +155,8 @@ def main():
     parser.add_argument("--samples-per-chain", type=int, default=10_000)
     parser.add_argument("--keep-every", type=int, default=10)
     parser.add_argument("--stepsize-increment", type=float, default=0.05)
+    parser.add_argument("--driver", choices=("lanes", "pytree"),
+                        default="lanes")
     args = parser.parse_args()
 
     result = sweep(
@@ -120,6 +165,7 @@ def main():
         samples_per_chain=args.samples_per_chain,
         keep_every=args.keep_every,
         stepsize_step=args.stepsize_increment,
+        driver=args.driver,
     )
     print(json.dumps(
         {k: result[k] for k in

@@ -10,9 +10,12 @@ Run ON THE CHIP (no JAX_PLATFORMS override):
     PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/multistep_tpu.py
 """
 
+import faulthandler
 import json
 import sys
 import time
+
+faulthandler.dump_traceback_later(600, repeat=True, exit=False)
 
 import jax
 import jax.numpy as jnp

@@ -94,7 +94,7 @@ def dense_network(n_inputs, units=(50, 50, 50), dtype=jnp.float32):
     (8, 128), so a stacked ``(n_chains, 50, 1)`` head weight inflates
     ~70x physically; every per-step pass over it (bf16 cast, gradient,
     noise, update) pays that.  Measured on the flagship gradient pass:
-    2.48 -> 2.23 ms/step (``benchmarks/head_reshape_tpu.py``).
+    2.48 -> 2.23 ms/step (``benchmarks/archive/head_reshape_tpu.py``).
 
     Examples
     --------

@@ -229,8 +229,11 @@ class BayesianNeuralNetwork(BaseModel):
         if step_impl == "fused":
             if network != "dense":
                 raise ValueError("step_impl='fused' requires network='dense'")
-            if sampling_method != Sampler.SGHMC:
-                raise ValueError("step_impl='fused' requires SGHMC")
+            if sampling_method not in (
+                Sampler.SGHMC, Sampler.SGLD, Sampler.PSGLD,
+            ):
+                raise ValueError(
+                    "step_impl='fused' supports SGHMC, SGLD and PSGLD")
             if get_net is not None:
                 raise ValueError(
                     "step_impl='fused' supports only the default 3x50 "
@@ -702,10 +705,11 @@ class BayesianNeuralNetwork(BaseModel):
 
         kwargs = dict(self.sampler_kwargs)
         kwargs.setdefault("scale_grad", float(n_datapoints))
-        kwargs.setdefault("burn_in_steps", self.burn_in_steps)
+        if Sampler.is_burn_in_mcmc(self.sampling_method):
+            kwargs.setdefault("burn_in_steps", self.burn_in_steps)
         kwargs.setdefault("gaussian_prior_scale", prior_scale)
         sampler = Sampler.get_sampler(
-            Sampler.SGHMC, cost_fn=cost_fn,
+            self.sampling_method, cost_fn=cost_fn,
             stepsize_schedule=self.stepsize_schedule, dtype=self.dtype,
             **kwargs,
         )
@@ -745,15 +749,28 @@ class BayesianNeuralNetwork(BaseModel):
         def make_burn(n_steps):
             # burn-in on the fused EMA-adaptation lanes kernels
             # (parallel/packed.burnin_chain_lanes) — the whole training
-            # run stays on the kernel path; mesh-composable
-            from pysgmcmc_tpu.parallel.packed import burnin_chain_lanes
+            # run stays on the kernel path; mesh-composable.  PSGLD has
+            # no burn-in machinery: early lanes-kernel steps are simply
+            # discarded.
+            from pysgmcmc_tpu.parallel.packed import (
+                burnin_chain_lanes,
+                sample_chain_lanes,
+            )
 
-            return jax.jit(lambda s, k: burnin_chain_lanes(
-                sampler, s, k, n_steps, batch_fn=select_batch,
-                compute_dtype=self.compute_dtype,
+            if Sampler.is_burn_in_mcmc(self.sampling_method):
+                return jax.jit(lambda s, k: burnin_chain_lanes(
+                    sampler, s, k, n_steps, batch_fn=select_batch,
+                    compute_dtype=self.compute_dtype,
+                    backend="xla" if interpret else "pallas",
+                    state_dtype=jnp.float32, mesh=self.mesh,
+                ))
+            return jax.jit(lambda s, k: sample_chain_lanes(
+                sampler, s, k, 1, batch_fn=select_batch,
+                keep_every=n_steps, compute_dtype=self.compute_dtype,
                 backend="xla" if interpret else "pallas",
-                state_dtype=jnp.float32, mesh=self.mesh,
-            ))
+                state_dtype=jnp.float32, collect_positions=False,
+                mesh=self.mesh,
+            )[0])
 
         def sample_seg(states, key, n_keep):
             return sample_chain_fused(

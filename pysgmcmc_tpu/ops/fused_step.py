@@ -15,7 +15,7 @@ noise.  Here activations, gradients and noise never leave VMEM; HBM
 traffic per step is exactly read theta(f32)+v(bf16)+minv(bf16) and write
 theta+v, plus the tiny selected minibatch.
 
-Design notes (probed on v5e, ``benchmarks/megakernel_probe*.py``):
+Design notes (probed on v5e, ``benchmarks/archive/megakernel_probe*.py``):
 
 - Per-chain ``fori_loop`` dots run at ~155 ns/dot (5x XLA's batched
   matmul); a *batch-dimension* ``dot_general`` inside the kernel runs at
@@ -539,7 +539,7 @@ def _make_kernel(batch_size, n_data, with_noise, block_chains,
 
         # ---- forward (bf16 matmuls, f32 accumulation) ----------------------
         # This formulation is the one proven to compile end to end on v5e
-        # (benchmarks/fused_bisect2_tpu.py): layer 1 is a real matmul over
+        # (benchmarks/archive/fused_bisect2_tpu.py): layer 1 is a real matmul over
         # the [x, 1] input lanes, every bias rides row BIAS_ROW of its
         # weight matrix against a constant-1 activation lane, and each
         # stage materializes through a VMEM scratch ref.  (Mosaic aborts
@@ -1082,6 +1082,420 @@ def fused_bnn_multistep(
     kernel = _make_multistep_kernel(
         float(batch_size), float(n_data), block_chains, n_windows,
         int(k_steps))
+    interpreter = pltpu.InterpretParams() if interpret else False
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpreter,
+    )(int_scalars, float_scalars, *operands)
+    theta_new = tuple(outs[0:2])
+    v_new = tuple(outs[2:4])
+    cost = theta_new[0][:, BIG_ROWS - 1, 0:1]
+    return theta_new, v_new, cost
+
+
+#  Fused family: SGLD and pSGLD whole-step kernels ----------------------------
+
+def _fwd_bwd(big, w3f, xin_bf, y, bmask, lane3, lane2,
+             s_a1, s_a2, s_a3, s_gvec, inv_b, inv_n, n_inputs, C):
+    """Forward + heteroscedastic likelihood + backward, shared by the
+    fused-family kernels.
+
+    Exactly the formulation proven to compile on v5e (see
+    :func:`_make_kernel` — real layer-1 matmul over the ``[x.., 1]``
+    lanes, ones-lane biases, VMEM scratch staging).  Operates on VALUES
+    (``big``/``w3f`` float32 slabs) so callers can source the state from
+    input refs (single-step kernels) or output refs (multi-step).
+    Returns ``(cost, g_w2, g_vec, g_w3)``.
+    """
+    bf16 = jnp.bfloat16
+    row_b1, row_w4, row_scal = _vec_rows(n_inputs)
+    w4 = big[:, row_w4, :]
+    scal = big[:, row_scal, :]
+    b4 = scal[:, LANE_B4:LANE_B4 + 1]
+    lvb = scal[:, LANE_LVB:LANE_LVB + 1]
+
+    w1m_bf = big[:, ROW_W1:row_b1 + 1, :].astype(bf16)
+    z1 = _bdot(xin_bf, w1m_bf, (((2,), (1,))))
+    s_a1[:] = jnp.where(lane3 == BIAS_ROW, 1.0, jnp.tanh(z1)).astype(bf16)
+    a1 = s_a1[:]
+    a1f = a1.astype(jnp.float32)
+
+    w2_bf = big[:, 0:S, :].astype(bf16)
+    w3_bf = w3f.astype(bf16)
+    z2 = _bdot(a1, w2_bf, (((2,), (1,))))
+    s_a2[:] = jnp.where(lane3 == BIAS_ROW, 1.0, jnp.tanh(z2)).astype(bf16)
+    a2 = s_a2[:]
+    a2f = a2.astype(jnp.float32)
+    z3 = _bdot(a2, w3_bf, (((2,), (1,))))
+    s_a3[:] = jnp.tanh(z3).astype(bf16)
+    a3f = s_a3[:].astype(jnp.float32)
+    f_mean = jnp.sum(a3f * w4[:, None, :], axis=2) + b4
+
+    e_lv = jnp.exp(lvb)
+    var_inv = 1.0 / (e_lv + 1e-16)
+    diff = (f_mean - y) * bmask
+    mse = diff * diff
+    ll = jnp.sum(
+        -mse * (0.5 * var_inv) - 0.5 * lvb * bmask,
+        axis=1, keepdims=True) * inv_b
+    p_term = -jnp.square(lvb - LOG_MP) / (2.0 * VAR_P) \
+        - 0.5 * float(np.log(VAR_P))
+    cost = -(ll + p_term * inv_n)
+    d_mean = diff * var_inv * inv_b
+    d_lvb = -jnp.sum(
+        mse * (0.5 * e_lv) * jnp.square(var_inv) - 0.5 * bmask,
+        axis=1, keepdims=True) * inv_b
+    d_lvb = d_lvb + (lvb - LOG_MP) / VAR_P * inv_n
+    g_b4 = jnp.sum(d_mean, axis=1, keepdims=True)
+
+    g_w4 = jnp.sum(a3f * d_mean[:, :, None], axis=1)
+    dz3_bf = ((d_mean[:, :, None] * w4[:, None, :])
+              * (1.0 - a3f * a3f)).astype(bf16)
+    g_w3 = _bdot(a2, dz3_bf, (((1,), (1,))))
+    da2 = _bdot(dz3_bf, w3_bf, (((2,), (2,))))
+    dz2_bf = (da2 * (1.0 - a2f * a2f)).astype(bf16)
+    g_w2 = _bdot(a1, dz2_bf, (((1,), (1,))))
+    da1 = _bdot(dz2_bf, w2_bf, (((2,), (2,))))
+    dz1_bf = (da1 * (1.0 - a1f * a1f)).astype(bf16)
+    g_w1m = _bdot(xin_bf, dz1_bf, (((1,), (1,))))
+
+    g_scal = jnp.where(
+        lane2 == LANE_B4, g_b4,
+        jnp.where(lane2 == LANE_LVB, d_lvb, 0.0),
+    ).astype(jnp.float32)
+    s_gvec[:, 0:n_inputs + 1, :] = g_w1m
+    s_gvec[:, row_w4 - S, :] = g_w4
+    s_gvec[:, row_scal - S, :] = g_scal
+    if row_scal - S + 1 < VEC_ROWS:
+        s_gvec[:, row_scal - S + 1:VEC_ROWS, :] = jnp.zeros(
+            (C, VEC_ROWS - (row_scal - S) - 1, S), jnp.float32)
+    return cost, g_w2, s_gvec[:], g_w3
+
+
+def _make_kernel_sgld(batch_size, n_data, with_noise, block_chains,
+                      n_inputs):
+    """SGLD whole-step kernel: same fused fwd/bwd, momentum-free update.
+
+    Semantics of :mod:`pysgmcmc_tpu.samplers.sgld` with the frozen
+    post-burn-in ``minv``; padding is masked by ``minv == 0`` exactly as
+    in the SGHMC kernel.
+    """
+    inv_b = 1.0 / batch_size
+    inv_n = 1.0 / n_data
+    C = block_chains
+
+    def kernel(int_ref, float_ref,
+               tbig, tw3, mbig, mw3, xin_ref, y_ref, *rest):
+        if with_noise:
+            nbig, nw3, obig, ow3, s_a1, s_a2, s_a3, s_gvec = rest
+        else:
+            obig, ow3, s_a1, s_a2, s_a3, s_gvec = rest
+            pltpu.prng_seed(int_ref[0], pl.program_id(0))
+        eps = float_ref[0]
+        a_coef = float_ref[1]
+        a_over_sg = float_ref[2]
+        prior_scale = float_ref[3]
+
+        brow = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD), 1)
+        bmask = (brow < batch_size).astype(jnp.float32)
+        lane3 = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD, S), 2)
+        lane2 = jax.lax.broadcasted_iota(jnp.int32, (C, S), 1)
+
+        cost, g_w2, g_vec, g_w3 = _fwd_bwd(
+            tbig[:], tw3[:], xin_ref[:].astype(jnp.bfloat16), y_ref[:],
+            bmask, lane3, lane2, s_a1, s_a2, s_a3, s_gvec,
+            inv_b, inv_n, n_inputs, C)
+
+        if with_noise:
+            etas = (nbig[:][:, 0:S, :], nbig[:][:, S:BIG_ROWS, :], nw3[:])
+        else:
+            etas = _block_etas(C)
+
+        def _update(theta, minv, grad, eta):
+            minv = minv.astype(jnp.float32)
+            g = grad + prior_scale * theta
+            sigma = jnp.sqrt(jnp.maximum(
+                2.0 * eps * minv * a_over_sg, 0.0))
+            delta = -eps * minv * a_coef * g + sigma * eta
+            return theta + jnp.where(minv > 0.0, delta, 0.0)
+
+        obig[:, 0:S, :] = _update(
+            tbig[:, 0:S, :], mbig[:, 0:S, :], g_w2, etas[0])
+        obig[:, S:BIG_ROWS, :] = _update(
+            tbig[:, S:BIG_ROWS, :], mbig[:, S:BIG_ROWS, :], g_vec, etas[1])
+        ow3[:] = _update(tw3[:], mw3[:], g_w3, etas[2])
+        obig[:, BIG_ROWS - 1, LANE_B4:LANE_B4 + 1] = cost
+
+    return kernel
+
+
+def _psgld_valid_masks(block_chains, n_inputs, h):
+    """Static validity masks for the pSGLD fused update.
+
+    pSGLD has no frozen ``minv`` whose zeros mask the padding cells, and
+    unmasked padding drift would CORRUPT real outputs through the padded
+    matmul columns, so validity comes from iota comparisons against the
+    (static) layout: weight slabs are valid on rows 0..H-1 plus the bias
+    row, lanes 0..H-1; vector rows on their own lane widths.
+    """
+    C = block_chains
+    row3 = jax.lax.broadcasted_iota(jnp.int32, (C, S, S), 1)
+    lane3s = jax.lax.broadcasted_iota(jnp.int32, (C, S, S), 2)
+    mat_valid = (((row3 < h) | (row3 == BIAS_ROW)) & (lane3s < h)).astype(
+        jnp.float32)
+    vrow = jax.lax.broadcasted_iota(jnp.int32, (C, VEC_ROWS, S), 1)
+    vlane = jax.lax.broadcasted_iota(jnp.int32, (C, VEC_ROWS, S), 2)
+    scal_row = n_inputs + 2
+    vec_valid = (
+        ((vrow < scal_row) & (vlane < h))
+        | ((vrow == scal_row) & (vlane < 2))
+    ).astype(jnp.float32)
+    return mat_valid, vec_valid
+
+
+def _make_kernel_psgld(batch_size, n_data, with_noise, block_chains,
+                       n_inputs, h):
+    """pSGLD whole-step kernel: fused fwd/bwd + RMSprop-preconditioned
+    update with the accumulator adapting in-kernel every step
+    (:mod:`pysgmcmc_tpu.samplers.psgld` semantics)."""
+    inv_b = 1.0 / batch_size
+    inv_n = 1.0 / n_data
+    C = block_chains
+
+    def kernel(int_ref, float_ref,
+               tbig, tw3, vbig, vw3, xin_ref, y_ref, *rest):
+        if with_noise:
+            nbig, nw3, obig, ow3, pbig, pw3, s_a1, s_a2, s_a3, s_gvec = rest
+        else:
+            obig, ow3, pbig, pw3, s_a1, s_a2, s_a3, s_gvec = rest
+            pltpu.prng_seed(int_ref[0], pl.program_id(0))
+        eps = float_ref[0]
+        alpha = float_ref[1]
+        lam = float_ref[2]
+        inv_sg = float_ref[3]
+        prior_scale = float_ref[4]
+
+        brow = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD), 1)
+        bmask = (brow < batch_size).astype(jnp.float32)
+        lane3 = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD, S), 2)
+        lane2 = jax.lax.broadcasted_iota(jnp.int32, (C, S), 1)
+        mat_valid, vec_valid = _psgld_valid_masks(C, n_inputs, h)
+
+        cost, g_w2, g_vec, g_w3 = _fwd_bwd(
+            tbig[:], tw3[:], xin_ref[:].astype(jnp.bfloat16), y_ref[:],
+            bmask, lane3, lane2, s_a1, s_a2, s_a3, s_gvec,
+            inv_b, inv_n, n_inputs, C)
+
+        if with_noise:
+            etas = (nbig[:][:, 0:S, :], nbig[:][:, S:BIG_ROWS, :], nw3[:])
+        else:
+            etas = _block_etas(C)
+
+        def _update(theta, v, grad, eta, valid):
+            v32 = v.astype(jnp.float32)
+            g = grad + prior_scale * theta
+            v_new = alpha * v32 + (1.0 - alpha) * g * g
+            precond = 1.0 / (lam + jnp.sqrt(jnp.maximum(v_new, 0.0)))
+            sigma = jnp.sqrt(jnp.maximum(eps * precond * inv_sg, 0.0))
+            delta = -0.5 * eps * precond * g + sigma * eta
+            return theta + delta * valid, v_new * valid
+
+        t_new, v_new = _update(
+            tbig[:, 0:S, :], vbig[:, 0:S, :], g_w2, etas[0], mat_valid)
+        obig[:, 0:S, :] = t_new
+        pbig[:, 0:S, :] = v_new.astype(pbig.dtype)
+        t_new, v_new = _update(
+            tbig[:, S:BIG_ROWS, :], vbig[:, S:BIG_ROWS, :], g_vec,
+            etas[1], vec_valid)
+        obig[:, S:BIG_ROWS, :] = t_new
+        pbig[:, S:BIG_ROWS, :] = v_new.astype(pbig.dtype)
+        t_new, v_new = _update(tw3[:], vw3[:], g_w3, etas[2], mat_valid)
+        ow3[:] = t_new
+        pw3[:] = v_new.astype(pw3.dtype)
+        obig[:, BIG_ROWS - 1, LANE_B4:LANE_B4 + 1] = cost
+
+    return kernel
+
+
+def _fused_family_specs(block_chains, n_inputs, xin, y_sel):
+    def mat_spec():
+        return pl.BlockSpec((block_chains, S, S), lambda i, *_: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def big_spec():
+        return pl.BlockSpec(
+            (block_chains, BIG_ROWS, S), lambda i, *_: (i, 0, 0),
+            memory_space=pltpu.VMEM)
+
+    xin_spec = pl.BlockSpec(
+        (block_chains, B_PAD, n_inputs + 1), lambda i, *_: (i, 0, 0),
+        memory_space=pltpu.VMEM)
+    y_spec = pl.BlockSpec(
+        (block_chains, B_PAD), lambda i, *_: (i, 0),
+        memory_space=pltpu.VMEM)
+    return big_spec, mat_spec, xin_spec, y_spec
+
+
+def _fused_xin(x_sel, n_inputs):
+    if n_inputs == 1:
+        parts = [x_sel]
+        ones_like = jnp.ones_like(x_sel)
+    else:
+        parts = [x_sel[:, :, i] for i in range(n_inputs)]
+        ones_like = jnp.ones_like(parts[0])
+    return jnp.stack(parts + [ones_like], axis=2).astype(jnp.bfloat16)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("a_coef", "scale_grad", "prior_scale", "batch_size",
+                     "n_data", "block_chains", "state_dtype", "n_inputs",
+                     "interpret"),
+)
+def fused_bnn_step_sgld(
+    theta, minv, x_sel, y_sel, eps, seed,
+    a_coef=1.0, scale_grad=1.0, prior_scale=0.0,
+    batch_size=20, n_data=100, block_chains=64,
+    state_dtype=jnp.bfloat16, n_inputs=1, noise=None, interpret=False,
+):
+    """One fused forward+backward+update SGLD step (flagship BNN family).
+
+    As :func:`fused_bnn_step` but with the momentum-free SGLD update and
+    no momentum state: returns ``(theta', cost)``.
+    """
+    tbig, tw3 = theta
+    n_chains = tbig.shape[0]
+    if n_chains % block_chains:
+        raise ValueError(
+            "fused_bnn_step_sgld: n_chains ({}) must be divisible by "
+            "block_chains ({})".format(n_chains, block_chains))
+
+    xin = _fused_xin(x_sel, n_inputs)
+    int_scalars = jnp.asarray(seed, jnp.int32).reshape(1)
+    float_scalars = jnp.stack([
+        jnp.asarray(eps, jnp.float32),
+        jnp.asarray(a_coef, jnp.float32),
+        jnp.asarray(a_coef / scale_grad, jnp.float32),
+        jnp.asarray(prior_scale, jnp.float32),
+    ])
+
+    big_spec, mat_spec, xin_spec, y_spec = _fused_family_specs(
+        block_chains, n_inputs, xin, y_sel)
+    state_specs = [big_spec(), mat_spec()]
+    in_specs = state_specs + state_specs + [xin_spec, y_spec]
+    operands = list(theta) + list(minv) + [xin, y_sel]
+    with_noise = noise is not None
+    if with_noise:
+        in_specs = in_specs + state_specs
+        operands = operands + list(noise)
+
+    out_shape = tuple(
+        jax.ShapeDtypeStruct(t.shape, jnp.float32) for t in theta)
+    bbs = (block_chains, B_PAD, S)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_chains // block_chains,),
+        in_specs=in_specs,
+        out_specs=tuple(state_specs),
+        scratch_shapes=[
+            pltpu.VMEM(bbs, jnp.bfloat16),
+            pltpu.VMEM(bbs, jnp.bfloat16),
+            pltpu.VMEM(bbs, jnp.bfloat16),
+            pltpu.VMEM((block_chains, VEC_ROWS, S), jnp.float32),
+        ],
+    )
+    kernel = _make_kernel_sgld(
+        float(batch_size), float(n_data), with_noise, block_chains,
+        n_inputs)
+    interpreter = pltpu.InterpretParams() if interpret else False
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        input_output_aliases={2: 0, 3: 1},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpreter,
+    )(int_scalars, float_scalars, *operands)
+    theta_new = tuple(outs[0:2])
+    cost = theta_new[0][:, BIG_ROWS - 1, 0:1]
+    return theta_new, cost
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("alpha", "lambda_reg", "scale_grad", "prior_scale",
+                     "batch_size", "n_data", "block_chains", "state_dtype",
+                     "n_inputs", "h", "interpret"),
+)
+def fused_bnn_step_psgld(
+    theta, v, x_sel, y_sel, eps, seed,
+    alpha=0.99, lambda_reg=1e-5, scale_grad=1.0, prior_scale=0.0,
+    batch_size=20, n_data=100, block_chains=64,
+    state_dtype=jnp.bfloat16, n_inputs=1, h=50, noise=None,
+    interpret=False,
+):
+    """One fused forward+backward+update pSGLD step (flagship BNN family).
+
+    As :func:`fused_bnn_step` but with the RMSprop-preconditioned pSGLD
+    update; ``v`` is the preconditioner accumulator (adapts in-kernel
+    every step — pSGLD has no frozen phase).  Returns
+    ``(theta', v', cost)``.
+    """
+    tbig, tw3 = theta
+    n_chains = tbig.shape[0]
+    if n_chains % block_chains:
+        raise ValueError(
+            "fused_bnn_step_psgld: n_chains ({}) must be divisible by "
+            "block_chains ({})".format(n_chains, block_chains))
+
+    xin = _fused_xin(x_sel, n_inputs)
+    int_scalars = jnp.asarray(seed, jnp.int32).reshape(1)
+    float_scalars = jnp.stack([
+        jnp.asarray(eps, jnp.float32),
+        jnp.asarray(alpha, jnp.float32),
+        jnp.asarray(lambda_reg, jnp.float32),
+        jnp.asarray(1.0 / scale_grad, jnp.float32),
+        jnp.asarray(prior_scale, jnp.float32),
+    ])
+
+    big_spec, mat_spec, xin_spec, y_spec = _fused_family_specs(
+        block_chains, n_inputs, xin, y_sel)
+    state_specs = [big_spec(), mat_spec()]
+    in_specs = state_specs + state_specs + [xin_spec, y_spec]
+    operands = list(theta) + list(v) + [xin, y_sel]
+    with_noise = noise is not None
+    if with_noise:
+        in_specs = in_specs + state_specs
+        operands = operands + list(noise)
+
+    out_shape = (
+        tuple(jax.ShapeDtypeStruct(t.shape, jnp.float32) for t in theta)
+        + tuple(jax.ShapeDtypeStruct(t.shape, state_dtype) for t in theta)
+    )
+    bbs = (block_chains, B_PAD, S)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_chains // block_chains,),
+        in_specs=in_specs,
+        out_specs=tuple(state_specs) + tuple(state_specs),
+        scratch_shapes=[
+            pltpu.VMEM(bbs, jnp.bfloat16),
+            pltpu.VMEM(bbs, jnp.bfloat16),
+            pltpu.VMEM(bbs, jnp.bfloat16),
+            pltpu.VMEM((block_chains, VEC_ROWS, S), jnp.float32),
+        ],
+    )
+    aliases = {i + 2: i for i in range(2)}
+    aliases.update({i + 4: i + 2 for i in range(2)})
+    kernel = _make_kernel_psgld(
+        float(batch_size), float(n_data), with_noise, block_chains,
+        n_inputs, int(h))
     interpreter = pltpu.InterpretParams() if interpret else False
     outs = pl.pallas_call(
         kernel,

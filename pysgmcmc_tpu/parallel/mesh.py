@@ -92,16 +92,18 @@ def initialize_multihost(coordinator_address=None, num_processes=None,
     if not explicit:
         import os
 
-        # Only attempt auto-detection when the cluster environment
-        # actually advertises one: jax.distributed.initialize() can BLOCK
-        # waiting for a coordinator barrier when partial TPU metadata is
-        # visible (e.g. a tunneled single chip), which would hang a plain
-        # single-process program.
-        cluster_vars = (
+        # Only attempt auto-detection when the environment advertises a
+        # genuinely MULTI-process cluster: jax.distributed.initialize()
+        # can BLOCK waiting for a coordinator barrier when partial TPU
+        # metadata is visible, and single-chip TPU plugins export
+        # TPU_WORKER_HOSTNAMES=localhost — one worker is not a cluster.
+        cluster = any(os.environ.get(v) for v in (
             "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
-            "JAX_NUM_PROCESSES", "TPU_WORKER_HOSTNAMES",
-        )
-        if not any(os.environ.get(v) for v in cluster_vars):
+            "JAX_NUM_PROCESSES",
+        ))
+        workers = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+        cluster = cluster or ("," in workers)
+        if not cluster:
             return
     try:
         jax.distributed.initialize(
@@ -114,12 +116,23 @@ def initialize_multihost(coordinator_address=None, num_processes=None,
     except (RuntimeError, ValueError) as err:
         if "already" in str(err).lower():  # initialized elsewhere — fine
             _DISTRIBUTED_INITIALIZED = True
-        else:
+        elif explicit:
             # Includes "must be called before the backend is initialized":
             # swallowing it would let a cluster run proceed as N independent
-            # single-host processes.  (The auto-detect path only reaches
-            # initialize() when cluster env vars are actually set.)
+            # single-host processes.
             raise
+        else:
+            # Auto-detection is best effort, but never silent: a real
+            # cluster operator must see that this process is about to run
+            # standalone.
+            import logging
+
+            logging.warning(
+                "initialize_multihost: cluster environment detected but "
+                "jax.distributed.initialize() failed (%s); proceeding as "
+                "a single-process run. Call initialize_multihost() before "
+                "any other JAX API to join the cluster.", err,
+            )
 
 
 def multihost_mesh(n_hosts=None, host_axis=HOST_AXIS, chain_axis=CHAIN_AXIS):

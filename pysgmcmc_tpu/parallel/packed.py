@@ -273,12 +273,15 @@ def _align(x, m):
     return ((x + m - 1) // m) * m
 
 
-def make_lanes_spec(template, row_align=8, total_align=256):
+def make_lanes_spec(template, row_align=8, total_align=None):
     """Slot layout for :func:`pack_lanes` from a single-chain pytree.
 
     Each leaf occupies a run of rows aligned to the float32 sublane tile
     (8); the total is aligned up to ``total_align`` so the update kernel
-    gets power-of-two blocking freedom.
+    gets power-of-two blocking freedom.  ``total_align=None`` picks 256
+    for real (network-sized) states but only the sublane tile for tiny
+    ones (e.g. the 1-2 dim objective targets of the ESS sweeps, where a
+    256-row floor would be 100x padding).
     """
     leaves, treedef = jax.tree_util.tree_flatten(template)
     shapes = tuple(tuple(leaf.shape) for leaf in leaves)
@@ -287,6 +290,8 @@ def make_lanes_spec(template, row_align=8, total_align=256):
     for size in sizes:
         offsets.append(off)
         off += _align(size, row_align)
+    if total_align is None:
+        total_align = 256 if off > 128 else row_align
     return LanesSpec(
         treedef, shapes, sizes, tuple(offsets), _align(off, total_align)
     )
@@ -619,9 +624,10 @@ def sample_chain_fused(
     per-step XLA ops are the threefry window draw and the one-hot MXU
     gather of each chain's minibatch.  Requires the dense BNN
     parameterization (:func:`pysgmcmc_tpu.models.architectures.
-    dense_network` pytrees) and an SGHMC sampler whose cost is the
-    reference heteroscedastic sinc-style likelihood; arbitrary cost
-    functions should use :func:`sample_chain_lanes` or the pytree path.
+    dense_network` pytrees) and an SGHMC, SGLD or pSGLD sampler whose cost
+    is the reference heteroscedastic sinc-style likelihood; arbitrary
+    cost functions should use :func:`sample_chain_lanes` or the pytree
+    path.
 
     ``x``/``y`` are the raw training data (the driver precomputes the
     contiguous windows of :func:`pysgmcmc_tpu.data_batches.batch_fn`).
@@ -651,15 +657,23 @@ def sample_chain_fused(
     from pysgmcmc_tpu.ops.fused_step import (
         data_windows,
         fused_bnn_step,
+        fused_bnn_step_psgld,
+        fused_bnn_step_sgld,
         gather_batch,
         pack_fused,
         unpack_fused,
     )
 
-    if not isinstance(sampler, SGHMCSampler):
+    if isinstance(sampler, SGHMCSampler):
+        fkind = "sghmc"
+    elif isinstance(sampler, SGLDSampler):
+        fkind = "sgld"
+    elif isinstance(sampler, PSGLDSampler):
+        fkind = "psgld"
+    else:
         raise NotImplementedError(
-            "sample_chain_fused currently supports SGHMCSampler; got "
-            "{!r}".format(type(sampler).__name__)
+            "sample_chain_fused supports the SGHMC, SGLD and PSGLD "
+            "samplers; got {!r}".format(type(sampler).__name__)
         )
     h = states.position["w2"].shape[-1]
     n_chains = states.position["w2"].shape[0]
@@ -670,19 +684,27 @@ def sample_chain_fused(
     n_windows = x_win.shape[0]
 
     theta = pack_fused(states.position)
-    v = tuple(a.astype(state_dtype) for a in pack_fused(states.momentum))
-    minv = tuple(
-        a.astype(state_dtype) for a in pack_fused(states.stats.minv)
-    )
+    if fkind == "sghmc":
+        v = tuple(
+            a.astype(state_dtype) for a in pack_fused(states.momentum))
+        minv = tuple(
+            a.astype(state_dtype) for a in pack_fused(states.stats.minv))
+    elif fkind == "sgld":
+        v = None
+        minv = tuple(
+            a.astype(state_dtype) for a in pack_fused(states.stats.minv))
+    else:  # psgld: the accumulator adapts every step and stays f32
+        v = pack_fused(states.v)
+        minv = None
 
     key, key_seed = jax.random.split(key)
     base_seed = _base_seed(key_seed)
     schedule_state0 = _shared_schedule_state(states, "sample_chain_fused")
     step0 = jnp.max(states.step) if jnp.ndim(states.step) else states.step
 
-    if multistep and n_inputs != 1:
+    if multistep and (n_inputs != 1 or fkind != "sghmc"):
         raise ValueError(
-            "multistep supports the 1-input flagship family only")
+            "multistep supports the 1-input SGHMC flagship family only")
 
     def one_step(carry, _):
         theta, v, key, step = carry
@@ -690,15 +712,35 @@ def sample_chain_fused(
         widx = jax.random.randint(key_batch, (n_chains,), 0, n_windows)
         x_sel, y_sel = gather_batch(x_win, y_win, widx)
         eps = _schedule_eps(sampler, schedule_state0, step)
-        theta, v, cost = fused_bnn_step(
-            theta, v, minv, x_sel, y_sel, eps,
-            base_seed + step.astype(jnp.int32),
-            mdecay=sampler.mdecay, scale_grad=sampler.scale_grad,
-            prior_scale=sampler.gaussian_prior_scale,
-            batch_size=batch_size, n_data=n_data,
-            block_chains=block_chains, state_dtype=state_dtype,
-            n_inputs=n_inputs, interpret=interpret,
-        )
+        seed = base_seed + step.astype(jnp.int32)
+        if fkind == "sghmc":
+            theta, v, cost = fused_bnn_step(
+                theta, v, minv, x_sel, y_sel, eps, seed,
+                mdecay=sampler.mdecay, scale_grad=sampler.scale_grad,
+                prior_scale=sampler.gaussian_prior_scale,
+                batch_size=batch_size, n_data=n_data,
+                block_chains=block_chains, state_dtype=state_dtype,
+                n_inputs=n_inputs, interpret=interpret,
+            )
+        elif fkind == "sgld":
+            theta, cost = fused_bnn_step_sgld(
+                theta, minv, x_sel, y_sel, eps, seed,
+                a_coef=float(sampler.A), scale_grad=sampler.scale_grad,
+                prior_scale=sampler.gaussian_prior_scale,
+                batch_size=batch_size, n_data=n_data,
+                block_chains=block_chains, state_dtype=state_dtype,
+                n_inputs=n_inputs, interpret=interpret,
+            )
+        else:
+            theta, v, cost = fused_bnn_step_psgld(
+                theta, v, x_sel, y_sel, eps, seed,
+                alpha=sampler.alpha, lambda_reg=sampler.lambda_reg,
+                scale_grad=sampler.scale_grad,
+                prior_scale=getattr(sampler, "gaussian_prior_scale", 0.0),
+                batch_size=batch_size, n_data=n_data,
+                block_chains=block_chains, state_dtype=jnp.float32,
+                n_inputs=n_inputs, h=h, interpret=interpret,
+            )
         return (theta, v, key, step + 1), cost[:, 0]
 
     def thinned(carry, _):
@@ -736,16 +778,34 @@ def sample_chain_fused(
         (theta, v, key, step0), None, length=n_samples
     )
 
-    new_states = SGHMCState(
-        position=unpack_fused(theta, h, n_inputs),
-        momentum=jax.tree_util.tree_map(
-            lambda l: l.astype(jnp.float32),
-            unpack_fused(v, h, n_inputs),
-        ),
-        stats=states.stats,
-        step=states.step + n_samples * keep_every,
-        schedule_state=states.schedule_state,
-    )
+    if fkind == "sghmc":
+        new_states = SGHMCState(
+            position=unpack_fused(theta, h, n_inputs),
+            momentum=jax.tree_util.tree_map(
+                lambda l: l.astype(jnp.float32),
+                unpack_fused(v, h, n_inputs),
+            ),
+            stats=states.stats,
+            step=states.step + n_samples * keep_every,
+            schedule_state=states.schedule_state,
+        )
+    elif fkind == "sgld":
+        new_states = SGLDState(
+            position=unpack_fused(theta, h, n_inputs),
+            stats=states.stats,
+            step=states.step + n_samples * keep_every,
+            schedule_state=states.schedule_state,
+        )
+    else:
+        new_states = PSGLDState(
+            position=unpack_fused(theta, h, n_inputs),
+            v=jax.tree_util.tree_map(
+                lambda l: l.astype(jnp.float32),
+                unpack_fused(v, h, n_inputs),
+            ),
+            step=states.step + n_samples * keep_every,
+            schedule_state=states.schedule_state,
+        )
     if positions is not None:
         positions = jax.tree_util.tree_map(
             lambda l: jnp.swapaxes(l, 0, 1), positions

@@ -67,6 +67,7 @@ class PSGLDSampler(MCMCSampler):
         lambda_reg=1e-5,
         scale_grad=1.0,
         dtype=jnp.float32,
+        gaussian_prior_scale=0.0,
     ):
         super().__init__(cost_fn, stepsize_schedule, dtype)
         if not 0.0 <= alpha < 1.0:
@@ -74,6 +75,9 @@ class PSGLDSampler(MCMCSampler):
         self.alpha = float(alpha)
         self.lambda_reg = float(lambda_reg)
         self.scale_grad = float(scale_grad)
+        # analytic isotropic-Gaussian-prior fold, as in SGHMC/SGLD:
+        # grad += scale * theta instead of differentiating the prior term
+        self.gaussian_prior_scale = float(gaussian_prior_scale)
 
     def init(self, params, key=None):
         params = tree_cast(params, self.dtype)
@@ -91,6 +95,11 @@ class PSGLDSampler(MCMCSampler):
         del phase
         eps = self._stepsize(state)
         cost, grads = self._cost_and_grad(state.position, batch)
+        if self.gaussian_prior_scale:
+            scale = jnp.asarray(self.gaussian_prior_scale, self.dtype)
+            grads = jax.tree_util.tree_map(
+                lambda g, theta: g + scale * theta, grads, state.position
+            )
         if noise is None:
             noise = normal_like_tree(key, state.position)
 

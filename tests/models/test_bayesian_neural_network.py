@@ -301,3 +301,24 @@ def test_lanes_step_impl_all_samplers():
 
     with pytest.raises(ValueError, match="lanes"):
         BayesianNeuralNetwork(step_impl="lanes", sampling_method=Sampler.SVGD)
+
+
+@pytest.mark.slow
+def test_fused_step_impl_sgld_and_psgld():
+    """step_impl='fused' trains with the widened family (SGLD, PSGLD)."""
+    from pysgmcmc_tpu.sampling import Sampler
+
+    x, y = _sinc_data()[:2]
+    for method, kw in (
+        (Sampler.SGLD, {"stepsize_schedule": 0.01}),
+        (Sampler.PSGLD, {"stepsize_schedule": 1e-4}),
+    ):
+        bnn = BayesianNeuralNetwork(
+            network="dense", step_impl="fused", sampling_method=method,
+            n_chains=2, n_nets=4, n_iters=300, burn_in_steps=60,
+            sample_steps=20, seed=3, log_every=None, **kw)
+        bnn.train(x, y)
+        assert bnn.is_trained
+        mean, variance = bnn.predict(x)
+        assert np.all(np.isfinite(mean)), method
+        assert np.all(np.isfinite(variance)), method

@@ -249,3 +249,156 @@ def test_multi_input_pack_roundtrip_and_step():
         float(np.abs(np.asarray(got[key]) - np.asarray(params[key])).max())
         for key in got)
     assert np.isfinite(moved) and moved > 0
+
+
+def _bnn_data():
+    rng = np.random.RandomState(0)
+    x = rng.uniform(0.0, 1.0, (100, 1)).astype(np.float32)
+    from pysgmcmc_tpu.diagnostics.objective_functions import sinc
+
+    y = np.asarray(sinc(x), np.float32)
+    return x, y
+
+
+def test_fused_sgld_step_matches_pytree_step():
+    """One fused SGLD step == vmapped SGLDSampler.step (same batch/noise)."""
+    from pysgmcmc_tpu.ops.fused_step import fused_bnn_step_sgld
+    from pysgmcmc_tpu.samplers.sgld import SGLDSampler
+
+    n = 4
+    base, positions, _ = _workload(n)
+    sampler = SGLDSampler(
+        base.cost_fn, stepsize_schedule=0.01, burn_in_steps=50,
+        scale_grad=base.scale_grad,
+        gaussian_prior_scale=base.gaussian_prior_scale)
+    x, y = _bnn_data()
+
+    from pysgmcmc_tpu.data_batches import batch_fn as make_batch_fn
+
+    select = make_batch_fn(jnp.asarray(x), jnp.asarray(y), 20)
+    states = jax.vmap(sampler.init)(
+        positions, jax.random.split(jax.random.PRNGKey(0), n))
+    states, _ = jax.vmap(
+        lambda s, k: sample_chain(
+            sampler, s, k, 1, batch_fn=select, keep_every=50,
+            collect_costs=False, phase="burn_in")
+    )(states, jax.random.split(jax.random.PRNGKey(1), n))
+
+    x_win, y_win = data_windows(x, y, 20)
+    widx = jnp.asarray([0, 3, 80, 41], jnp.int32)
+    x_sel, y_sel = gather_batch(x_win, y_win, widx)
+    eta = jax.vmap(normal_like_tree, in_axes=(0, 0))(
+        jax.random.split(jax.random.PRNGKey(2), n), states.position)
+
+    def ref_step(state, e, w):
+        xb = jax.lax.dynamic_slice_in_dim(jnp.asarray(x), w, 20, axis=0)
+        yb = jax.lax.dynamic_slice_in_dim(
+            jnp.asarray(y).reshape(-1), w, 20, axis=0).reshape(-1, 1)
+        return sampler.step(
+            state, jax.random.PRNGKey(0), (xb, yb), noise=e,
+            phase="sampling")[0]
+
+    ref = jax.vmap(ref_step)(states, eta, widx)
+
+    theta2, cost = fused_bnn_step_sgld(
+        pack_fused(states.position), pack_fused(states.stats.minv),
+        x_sel, y_sel, 0.01, 0,
+        a_coef=float(sampler.A), scale_grad=sampler.scale_grad,
+        prior_scale=sampler.gaussian_prior_scale,
+        batch_size=20, n_data=100, block_chains=n,
+        state_dtype=jnp.float32, noise=pack_fused(eta), interpret=True,
+    )
+    got_pos = unpack_fused(theta2, 50)
+    # SGLD's position update moves at eps * minv (not SGHMC's eps^2 *
+    # minv), and the 50-step-adapted minv reaches ~1e3 on slow-moving
+    # coordinates, so the kernel's bf16 forward/backward rounding is
+    # amplified ~100x relative to the SGHMC parity bound.  The 1e-2
+    # bound is still ~50x below the per-step injected noise (sigma ~
+    # 0.45 at these minv values), i.e. the deterministic parts agree to
+    # far under one noise quantum.
+    for k in got_pos:
+        np.testing.assert_allclose(
+            np.asarray(ref.position[k]), np.asarray(got_pos[k]),
+            rtol=0, atol=1e-2, err_msg="position " + k)
+    assert np.isfinite(np.asarray(cost)).all()
+    # padding never moves
+    assert np.all(np.asarray(theta2[0])[:, 51:64, :] == 0)
+    assert np.all(np.asarray(theta2[0])[:, :64, 50:] == 0)
+
+
+def test_fused_psgld_step_matches_pytree_step():
+    """One fused pSGLD step == vmapped PSGLDSampler.step (same batch/noise).
+
+    pSGLD's preconditioner 1/(lambda + sqrt(v)) amplifies the bf16
+    gradient rounding where the accumulator is small, so the position
+    tolerance is looser than the SGHMC/SGLD kernels'; the accumulator
+    itself (quadratic in the gradient) is tight.
+    """
+    from pysgmcmc_tpu.ops.fused_step import fused_bnn_step_psgld
+    from pysgmcmc_tpu.samplers.psgld import PSGLDSampler
+
+    n = 4
+    base, positions, _ = _workload(n)
+    sampler = PSGLDSampler(
+        base.cost_fn, stepsize_schedule=1e-5,
+        scale_grad=base.scale_grad,
+        gaussian_prior_scale=base.gaussian_prior_scale)
+    x, y = _bnn_data()
+
+    from pysgmcmc_tpu.data_batches import batch_fn as make_batch_fn
+
+    select = make_batch_fn(jnp.asarray(x), jnp.asarray(y), 20)
+    states = jax.vmap(sampler.init)(
+        positions, jax.random.split(jax.random.PRNGKey(0), n))
+    # some adaptation so the accumulator is away from zero
+    def adv(state, k):
+        def body(carry, kk):
+            s, = carry
+            s, _ = sampler.step(s, kk, (jnp.asarray(x)[:20],
+                                        jnp.asarray(y)[:20]))
+            return (s,), ()
+        (state,), _ = jax.lax.scan(
+            body, (state,), jax.random.split(k, 10))
+        return state
+
+    states = jax.vmap(adv)(
+        states, jax.random.split(jax.random.PRNGKey(1), n))
+
+    x_win, y_win = data_windows(x, y, 20)
+    widx = jnp.asarray([0, 3, 80, 41], jnp.int32)
+    x_sel, y_sel = gather_batch(x_win, y_win, widx)
+    eta = jax.vmap(normal_like_tree, in_axes=(0, 0))(
+        jax.random.split(jax.random.PRNGKey(2), n), states.position)
+
+    def ref_step(state, e, w):
+        xb = jax.lax.dynamic_slice_in_dim(jnp.asarray(x), w, 20, axis=0)
+        yb = jax.lax.dynamic_slice_in_dim(
+            jnp.asarray(y).reshape(-1), w, 20, axis=0).reshape(-1, 1)
+        return sampler.step(
+            state, jax.random.PRNGKey(0), (xb, yb), noise=e)[0]
+
+    ref = jax.vmap(ref_step)(states, eta, widx)
+
+    theta2, v2, cost = fused_bnn_step_psgld(
+        pack_fused(states.position), pack_fused(states.v),
+        x_sel, y_sel, 1e-5, 0,
+        alpha=sampler.alpha, lambda_reg=sampler.lambda_reg,
+        scale_grad=sampler.scale_grad,
+        prior_scale=sampler.gaussian_prior_scale,
+        batch_size=20, n_data=100, block_chains=n,
+        state_dtype=jnp.float32, noise=pack_fused(eta), interpret=True,
+    )
+    got_pos = unpack_fused(theta2, 50)
+    got_v = unpack_fused(v2, 50)
+    for k in got_pos:
+        np.testing.assert_allclose(
+            np.asarray(ref.position[k]), np.asarray(got_pos[k]),
+            rtol=0, atol=5e-3, err_msg="position " + k)
+        np.testing.assert_allclose(
+            np.asarray(ref.v[k]), np.asarray(got_v[k]),
+            rtol=2e-2, atol=1e-6, err_msg="v " + k)
+    assert np.isfinite(np.asarray(cost)).all()
+    # padding never moves or accumulates
+    assert np.all(np.asarray(theta2[0])[:, 51:64, :] == 0)
+    assert np.all(np.asarray(theta2[0])[:, :64, 50:] == 0)
+    assert np.all(np.asarray(v2[0])[:, 51:64, :] == 0)
