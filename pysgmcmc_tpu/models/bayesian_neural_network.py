@@ -133,6 +133,7 @@ class BayesianNeuralNetwork(BaseModel):
         log_every=512,
         network="reference",
         step_impl="pytree",
+        units=(50, 50, 50),
         **sampler_kwargs,
     ):
         super().__init__()
@@ -226,9 +227,19 @@ class BayesianNeuralNetwork(BaseModel):
                 raise ValueError(
                     "step_impl='lanes' supports SGHMC, SGLD, PSGLD and "
                     "RelativisticSGHMC")
+        units = tuple(int(u) for u in units)
+        if not units or any(u <= 0 for u in units):
+            raise ValueError("units must be positive layer widths")
+        self.units = units
         if step_impl == "fused":
             if network != "dense":
                 raise ValueError("step_impl='fused' requires network='dense'")
+            if len(set(units)) != 1:
+                raise ValueError(
+                    "step_impl='fused' requires equal hidden widths")
+            from pysgmcmc_tpu.ops.fused_step import fused_slot
+
+            fused_slot(units[0])  # validates H <= 114
             if sampling_method not in (
                 Sampler.SGHMC, Sampler.SGLD, Sampler.PSGLD,
             ):
@@ -236,8 +247,9 @@ class BayesianNeuralNetwork(BaseModel):
                     "step_impl='fused' supports SGHMC, SGLD and PSGLD")
             if get_net is not None:
                 raise ValueError(
-                    "step_impl='fused' supports only the default 3x50 "
-                    "architecture family"
+                    "step_impl='fused' supports the dense NxH architecture "
+                    "family (H <= 114, via units=); pass get_net only with "
+                    "step_impl='lanes' or 'pytree'"
                 )
         self.network = network
         self.step_impl = step_impl
@@ -353,9 +365,11 @@ class BayesianNeuralNetwork(BaseModel):
             if self.network == "dense":
                 from pysgmcmc_tpu.models.architectures import dense_network
 
-                init_fn, apply_fn = dense_network(n_inputs, dtype=self.dtype)
+                init_fn, apply_fn = dense_network(
+                    n_inputs, units=self.units, dtype=self.dtype)
             else:
-                init_fn, apply_fn = default_network(n_inputs, dtype=self.dtype)
+                init_fn, apply_fn = default_network(
+                    n_inputs, units=self.units, dtype=self.dtype)
         else:
             init_fn, apply_fn = self.get_net
         self._apply_fn = apply_fn

@@ -96,7 +96,7 @@ def _normal_3d(shape):
 _ETA_MAT_ROWS = 56
 
 
-def _block_etas(c):
+def _block_etas(c, s=None, bias_row=None):
     """(eta_w2, eta_vec, eta_w3) for one chain block, full-width draw.
 
     Two wins over three per-slab ``_normal_3d`` calls (the round-2
@@ -114,15 +114,20 @@ def _block_etas(c):
       ``_ETA_MAT_ROWS`` = 56 rows per slab are generated: 120x64 normals
       instead of the naive 136x64 for ~106x64 real parameters.
     """
-    half = _ETA_MAT_ROWS + (VEC_ROWS // 2)  # 60 rows per 128-lane half
-    eta = _normal_3d((c, half, 2 * S))
-    a = eta[:, :, 0:S]
-    b = eta[:, :, S:2 * S]
-    zeros_pad = jnp.zeros((c, S - _ETA_MAT_ROWS, S), jnp.float32)
-    eta_w2 = jnp.concatenate([a[:, 0:_ETA_MAT_ROWS], zeros_pad], axis=1)
-    eta_w3 = jnp.concatenate([b[:, 0:_ETA_MAT_ROWS], zeros_pad], axis=1)
+    if s is None:
+        s = S
+    if bias_row is None:
+        bias_row = BIAS_ROW if s == S else WIDE_BIAS_ROW
+    mat_rows = ((bias_row + 1 + 7) // 8) * 8  # rows that need noise
+    half = mat_rows + (VEC_ROWS // 2)  # rows per 128-lane half
+    eta = _normal_3d((c, half, 2 * s))
+    a = eta[:, :, 0:s]
+    b = eta[:, :, s:2 * s]
+    zeros_pad = jnp.zeros((c, s - mat_rows, s), jnp.float32)
+    eta_w2 = jnp.concatenate([a[:, 0:mat_rows], zeros_pad], axis=1)
+    eta_w3 = jnp.concatenate([b[:, 0:mat_rows], zeros_pad], axis=1)
     eta_vec = jnp.concatenate(
-        [a[:, _ETA_MAT_ROWS:half], b[:, _ETA_MAT_ROWS:half]], axis=1)
+        [a[:, mat_rows:half], b[:, mat_rows:half]], axis=1)
     return eta_w2, eta_vec, eta_w3
 
 
@@ -143,19 +148,37 @@ ROW_W1 = S + 0
 LANE_B4, LANE_LVB = 0, 1
 
 
-def _vec_rows(n_inputs):
-    """(row_b1, row_w4, row_scal) for a given input dimension."""
+def _vec_rows(n_inputs, s=S):
+    """(row_b1, row_w4, row_scal) for a given input dimension and slot."""
     if not 1 <= n_inputs <= MAX_INPUTS:
         raise ValueError(
             "fused step supports 1..{} input features; got {}".format(
                 MAX_INPUTS, n_inputs))
-    row_scal = S + n_inputs + 2
-    assert row_scal < BIG_ROWS - 1, (
+    row_scal = s + n_inputs + 2
+    assert row_scal < s + VEC_ROWS - 1, (
         "scal row would collide with the cost row")
-    return S + n_inputs, S + n_inputs + 1, row_scal
+    return s + n_inputs, s + n_inputs + 1, row_scal
 
 
 ROW_B1, ROW_W4, ROW_SCAL = _vec_rows(1)  # the flagship 1-input layout
+
+# Wide-slot layout: S = 128 lifts the hidden width to H <= 114 (the bias
+# rides row 114, mirroring the 13-row slack of the S=64 design).  Same
+# kernel formulation; the slot size and bias row thread through as static
+# parameters, so each (slot, n_inputs) pair is one compiled kernel.
+WIDE_S = 128
+WIDE_BIAS_ROW = 114
+
+
+def fused_slot(h):
+    """(s, bias_row) for hidden width ``h``: 64-slot up to 50, 128 to 114."""
+    if h <= BIAS_ROW:
+        return S, BIAS_ROW
+    if h <= WIDE_BIAS_ROW:
+        return WIDE_S, WIDE_BIAS_ROW
+    raise ValueError(
+        "fused kernels support hidden widths up to {} (got {}); use the "
+        "chains-on-lanes path for wider networks".format(WIDE_BIAS_ROW, h))
 
 LOG_MP = float(np.log(1e-6))   # log-variance prior mean (reference)
 VAR_P = 0.01                   # log-variance prior variance
@@ -178,38 +201,34 @@ def pack_fused(params):
     - ``w3m: (n, S, S)`` — W3 with b3 on the bias row.
     """
     n, h, _ = params["w2"].shape
-    if h > BIAS_ROW:
-        raise ValueError(
-            "pack_fused: hidden width {} exceeds the kernel's slot design "
-            "(weights occupy rows 0..{}, the bias rides row {})".format(
-                h, BIAS_ROW - 1, BIAS_ROW))
+    s, bias_row = fused_slot(h)
 
     def mat(wkey, bkey):
         m = jnp.pad(
             jnp.asarray(params[wkey], jnp.float32),
-            ((0, 0), (0, S - h), (0, S - h)))
+            ((0, 0), (0, s - h), (0, s - h)))
         brow = jnp.pad(
-            jnp.asarray(params[bkey], jnp.float32), ((0, 0), (0, S - h)))
-        return m.at[:, BIAS_ROW, :].set(brow)
+            jnp.asarray(params[bkey], jnp.float32), ((0, 0), (0, s - h)))
+        return m.at[:, bias_row, :].set(brow)
 
     def row(leaf):
         leaf = jnp.asarray(leaf, jnp.float32).reshape(n, -1)
-        return jnp.pad(leaf, ((0, 0), (0, S - leaf.shape[1])))
+        return jnp.pad(leaf, ((0, 0), (0, s - leaf.shape[1])))
 
     scal = jnp.concatenate(
         [jnp.reshape(params["b4"], (n, 1)),
          jnp.reshape(params["log_variance_bias"], (n, 1))], axis=1)
-    zero = jnp.zeros((n, S), jnp.float32)
+    zero = jnp.zeros((n, s), jnp.float32)
     w1 = jnp.asarray(params["w1"], jnp.float32)
     w1_rows = (
         [row(w1)] if w1.ndim == 2
         else [row(w1[:, i]) for i in range(w1.shape[1])]
     )
-    _vec_rows(len(w1_rows))  # validates the input dimension
+    _vec_rows(len(w1_rows), s)  # validates the input dimension
     rows = w1_rows + [row(params["b1"]), row(params["w4"]), row(scal)]
     rows += [zero] * (VEC_ROWS - len(rows))
     vec = jnp.stack(rows, axis=1)
-    big = jnp.concatenate([mat("w2", "b2"), vec], axis=1)  # (n, S+8, S)
+    big = jnp.concatenate([mat("w2", "b2"), vec], axis=1)  # (n, s+8, s)
     return big, mat("w3", "b3")
 
 
@@ -217,18 +236,20 @@ def unpack_fused(packed, h, n_inputs=1):
     """Inverse of :func:`pack_fused` -> stacked dense-network pytree."""
     big, w3m = packed
     n = big.shape[0]
-    row_b1, row_w4, row_scal = _vec_rows(n_inputs)
+    s = big.shape[1] - VEC_ROWS
+    bias_row = fused_slot(h)[1]
+    row_b1, row_w4, row_scal = _vec_rows(n_inputs, s)
     w1 = (
-        big[:, ROW_W1, :h] if n_inputs == 1
-        else big[:, ROW_W1:row_b1, :h]
+        big[:, s, :h] if n_inputs == 1
+        else big[:, s:row_b1, :h]
     )
     return {
         "w1": w1,
         "b1": big[:, row_b1, :h],
         "w2": big[:, :h, :h],
-        "b2": big[:, BIAS_ROW, :h],
+        "b2": big[:, bias_row, :h],
         "w3": w3m[:, :h, :h],
-        "b3": w3m[:, BIAS_ROW, :h],
+        "b3": w3m[:, bias_row, :h],
         "w4": big[:, row_w4, :h],
         "b4": big[:, row_scal, LANE_B4].reshape(n, 1),
         "log_variance_bias": big[:, row_scal, LANE_LVB].reshape(n, 1, 1),
@@ -471,12 +492,14 @@ def _make_kernel_paired(batch_size, n_data, block_chains):
 
 
 def _make_kernel(batch_size, n_data, with_noise, block_chains,
-                 n_windows=None, n_inputs=1):
+                 n_windows=None, n_inputs=1, s=S, bias_row=BIAS_ROW):
     bf16 = jnp.bfloat16
     inv_b = 1.0 / batch_size
     inv_n = 1.0 / n_data
     select_in_kernel = n_windows is not None
-    row_b1, row_w4, row_scal = _vec_rows(n_inputs)
+    row_b1, row_w4, row_scal = _vec_rows(n_inputs, s)
+    big_rows = s + VEC_ROWS
+    row_w1 = s
 
     def kernel(int_ref, float_ref,
                tbig, tw3,
@@ -485,7 +508,7 @@ def _make_kernel(batch_size, n_data, with_noise, block_chains,
                xin_ref, y_ref,
                *rest):
         # trailing refs: [noise x2 (opt)] outputs x4, scratch x4
-        # (the per-chain cost rides row BIG_ROWS-1 of the v output: a
+        # (the per-chain cost rides row big_rows-1 of the v output: a
         # separate (n,1) output gets promoted into scoped VMEM by XLA's
         # memory-space assignment and OOMs the kernel at 8k chains)
         if with_noise:
@@ -507,10 +530,10 @@ def _make_kernel(batch_size, n_data, with_noise, block_chains,
             jnp.int32, (block_chains, B_PAD), 1)
         bmask = (brow < batch_size).astype(jnp.float32)      # (C, B_PAD)
         lane3 = jax.lax.broadcasted_iota(
-            jnp.int32, (block_chains, B_PAD, S), 2)
+            jnp.int32, (block_chains, B_PAD, s), 2)
 
-        big = tbig[:]                                        # (C, S+8, S)
-        w4 = big[:, row_w4, :]                               # (C, S)
+        big = tbig[:]                                        # (C, s+8, s)
+        w4 = big[:, row_w4, :]                               # (C, s)
         scal = big[:, row_scal, :]
         b4 = scal[:, LANE_B4:LANE_B4 + 1]                    # (C, 1)
         lvb = scal[:, LANE_LVB:LANE_LVB + 1]
@@ -540,24 +563,24 @@ def _make_kernel(batch_size, n_data, with_noise, block_chains,
         # ---- forward (bf16 matmuls, f32 accumulation) ----------------------
         # This formulation is the one proven to compile end to end on v5e
         # (benchmarks/archive/fused_bisect2_tpu.py): layer 1 is a real matmul over
-        # the [x, 1] input lanes, every bias rides row BIAS_ROW of its
+        # the [x, 1] input lanes, every bias rides row bias_row of its
         # weight matrix against a constant-1 activation lane, and each
         # stage materializes through a VMEM scratch ref.  (Mosaic aborts
         # with "Check failed: limits[i] <= dim(i)" on the straightforward
         # broadcast-bias expression graph.)
         xin_bf = xin.astype(bf16)
-        w1m_bf = big[:, ROW_W1:row_b1 + 1, :].astype(bf16)   # [w1.., b1]
-        z1 = _bdot(xin_bf, w1m_bf, (((2,), (1,))))           # (C, B, S)
+        w1m_bf = big[:, row_w1:row_b1 + 1, :].astype(bf16)   # [w1.., b1]
+        z1 = _bdot(xin_bf, w1m_bf, (((2,), (1,))))           # (C, B, s)
         s_a1[:] = jnp.where(
-            lane3 == BIAS_ROW, 1.0, jnp.tanh(z1)).astype(bf16)
+            lane3 == bias_row, 1.0, jnp.tanh(z1)).astype(bf16)
         a1 = s_a1[:]
         a1f = a1.astype(jnp.float32)
 
-        w2_bf = big[:, 0:S, :].astype(bf16)
+        w2_bf = big[:, 0:s, :].astype(bf16)
         w3_bf = tw3[:].astype(bf16)
         z2 = _bdot(a1, w2_bf, (((2,), (1,))))                # incl. b2
         s_a2[:] = jnp.where(
-            lane3 == BIAS_ROW, 1.0, jnp.tanh(z2)).astype(bf16)
+            lane3 == bias_row, 1.0, jnp.tanh(z2)).astype(bf16)
         a2 = s_a2[:]
         a2f = a2.astype(jnp.float32)
         z3 = _bdot(a2, w3_bf, (((2,), (1,))))                # incl. b3
@@ -588,44 +611,44 @@ def _make_kernel(batch_size, n_data, with_noise, block_chains,
 
         # ---- backward --------------------------------------------------------
         # g_w4[c,j] = sum_b d_mean[c,b] a3[c,b,j]
-        g_w4 = jnp.sum(a3f * d_mean[:, :, None], axis=1)     # (C, S)
+        g_w4 = jnp.sum(a3f * d_mean[:, :, None], axis=1)     # (C, s)
         dz3_bf = ((d_mean[:, :, None] * w4[:, None, :])
                   * (1.0 - a3f * a3f)).astype(bf16)          # dz3
         # dW3m[c,i,j] = sum_b a2[c,b,i] dz3[c,b,j]; row 50 = g_b3 (ones
         # lane of a2) -- the bias gradient falls out of the same dot
-        g_w3 = _bdot(a2, dz3_bf, (((1,), (1,))))             # (C, S, S)
+        g_w3 = _bdot(a2, dz3_bf, (((1,), (1,))))             # (C, s, s)
         # da2[c,b,i] = sum_j dz3[c,b,j] W3m[c,i,j]; the spurious bias-row
         # term at lane 50 dies against (1 - a2^2) = 0 there
-        da2 = _bdot(dz3_bf, w3_bf, (((2,), (2,))))           # (C, B, S)
+        da2 = _bdot(dz3_bf, w3_bf, (((2,), (2,))))           # (C, B, s)
         dz2_bf = (da2 * (1.0 - a2f * a2f)).astype(bf16)      # dz2
         g_w2 = _bdot(a1, dz2_bf, (((1,), (1,))))
         da1 = _bdot(dz2_bf, w2_bf, (((2,), (2,))))
         dz1_bf = (da1 * (1.0 - a1f * a1f)).astype(bf16)      # dz1
         # rows [g_w1.., g_b1] from one dot against the [x.., 1] lanes
-        g_w1m = _bdot(xin_bf, dz1_bf, (((1,), (1,))))        # (C, k+1, S)
+        g_w1m = _bdot(xin_bf, dz1_bf, (((1,), (1,))))        # (C, k+1, s)
 
         lane2 = jax.lax.broadcasted_iota(
-            jnp.int32, (block_chains, S), 1)
+            jnp.int32, (block_chains, s), 1)
         g_scal = jnp.where(
             lane2 == LANE_B4, g_b4,
             jnp.where(lane2 == LANE_LVB, d_lvb, 0.0),
-        ).astype(jnp.float32)                                # (C, S)
+        ).astype(jnp.float32)                                # (C, s)
         # small vector-rows gradient slab (the W2-section gradient feeds
         # the update directly -- no full-slab scratch round trip)
         s_gvec[:, 0:n_inputs + 1, :] = g_w1m
-        s_gvec[:, row_w4 - S, :] = g_w4
-        s_gvec[:, row_scal - S, :] = g_scal
-        if row_scal - S + 1 < VEC_ROWS:
-            s_gvec[:, row_scal - S + 1:VEC_ROWS, :] = jnp.zeros(
-                (block_chains, VEC_ROWS - (row_scal - S) - 1, S),
+        s_gvec[:, row_w4 - s, :] = g_w4
+        s_gvec[:, row_scal - s, :] = g_scal
+        if row_scal - s + 1 < VEC_ROWS:
+            s_gvec[:, row_scal - s + 1:VEC_ROWS, :] = jnp.zeros(
+                (block_chains, VEC_ROWS - (row_scal - s) - 1, s),
                 jnp.float32)
         g_vec = s_gvec[:]
 
         # ---- fused SGHMC update ----------------------------------------------
         if with_noise:
-            etas = (nbig[:][:, 0:S, :], nbig[:][:, S:BIG_ROWS, :], nw3[:])
+            etas = (nbig[:][:, 0:s, :], nbig[:][:, s:big_rows, :], nw3[:])
         else:
-            etas = _block_etas(block_chains)
+            etas = _block_etas(block_chains, s, bias_row)
 
         def _update(theta, v, minv, grad, eta):
             v32 = v.astype(jnp.float32)
@@ -640,18 +663,18 @@ def _make_kernel(batch_size, n_data, with_noise, block_chains,
             v_new = jnp.where(minv > 0.0, v_new, 0.0)
             return theta + v_new, v_new
 
-        # W2 section of the big slab (rows 0..S)
+        # W2 section of the big slab (rows 0..s)
         t_new, v_new = _update(
-            tbig[:, 0:S, :], vbig[:, 0:S, :], mbig[:, 0:S, :],
+            tbig[:, 0:s, :], vbig[:, 0:s, :], mbig[:, 0:s, :],
             g_w2, etas[0])
-        obig[:, 0:S, :] = t_new
-        pbig[:, 0:S, :] = v_new.astype(pbig.dtype)
-        # vector rows of the big slab (rows S..BIG_ROWS)
+        obig[:, 0:s, :] = t_new
+        pbig[:, 0:s, :] = v_new.astype(pbig.dtype)
+        # vector rows of the big slab (rows s..big_rows)
         t_new, v_new = _update(
-            tbig[:, S:BIG_ROWS, :], vbig[:, S:BIG_ROWS, :],
-            mbig[:, S:BIG_ROWS, :], g_vec, etas[1])
-        obig[:, S:BIG_ROWS, :] = t_new
-        pbig[:, S:BIG_ROWS, :] = v_new.astype(pbig.dtype)
+            tbig[:, s:big_rows, :], vbig[:, s:big_rows, :],
+            mbig[:, s:big_rows, :], g_vec, etas[1])
+        obig[:, s:big_rows, :] = t_new
+        pbig[:, s:big_rows, :] = v_new.astype(pbig.dtype)
         # W3 slab
         t_new, v_new = _update(tw3[:], vw3[:], mw3[:], g_w3, etas[2])
         ow3[:] = t_new
@@ -661,7 +684,7 @@ def _make_kernel(batch_size, n_data, with_noise, block_chains,
         # single-lane stores are unsupported).  Self-consistent: the row's
         # v stays 0 (minv == 0 there), its gradient is zero, the forward
         # and unpack never read it, and each step overwrites it.
-        obig[:, BIG_ROWS - 1, LANE_B4:LANE_B4 + 1] = cost
+        obig[:, big_rows - 1, LANE_B4:LANE_B4 + 1] = cost
 
     return kernel
 
@@ -695,6 +718,9 @@ def fused_bnn_step(
         raise ValueError(
             "fused_bnn_step: n_chains ({}) must be divisible by "
             "block_chains ({})".format(n_chains, block_chains))
+    s = tbig.shape[2]
+    bias_row = BIAS_ROW if s == S else WIDE_BIAS_ROW
+    big_rows = s + VEC_ROWS
 
     if select_in_kernel:
         # x_sel/y_sel are the SHARED minibatch window tables from
@@ -732,12 +758,12 @@ def fused_bnn_step(
     ])
 
     def mat_spec():
-        return pl.BlockSpec((block_chains, S, S), lambda i, *_: (i, 0, 0),
+        return pl.BlockSpec((block_chains, s, s), lambda i, *_: (i, 0, 0),
                             memory_space=pltpu.VMEM)
 
     def big_spec():
         return pl.BlockSpec(
-            (block_chains, BIG_ROWS, S), lambda i, *_: (i, 0, 0),
+            (block_chains, big_rows, s), lambda i, *_: (i, 0, 0),
             memory_space=pltpu.VMEM)
 
     def data_spec():
@@ -774,7 +800,7 @@ def fused_bnn_step(
     )
     out_specs = tuple(state_specs) + tuple(state_specs)
 
-    bbs = (block_chains, B_PAD, S)
+    bbs = (block_chains, B_PAD, s)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_chains // block_chains,),
@@ -784,7 +810,7 @@ def fused_bnn_step(
             pltpu.VMEM(bbs, jnp.bfloat16),  # a1 (ones-lane applied)
             pltpu.VMEM(bbs, jnp.bfloat16),  # a2 (ones-lane applied)
             pltpu.VMEM(bbs, jnp.bfloat16),  # a3
-            pltpu.VMEM((block_chains, VEC_ROWS, S), jnp.float32),  # g_vec
+            pltpu.VMEM((block_chains, VEC_ROWS, s), jnp.float32),  # g_vec
         ],
     )
     # alias theta (operands 2..3 incl. scalar-prefetch args) and v (4..5)
@@ -792,6 +818,8 @@ def fused_bnn_step(
     aliases.update({i + 4: i + 2 for i in range(2)})
 
     if pair_dots:
+        if s != 64:
+            raise ValueError("pair_dots supports the 64-slot layout only")
         if with_noise or select_in_kernel:
             raise ValueError(
                 "pair_dots does not combine with noise injection or "
@@ -805,7 +833,8 @@ def fused_bnn_step(
     else:
         kernel = _make_kernel(
             float(batch_size), float(n_data), with_noise, block_chains,
-            n_windows=n_windows, n_inputs=n_inputs)
+            n_windows=n_windows, n_inputs=n_inputs, s=s,
+            bias_row=bias_row)
     interpreter = pltpu.InterpretParams() if interpret else False
     outs = pl.pallas_call(
         kernel,
@@ -822,7 +851,7 @@ def fused_bnn_step(
     theta_new = tuple(outs[0:2])
     v_new = tuple(outs[2:4])
     # per-chain cost from lane 0 of the theta slab's last row
-    cost = theta_new[0][:, BIG_ROWS - 1, 0:1]
+    cost = theta_new[0][:, big_rows - 1, 0:1]
     return theta_new, v_new, cost
 
 
@@ -1016,6 +1045,10 @@ def fused_bnn_multistep(
     """
     tbig, tw3 = theta
     n_chains = tbig.shape[0]
+    if tbig.shape[2] != S:
+        raise ValueError(
+            "fused_bnn_multistep supports the 64-slot flagship layout "
+            "only (H <= 50)")
     if n_chains % block_chains:
         raise ValueError(
             "fused_bnn_multistep: n_chains ({}) must be divisible by "
@@ -1101,7 +1134,8 @@ def fused_bnn_multistep(
 #  Fused family: SGLD and pSGLD whole-step kernels ----------------------------
 
 def _fwd_bwd(big, w3f, xin_bf, y, bmask, lane3, lane2,
-             s_a1, s_a2, s_a3, s_gvec, inv_b, inv_n, n_inputs, C):
+             s_a1, s_a2, s_a3, s_gvec, inv_b, inv_n, n_inputs, C,
+             s=S, bias_row=BIAS_ROW):
     """Forward + heteroscedastic likelihood + backward, shared by the
     fused-family kernels.
 
@@ -1113,22 +1147,22 @@ def _fwd_bwd(big, w3f, xin_bf, y, bmask, lane3, lane2,
     Returns ``(cost, g_w2, g_vec, g_w3)``.
     """
     bf16 = jnp.bfloat16
-    row_b1, row_w4, row_scal = _vec_rows(n_inputs)
+    row_b1, row_w4, row_scal = _vec_rows(n_inputs, s)
     w4 = big[:, row_w4, :]
     scal = big[:, row_scal, :]
     b4 = scal[:, LANE_B4:LANE_B4 + 1]
     lvb = scal[:, LANE_LVB:LANE_LVB + 1]
 
-    w1m_bf = big[:, ROW_W1:row_b1 + 1, :].astype(bf16)
+    w1m_bf = big[:, s:row_b1 + 1, :].astype(bf16)
     z1 = _bdot(xin_bf, w1m_bf, (((2,), (1,))))
-    s_a1[:] = jnp.where(lane3 == BIAS_ROW, 1.0, jnp.tanh(z1)).astype(bf16)
+    s_a1[:] = jnp.where(lane3 == bias_row, 1.0, jnp.tanh(z1)).astype(bf16)
     a1 = s_a1[:]
     a1f = a1.astype(jnp.float32)
 
-    w2_bf = big[:, 0:S, :].astype(bf16)
+    w2_bf = big[:, 0:s, :].astype(bf16)
     w3_bf = w3f.astype(bf16)
     z2 = _bdot(a1, w2_bf, (((2,), (1,))))
-    s_a2[:] = jnp.where(lane3 == BIAS_ROW, 1.0, jnp.tanh(z2)).astype(bf16)
+    s_a2[:] = jnp.where(lane3 == bias_row, 1.0, jnp.tanh(z2)).astype(bf16)
     a2 = s_a2[:]
     a2f = a2.astype(jnp.float32)
     z3 = _bdot(a2, w3_bf, (((2,), (1,))))
@@ -1169,16 +1203,16 @@ def _fwd_bwd(big, w3f, xin_bf, y, bmask, lane3, lane2,
         jnp.where(lane2 == LANE_LVB, d_lvb, 0.0),
     ).astype(jnp.float32)
     s_gvec[:, 0:n_inputs + 1, :] = g_w1m
-    s_gvec[:, row_w4 - S, :] = g_w4
-    s_gvec[:, row_scal - S, :] = g_scal
-    if row_scal - S + 1 < VEC_ROWS:
-        s_gvec[:, row_scal - S + 1:VEC_ROWS, :] = jnp.zeros(
-            (C, VEC_ROWS - (row_scal - S) - 1, S), jnp.float32)
+    s_gvec[:, row_w4 - s, :] = g_w4
+    s_gvec[:, row_scal - s, :] = g_scal
+    if row_scal - s + 1 < VEC_ROWS:
+        s_gvec[:, row_scal - s + 1:VEC_ROWS, :] = jnp.zeros(
+            (C, VEC_ROWS - (row_scal - s) - 1, s), jnp.float32)
     return cost, g_w2, s_gvec[:], g_w3
 
 
 def _make_kernel_sgld(batch_size, n_data, with_noise, block_chains,
-                      n_inputs):
+                      n_inputs, s=S, bias_row=BIAS_ROW):
     """SGLD whole-step kernel: same fused fwd/bwd, momentum-free update.
 
     Semantics of :mod:`pysgmcmc_tpu.samplers.sgld` with the frozen
@@ -1203,18 +1237,18 @@ def _make_kernel_sgld(batch_size, n_data, with_noise, block_chains,
 
         brow = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD), 1)
         bmask = (brow < batch_size).astype(jnp.float32)
-        lane3 = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD, S), 2)
-        lane2 = jax.lax.broadcasted_iota(jnp.int32, (C, S), 1)
+        lane3 = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD, s), 2)
+        lane2 = jax.lax.broadcasted_iota(jnp.int32, (C, s), 1)
 
         cost, g_w2, g_vec, g_w3 = _fwd_bwd(
             tbig[:], tw3[:], xin_ref[:].astype(jnp.bfloat16), y_ref[:],
             bmask, lane3, lane2, s_a1, s_a2, s_a3, s_gvec,
-            inv_b, inv_n, n_inputs, C)
+            inv_b, inv_n, n_inputs, C, s, bias_row)
 
         if with_noise:
-            etas = (nbig[:][:, 0:S, :], nbig[:][:, S:BIG_ROWS, :], nw3[:])
+            etas = (nbig[:][:, 0:s, :], nbig[:][:, s:(s + VEC_ROWS), :], nw3[:])
         else:
-            etas = _block_etas(C)
+            etas = _block_etas(C, s, bias_row)
 
         def _update(theta, minv, grad, eta):
             minv = minv.astype(jnp.float32)
@@ -1224,17 +1258,17 @@ def _make_kernel_sgld(batch_size, n_data, with_noise, block_chains,
             delta = -eps * minv * a_coef * g + sigma * eta
             return theta + jnp.where(minv > 0.0, delta, 0.0)
 
-        obig[:, 0:S, :] = _update(
-            tbig[:, 0:S, :], mbig[:, 0:S, :], g_w2, etas[0])
-        obig[:, S:BIG_ROWS, :] = _update(
-            tbig[:, S:BIG_ROWS, :], mbig[:, S:BIG_ROWS, :], g_vec, etas[1])
+        obig[:, 0:s, :] = _update(
+            tbig[:, 0:s, :], mbig[:, 0:s, :], g_w2, etas[0])
+        obig[:, s:(s + VEC_ROWS), :] = _update(
+            tbig[:, s:(s + VEC_ROWS), :], mbig[:, s:(s + VEC_ROWS), :], g_vec, etas[1])
         ow3[:] = _update(tw3[:], mw3[:], g_w3, etas[2])
-        obig[:, BIG_ROWS - 1, LANE_B4:LANE_B4 + 1] = cost
+        obig[:, (s + VEC_ROWS) - 1, LANE_B4:LANE_B4 + 1] = cost
 
     return kernel
 
 
-def _psgld_valid_masks(block_chains, n_inputs, h):
+def _psgld_valid_masks(block_chains, n_inputs, h, s=S, bias_row=BIAS_ROW):
     """Static validity masks for the pSGLD fused update.
 
     pSGLD has no frozen ``minv`` whose zeros mask the padding cells, and
@@ -1244,12 +1278,12 @@ def _psgld_valid_masks(block_chains, n_inputs, h):
     row, lanes 0..H-1; vector rows on their own lane widths.
     """
     C = block_chains
-    row3 = jax.lax.broadcasted_iota(jnp.int32, (C, S, S), 1)
-    lane3s = jax.lax.broadcasted_iota(jnp.int32, (C, S, S), 2)
-    mat_valid = (((row3 < h) | (row3 == BIAS_ROW)) & (lane3s < h)).astype(
+    row3 = jax.lax.broadcasted_iota(jnp.int32, (C, s, s), 1)
+    lane3s = jax.lax.broadcasted_iota(jnp.int32, (C, s, s), 2)
+    mat_valid = (((row3 < h) | (row3 == bias_row)) & (lane3s < h)).astype(
         jnp.float32)
-    vrow = jax.lax.broadcasted_iota(jnp.int32, (C, VEC_ROWS, S), 1)
-    vlane = jax.lax.broadcasted_iota(jnp.int32, (C, VEC_ROWS, S), 2)
+    vrow = jax.lax.broadcasted_iota(jnp.int32, (C, VEC_ROWS, s), 1)
+    vlane = jax.lax.broadcasted_iota(jnp.int32, (C, VEC_ROWS, s), 2)
     scal_row = n_inputs + 2
     vec_valid = (
         ((vrow < scal_row) & (vlane < h))
@@ -1259,7 +1293,7 @@ def _psgld_valid_masks(block_chains, n_inputs, h):
 
 
 def _make_kernel_psgld(batch_size, n_data, with_noise, block_chains,
-                       n_inputs, h):
+                       n_inputs, h, s=S, bias_row=BIAS_ROW):
     """pSGLD whole-step kernel: fused fwd/bwd + RMSprop-preconditioned
     update with the accumulator adapting in-kernel every step
     (:mod:`pysgmcmc_tpu.samplers.psgld` semantics)."""
@@ -1282,19 +1316,19 @@ def _make_kernel_psgld(batch_size, n_data, with_noise, block_chains,
 
         brow = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD), 1)
         bmask = (brow < batch_size).astype(jnp.float32)
-        lane3 = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD, S), 2)
-        lane2 = jax.lax.broadcasted_iota(jnp.int32, (C, S), 1)
-        mat_valid, vec_valid = _psgld_valid_masks(C, n_inputs, h)
+        lane3 = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD, s), 2)
+        lane2 = jax.lax.broadcasted_iota(jnp.int32, (C, s), 1)
+        mat_valid, vec_valid = _psgld_valid_masks(C, n_inputs, h, s, bias_row)
 
         cost, g_w2, g_vec, g_w3 = _fwd_bwd(
             tbig[:], tw3[:], xin_ref[:].astype(jnp.bfloat16), y_ref[:],
             bmask, lane3, lane2, s_a1, s_a2, s_a3, s_gvec,
-            inv_b, inv_n, n_inputs, C)
+            inv_b, inv_n, n_inputs, C, s, bias_row)
 
         if with_noise:
-            etas = (nbig[:][:, 0:S, :], nbig[:][:, S:BIG_ROWS, :], nw3[:])
+            etas = (nbig[:][:, 0:s, :], nbig[:][:, s:(s + VEC_ROWS), :], nw3[:])
         else:
-            etas = _block_etas(C)
+            etas = _block_etas(C, s, bias_row)
 
         def _update(theta, v, grad, eta, valid):
             v32 = v.astype(jnp.float32)
@@ -1306,30 +1340,30 @@ def _make_kernel_psgld(batch_size, n_data, with_noise, block_chains,
             return theta + delta * valid, v_new * valid
 
         t_new, v_new = _update(
-            tbig[:, 0:S, :], vbig[:, 0:S, :], g_w2, etas[0], mat_valid)
-        obig[:, 0:S, :] = t_new
-        pbig[:, 0:S, :] = v_new.astype(pbig.dtype)
+            tbig[:, 0:s, :], vbig[:, 0:s, :], g_w2, etas[0], mat_valid)
+        obig[:, 0:s, :] = t_new
+        pbig[:, 0:s, :] = v_new.astype(pbig.dtype)
         t_new, v_new = _update(
-            tbig[:, S:BIG_ROWS, :], vbig[:, S:BIG_ROWS, :], g_vec,
+            tbig[:, s:(s + VEC_ROWS), :], vbig[:, s:(s + VEC_ROWS), :], g_vec,
             etas[1], vec_valid)
-        obig[:, S:BIG_ROWS, :] = t_new
-        pbig[:, S:BIG_ROWS, :] = v_new.astype(pbig.dtype)
+        obig[:, s:(s + VEC_ROWS), :] = t_new
+        pbig[:, s:(s + VEC_ROWS), :] = v_new.astype(pbig.dtype)
         t_new, v_new = _update(tw3[:], vw3[:], g_w3, etas[2], mat_valid)
         ow3[:] = t_new
         pw3[:] = v_new.astype(pw3.dtype)
-        obig[:, BIG_ROWS - 1, LANE_B4:LANE_B4 + 1] = cost
+        obig[:, (s + VEC_ROWS) - 1, LANE_B4:LANE_B4 + 1] = cost
 
     return kernel
 
 
-def _fused_family_specs(block_chains, n_inputs, xin, y_sel):
+def _fused_family_specs(block_chains, n_inputs, xin, y_sel, s=S):
     def mat_spec():
-        return pl.BlockSpec((block_chains, S, S), lambda i, *_: (i, 0, 0),
+        return pl.BlockSpec((block_chains, s, s), lambda i, *_: (i, 0, 0),
                             memory_space=pltpu.VMEM)
 
     def big_spec():
         return pl.BlockSpec(
-            (block_chains, BIG_ROWS, S), lambda i, *_: (i, 0, 0),
+            (block_chains, (s + VEC_ROWS), s), lambda i, *_: (i, 0, 0),
             memory_space=pltpu.VMEM)
 
     xin_spec = pl.BlockSpec(
@@ -1374,6 +1408,8 @@ def fused_bnn_step_sgld(
         raise ValueError(
             "fused_bnn_step_sgld: n_chains ({}) must be divisible by "
             "block_chains ({})".format(n_chains, block_chains))
+    s = tbig.shape[2]
+    bias_row = BIAS_ROW if s == 64 else WIDE_BIAS_ROW
 
     xin = _fused_xin(x_sel, n_inputs)
     int_scalars = jnp.asarray(seed, jnp.int32).reshape(1)
@@ -1385,7 +1421,7 @@ def fused_bnn_step_sgld(
     ])
 
     big_spec, mat_spec, xin_spec, y_spec = _fused_family_specs(
-        block_chains, n_inputs, xin, y_sel)
+        block_chains, n_inputs, xin, y_sel, s)
     state_specs = [big_spec(), mat_spec()]
     in_specs = state_specs + state_specs + [xin_spec, y_spec]
     operands = list(theta) + list(minv) + [xin, y_sel]
@@ -1396,7 +1432,7 @@ def fused_bnn_step_sgld(
 
     out_shape = tuple(
         jax.ShapeDtypeStruct(t.shape, jnp.float32) for t in theta)
-    bbs = (block_chains, B_PAD, S)
+    bbs = (block_chains, B_PAD, s)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_chains // block_chains,),
@@ -1406,12 +1442,12 @@ def fused_bnn_step_sgld(
             pltpu.VMEM(bbs, jnp.bfloat16),
             pltpu.VMEM(bbs, jnp.bfloat16),
             pltpu.VMEM(bbs, jnp.bfloat16),
-            pltpu.VMEM((block_chains, VEC_ROWS, S), jnp.float32),
+            pltpu.VMEM((block_chains, VEC_ROWS, s), jnp.float32),
         ],
     )
     kernel = _make_kernel_sgld(
         float(batch_size), float(n_data), with_noise, block_chains,
-        n_inputs)
+        n_inputs, s=s, bias_row=bias_row)
     interpreter = pltpu.InterpretParams() if interpret else False
     outs = pl.pallas_call(
         kernel,
@@ -1423,7 +1459,7 @@ def fused_bnn_step_sgld(
         interpret=interpreter,
     )(int_scalars, float_scalars, *operands)
     theta_new = tuple(outs[0:2])
-    cost = theta_new[0][:, BIG_ROWS - 1, 0:1]
+    cost = theta_new[0][:, (s + VEC_ROWS) - 1, 0:1]
     return theta_new, cost
 
 
@@ -1453,6 +1489,8 @@ def fused_bnn_step_psgld(
         raise ValueError(
             "fused_bnn_step_psgld: n_chains ({}) must be divisible by "
             "block_chains ({})".format(n_chains, block_chains))
+    s = tbig.shape[2]
+    bias_row = BIAS_ROW if s == 64 else WIDE_BIAS_ROW
 
     xin = _fused_xin(x_sel, n_inputs)
     int_scalars = jnp.asarray(seed, jnp.int32).reshape(1)
@@ -1465,7 +1503,7 @@ def fused_bnn_step_psgld(
     ])
 
     big_spec, mat_spec, xin_spec, y_spec = _fused_family_specs(
-        block_chains, n_inputs, xin, y_sel)
+        block_chains, n_inputs, xin, y_sel, s)
     state_specs = [big_spec(), mat_spec()]
     in_specs = state_specs + state_specs + [xin_spec, y_spec]
     operands = list(theta) + list(v) + [xin, y_sel]
@@ -1478,7 +1516,7 @@ def fused_bnn_step_psgld(
         tuple(jax.ShapeDtypeStruct(t.shape, jnp.float32) for t in theta)
         + tuple(jax.ShapeDtypeStruct(t.shape, state_dtype) for t in theta)
     )
-    bbs = (block_chains, B_PAD, S)
+    bbs = (block_chains, B_PAD, s)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_chains // block_chains,),
@@ -1488,14 +1526,14 @@ def fused_bnn_step_psgld(
             pltpu.VMEM(bbs, jnp.bfloat16),
             pltpu.VMEM(bbs, jnp.bfloat16),
             pltpu.VMEM(bbs, jnp.bfloat16),
-            pltpu.VMEM((block_chains, VEC_ROWS, S), jnp.float32),
+            pltpu.VMEM((block_chains, VEC_ROWS, s), jnp.float32),
         ],
     )
     aliases = {i + 2: i for i in range(2)}
     aliases.update({i + 4: i + 2 for i in range(2)})
     kernel = _make_kernel_psgld(
         float(batch_size), float(n_data), with_noise, block_chains,
-        n_inputs, int(h))
+        n_inputs, int(h), s=s, bias_row=bias_row)
     interpreter = pltpu.InterpretParams() if interpret else False
     outs = pl.pallas_call(
         kernel,
@@ -1508,5 +1546,5 @@ def fused_bnn_step_psgld(
     )(int_scalars, float_scalars, *operands)
     theta_new = tuple(outs[0:2])
     v_new = tuple(outs[2:4])
-    cost = theta_new[0][:, BIG_ROWS - 1, 0:1]
+    cost = theta_new[0][:, (s + VEC_ROWS) - 1, 0:1]
     return theta_new, v_new, cost

@@ -322,3 +322,24 @@ def test_fused_step_impl_sgld_and_psgld():
         mean, variance = bnn.predict(x)
         assert np.all(np.isfinite(mean)), method
         assert np.all(np.isfinite(variance)), method
+
+
+@pytest.mark.slow
+def test_fused_step_impl_wide_hidden_width():
+    """H=100 trains through step_impl='fused' (the 128-slot layout)."""
+    x, y = _sinc_data()[:2]
+    bnn = BayesianNeuralNetwork(
+        network="dense", step_impl="fused", units=(100, 100, 100),
+        n_chains=2, n_nets=4, n_iters=300, burn_in_steps=60,
+        sample_steps=20, seed=4, log_every=None)
+    bnn.train(x, y)
+    assert bnn.samples["w2"].shape == (4, 100, 100)
+    mean, variance = bnn.predict(x)
+    assert np.all(np.isfinite(mean))
+
+    with pytest.raises(ValueError, match="up to 114"):
+        BayesianNeuralNetwork(
+            network="dense", step_impl="fused", units=(128, 128, 128))
+    with pytest.raises(ValueError, match="equal hidden widths"):
+        BayesianNeuralNetwork(
+            network="dense", step_impl="fused", units=(100, 50, 100))

@@ -402,3 +402,97 @@ def test_fused_psgld_step_matches_pytree_step():
     assert np.all(np.asarray(theta2[0])[:, 51:64, :] == 0)
     assert np.all(np.asarray(theta2[0])[:, :64, 50:] == 0)
     assert np.all(np.asarray(v2[0])[:, 51:64, :] == 0)
+
+
+def test_wide_slot_pack_roundtrip_and_step():
+    """H=100 routes to the 128-slot layout; pack round-trips and one
+    fused SGHMC step matches the pytree step (same batch + noise)."""
+    from pysgmcmc_tpu.models.architectures import dense_network
+    from pysgmcmc_tpu.ops.fused_step import WIDE_BIAS_ROW, fused_slot
+    from pysgmcmc_tpu.samplers.sghmc import SGHMCSampler
+
+    assert fused_slot(50) == (64, 50)
+    assert fused_slot(100) == (128, WIDE_BIAS_ROW)
+    with pytest.raises(ValueError, match="up to 114"):
+        fused_slot(115)
+
+    h, n = 100, 2
+    init_fn, apply_fn = dense_network(1, units=(h, h, h))
+    params = jax.vmap(init_fn)(jax.random.split(jax.random.PRNGKey(0), n))
+    packed = pack_fused(params)
+    assert packed[0].shape == (n, 136, 128)
+    assert packed[1].shape == (n, 128, 128)
+    out = unpack_fused(packed, h)
+    for k in params:
+        np.testing.assert_array_equal(
+            np.asarray(params[k]), np.asarray(out[k]), err_msg=k)
+
+    x, y = _bnn_data()
+
+    def cost(p, batch):
+        xb, yb = batch
+        net = apply_fn(p, xb)
+        mse = jnp.square(yb - net[:, 0:1])
+        f_log_var = net[:, 1:2]
+        ll = jnp.sum(jnp.sum(
+            -mse * 0.5 / (jnp.exp(f_log_var) + 1e-16) - 0.5 * f_log_var,
+            axis=1)) / 20.0
+        from pysgmcmc_tpu.models.bayesian_neural_network import (
+            log_variance_prior_log_like,
+        )
+        ll += log_variance_prior_log_like(f_log_var) / 100.0
+        return -ll
+
+    sampler = SGHMCSampler(
+        cost, stepsize_schedule=float(np.sqrt(1e-4)), burn_in_steps=20,
+        scale_grad=100.0, gaussian_prior_scale=1e-5)
+    states = jax.vmap(sampler.init)(
+        params, jax.random.split(jax.random.PRNGKey(1), n))
+
+    from pysgmcmc_tpu.data_batches import batch_fn as make_batch_fn
+
+    select = make_batch_fn(jnp.asarray(x), jnp.asarray(y), 20)
+    states, _ = jax.vmap(
+        lambda s, k: sample_chain(
+            sampler, s, k, 1, batch_fn=select, keep_every=20,
+            collect_costs=False, phase="burn_in")
+    )(states, jax.random.split(jax.random.PRNGKey(2), n))
+
+    x_win, y_win = data_windows(x, y, 20)
+    widx = jnp.asarray([4, 61], jnp.int32)
+    x_sel, y_sel = gather_batch(x_win, y_win, widx)
+    eta = jax.vmap(normal_like_tree, in_axes=(0, 0))(
+        jax.random.split(jax.random.PRNGKey(3), n), states.position)
+
+    def ref_step(state, e, w):
+        xb = jax.lax.dynamic_slice_in_dim(jnp.asarray(x), w, 20, axis=0)
+        yb = jax.lax.dynamic_slice_in_dim(
+            jnp.asarray(y).reshape(-1), w, 20, axis=0).reshape(-1, 1)
+        return sampler.step(
+            state, jax.random.PRNGKey(0), (xb, yb), noise=e,
+            phase="sampling")[0]
+
+    ref = jax.vmap(ref_step)(states, eta, widx)
+
+    theta2, v2, cost_out = fused_bnn_step(
+        pack_fused(states.position), pack_fused(states.momentum),
+        pack_fused(states.stats.minv), x_sel, y_sel,
+        float(np.sqrt(1e-4)), 0,
+        mdecay=sampler.mdecay, scale_grad=sampler.scale_grad,
+        prior_scale=sampler.gaussian_prior_scale,
+        batch_size=20, n_data=100, block_chains=n,
+        state_dtype=jnp.float32, noise=pack_fused(eta), interpret=True,
+    )
+    got_pos = unpack_fused(theta2, h)
+    got_mom = unpack_fused(v2, h)
+    for k in got_pos:
+        np.testing.assert_allclose(
+            np.asarray(ref.position[k]), np.asarray(got_pos[k]),
+            rtol=0, atol=2e-4, err_msg="position " + k)
+        np.testing.assert_allclose(
+            np.asarray(ref.momentum[k]), np.asarray(got_mom[k]),
+            rtol=0, atol=2e-4, err_msg="momentum " + k)
+    assert np.isfinite(np.asarray(cost_out)).all()
+    # padding never moves (bias row 114; rows 101..113 and 115+ dead)
+    assert np.all(np.asarray(theta2[0])[:, 101:114, :] == 0)
+    assert np.all(np.asarray(theta2[0])[:, :128, 100:] == 0)
