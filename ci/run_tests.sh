@@ -4,7 +4,10 @@
 # only in the daily cron, the fast suite on every push).
 #
 # fast: excludes @pytest.mark.slow (statistical, KS, long-scan,
-#       interpret-mode Pallas and BNN end-to-end tests) — target <2 min.
+#       interpret-mode Pallas and BNN end-to-end tests).  Measured 4m20
+#       cold on this single-core env (down from 7m30 in round 2); the
+#       remaining tail is one-off XLA compiles spread over ~200 tests,
+#       not test workloads.  --durations=10 keeps drift visible.
 # full: the whole suite, then every example under examples/ (the analog of
 #       the reference's nbval notebook run, pysgmcmc/Makefile:10-14).
 set -euo pipefail
@@ -27,5 +30,5 @@ if [ "$MODE" = "full" ]; then
     make examples
     make figures
 else
-    python -m pytest tests/ -q -m "not slow"
+    python -m pytest tests/ -q -m "not slow" --durations=10
 fi

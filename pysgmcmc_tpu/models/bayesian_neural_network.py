@@ -202,7 +202,8 @@ class BayesianNeuralNetwork(BaseModel):
         # the gradient-based family, any architecture; ops/slim_update).
         # step_impl="fused": run the sampling phase
         # on the flash-SGHMC whole-step Pallas kernel (ops/fused_step) —
-        # measured 1.90M steps/sec/chip vs 1.48M for the pytree path on
+        # measured 2.58M steps/sec/chip (multi-step kernel via bench.py)
+        # vs 1.48M for the pytree path on
         # the 8192-chain flagship; requires network="dense", SGHMC, the
         # default 3x50 architecture, and no mesh.  The fused path draws
         # its noise from the in-kernel TPU PRNG (a different — equally
@@ -665,7 +666,7 @@ class BayesianNeuralNetwork(BaseModel):
         Burn-in runs on the (vmapped) pytree path — the adaptation
         statistics live there — and the sampling phase runs one fused
         Pallas kernel per step (:func:`pysgmcmc_tpu.parallel.packed.
-        sample_chain_fused`; measured 1.86M vs 1.48M steps/sec/chip on the
+        sample_chain_fused`; measured 2.58M vs 1.48M steps/sec/chip on the
         8192-chain flagship).  The L2 weight prior is folded analytically
         into the update (``gaussian_prior_scale`` — identical dynamics,
         pinned by ``tests/test_bench_smoke.py``'s fold-parity test), so

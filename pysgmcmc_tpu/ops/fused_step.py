@@ -91,43 +91,29 @@ def _normal_3d(shape):
     return jnp.sqrt(-2.0 * jnp.log1p(-u1)) * jnp.cos(2.0 * jnp.pi * u2)
 
 
-# real rows per 64-lane matrix slab that actually need noise: rows 0..50
-# (H=50 weights + the bias row) rounded up to the 8-sublane tile
-_ETA_MAT_ROWS = 56
-
-
 def _block_etas(c, s=None, bias_row=None):
     """(eta_w2, eta_vec, eta_w3) for one chain block, full-width draw.
 
-    Two wins over three per-slab ``_normal_3d`` calls (the round-2
-    formulation):
+    The kernel's ``(C, ., s)`` slabs with ``s = 64`` occupy only HALF of
+    each physical (8, 128)-lane f32 register, so per-slab generation
+    wastes half the VPU's transcendental throughput (the round-2
+    formulation).  One ``(C, s, 2s)`` draw runs the Box-Muller logs/trigs
+    at full lane width; the two matrix-slab etas are its two static
+    s-lane halves, and the tiny vector-rows eta is a separate draw.
 
-    - **Full vector registers.**  The kernel's ``(C, ., 64)`` slabs
-      occupy only HALF of each physical (8, 128)-lane f32 register, so
-      per-slab generation wastes half the VPU's transcendental
-      throughput.  One ``(C, 60, 128)`` draw runs the Box-Muller
-      logs/trigs at full lane width; the three eta slabs are carved out
-      of its two static 64-lane halves (static lane slices are free —
-      the dynamic-slice 128-alignment restriction does not apply).
-    - **No noise for dead rows.**  Rows 56..63 of each matrix slab are
-      pure padding (``minv == 0`` there masks any noise), so only
-      ``_ETA_MAT_ROWS`` = 56 rows per slab are generated: 120x64 normals
-      instead of the naive 136x64 for ~106x64 real parameters.
+    No masking of the dead padding rows is needed: the SGHMC update
+    multiplies noise by ``minv`` zeros there (and concatenating the
+    lane-sliced halves with fresh zeros is a Mosaic landmine anyway —
+    ``tpu.concatenate`` rejects operands whose non-concat lane OFFSETS
+    differ, which a ``[:, :, s:2s]`` slice produces).
     """
     if s is None:
         s = S
-    if bias_row is None:
-        bias_row = BIAS_ROW if s == S else WIDE_BIAS_ROW
-    mat_rows = ((bias_row + 1 + 7) // 8) * 8  # rows that need noise
-    half = mat_rows + (VEC_ROWS // 2)  # rows per 128-lane half
-    eta = _normal_3d((c, half, 2 * s))
-    a = eta[:, :, 0:s]
-    b = eta[:, :, s:2 * s]
-    zeros_pad = jnp.zeros((c, s - mat_rows, s), jnp.float32)
-    eta_w2 = jnp.concatenate([a[:, 0:mat_rows], zeros_pad], axis=1)
-    eta_w3 = jnp.concatenate([b[:, 0:mat_rows], zeros_pad], axis=1)
-    eta_vec = jnp.concatenate(
-        [a[:, mat_rows:half], b[:, mat_rows:half]], axis=1)
+    del bias_row  # dead rows are masked by minv == 0, not by the draw
+    eta = _normal_3d((c, s, 2 * s))
+    eta_w2 = eta[:, :, 0:s]
+    eta_w3 = eta[:, :, s:2 * s]
+    eta_vec = _normal_3d((c, VEC_ROWS, s))
     return eta_w2, eta_vec, eta_w3
 
 

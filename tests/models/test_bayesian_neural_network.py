@@ -231,6 +231,7 @@ def test_train_with_psgld():
     assert np.all(np.isfinite(mean))
 
 
+@pytest.mark.slow
 def test_dense_network_option_trains():
     """network='dense' (lane-friendly parameterization) trains and predicts."""
     x, y = _sinc_data()[:2]
@@ -243,6 +244,7 @@ def test_dense_network_option_trains():
     assert np.all(variance >= 0)
 
 
+@pytest.mark.slow
 def test_fused_step_impl_trains_and_validates():
     """step_impl='fused' (flash-SGHMC sampling phase) end to end on CPU.
 
@@ -263,19 +265,22 @@ def test_fused_step_impl_trains_and_validates():
     mean, variance = bnn.predict(x)
     assert np.all(np.isfinite(mean))
 
+
+def test_fused_step_impl_ctor_validation():
     with pytest.raises(ValueError, match="requires network='dense'"):
         BayesianNeuralNetwork(step_impl="fused")
-    with pytest.raises(ValueError, match="requires SGHMC"):
+    with pytest.raises(ValueError, match="supports SGHMC, SGLD and PSGLD"):
         from pysgmcmc_tpu.sampling import Sampler
 
         BayesianNeuralNetwork(
             step_impl="fused", network="dense",
-            sampling_method=Sampler.SGLD)
+            sampling_method=Sampler.RelativisticSGHMC)
     # round 3: mesh composes with the fused path (sharded kernel drivers)
     assert BayesianNeuralNetwork(
         step_impl="fused", network="dense", mesh=object()).mesh is not None
 
 
+@pytest.mark.slow
 def test_lanes_step_impl_all_samplers():
     """step_impl='lanes' trains with every gradient-based sampler."""
     from pysgmcmc_tpu.sampling import Sampler
@@ -343,3 +348,16 @@ def test_fused_step_impl_wide_hidden_width():
     with pytest.raises(ValueError, match="equal hidden widths"):
         BayesianNeuralNetwork(
             network="dense", step_impl="fused", units=(100, 50, 100))
+
+
+def test_lanes_step_impl_fast_smoke():
+    """Tiny lanes-path training smoke for the fast CI lane (the full
+    all-samplers sweep is @slow)."""
+    x, y = _sinc_data()[:2]
+    bnn = BayesianNeuralNetwork(
+        step_impl="lanes", n_chains=2, n_nets=2, n_iters=120,
+        burn_in_steps=30, sample_steps=20, seed=5, log_every=None,
+        units=(8, 8, 8))
+    bnn.train(x, y)
+    mean, _ = bnn.predict(x)
+    assert np.all(np.isfinite(mean))

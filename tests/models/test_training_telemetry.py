@@ -30,7 +30,7 @@ def _sinc_data(seed=1, n=60):
 def _train(caplog, **kwargs):
     defaults = dict(
         n_nets=3, n_iters=200, burn_in_steps=100, sample_steps=10,
-        batch_size=10, seed=3,
+        batch_size=10, seed=3, units=(8, 8, 8),
     )
     defaults.update(kwargs)
     bnn = BayesianNeuralNetwork(**defaults)
@@ -59,6 +59,7 @@ def test_burn_in_and_sampling_logs(caplog):
     assert bnn._n_collected == 3
 
 
+@pytest.mark.slow
 def test_ragged_burn_in_segments(caplog):
     """burn_in_steps not divisible by log_every -> remainder segment."""
     bnn, matches = _train(caplog, log_every=64, burn_in_steps=100)
@@ -73,6 +74,7 @@ def test_telemetry_off_is_single_scan(caplog):
     assert bnn.is_trained
 
 
+@pytest.mark.slow
 def test_multichain_telemetry(caplog):
     """Multi-chain training logs chain-mean metrics and pools samples."""
     bnn, matches = _train(
@@ -98,6 +100,7 @@ def test_log_every_validation():
         BayesianNeuralNetwork(log_every=2.5)
 
 
+@pytest.mark.slow
 def test_telemetry_deterministic(caplog):
     """Same seed + same log_every -> identical posterior samples."""
     import jax
@@ -113,6 +116,7 @@ def test_telemetry_deterministic(caplog):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_fused_path_telemetry(caplog):
     """step_impl='fused' chunks burn-in + per-sample logs like the
     pytree chunked path (kernel in interpret mode on CPU)."""

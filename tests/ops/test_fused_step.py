@@ -69,6 +69,7 @@ def test_data_windows_match_batch_fn():
         assert np.all(np.asarray(xw)[w, 7:] == 0)
 
 
+@pytest.mark.slow
 def test_fused_step_matches_pytree_step():
     """One fused step == vmapped SGHMCSampler.step (same batch + noise)."""
     n = 4
@@ -198,6 +199,7 @@ def test_fused_driver_finite_and_bookkeeping():
     assert np.isfinite(leaves).all()
 
 
+@pytest.mark.slow
 def test_multi_input_pack_roundtrip_and_step():
     """n_inputs > 1: packing round-trips and one fused step runs.
 
@@ -260,6 +262,7 @@ def _bnn_data():
     return x, y
 
 
+@pytest.mark.slow
 def test_fused_sgld_step_matches_pytree_step():
     """One fused SGLD step == vmapped SGLDSampler.step (same batch/noise)."""
     from pysgmcmc_tpu.ops.fused_step import fused_bnn_step_sgld
@@ -326,6 +329,7 @@ def test_fused_sgld_step_matches_pytree_step():
     assert np.all(np.asarray(theta2[0])[:, :64, 50:] == 0)
 
 
+@pytest.mark.slow
 def test_fused_psgld_step_matches_pytree_step():
     """One fused pSGLD step == vmapped PSGLDSampler.step (same batch/noise).
 
@@ -404,6 +408,7 @@ def test_fused_psgld_step_matches_pytree_step():
     assert np.all(np.asarray(v2[0])[:, 51:64, :] == 0)
 
 
+@pytest.mark.slow
 def test_wide_slot_pack_roundtrip_and_step():
     """H=100 routes to the 128-slot layout; pack round-trips and one
     fused SGHMC step matches the pytree step (same batch + noise)."""

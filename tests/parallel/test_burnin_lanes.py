@@ -40,9 +40,11 @@ from pysgmcmc_tpu.utils.pytree import normal_like_tree
 
 
 def _template():
+    # small leaves: bitwise parity is shape-independent, and interpret-mode
+    # pallas cost scales with elements (this is the fast CI lane)
     return {
-        "W1": jnp.zeros((1, 50)), "b1": jnp.zeros(50),
-        "W2": jnp.zeros((50, 50)), "b2": jnp.zeros(50),
+        "W1": jnp.zeros((1, 12)), "b1": jnp.zeros(12),
+        "W2": jnp.zeros((12, 12)), "b2": jnp.zeros(12),
     }
 
 
