@@ -124,3 +124,38 @@ def test_bench_dense_lanes_path_tiny():
     )(states, jax.random.PRNGKey(1))
     assert costs.shape == (4, 1)
     assert np.isfinite(np.asarray(costs)).all()
+
+
+def test_bench_multistep_path_tiny():
+    """The bench headline path (multi-step fused kernel) end to end.
+
+    Interpret mode on CPU checks the k-steps-per-launch plumbing; the
+    real kernel + quality gate run on the chip (docs/performance.md).
+    """
+    import jax.numpy as jnp
+
+    from bench import build_workload
+    from pysgmcmc_tpu.parallel.packed import sample_chain_fused
+    from pysgmcmc_tpu.samplers.base import sample_chain
+
+    sampler, positions, select_batch, (x, y) = build_workload(
+        n_chains=4, network="dense", return_data=True)
+
+    def one(position, ck):
+        k_init, k_burn = jax.random.split(ck)
+        state = sampler.init(position, k_init)
+        state, _ = sample_chain(
+            sampler, state, k_burn, 1, batch_fn=select_batch,
+            keep_every=3, collect_costs=False, phase="burn_in")
+        return state
+
+    states = jax.vmap(one)(
+        positions, jax.random.split(jax.random.PRNGKey(0), 4))
+    states, _, costs = sample_chain_fused(
+        sampler, states, jax.random.PRNGKey(1), 2, x, y,
+        batch_size=20, keep_every=2, block_chains=4,
+        state_dtype=jnp.float32, collect_positions=False,
+        multistep=True, interpret=True)
+    assert costs.shape == (4, 2)
+    assert np.isfinite(np.asarray(costs)).all()
+    assert int(states.step[0]) == 3 + 4
