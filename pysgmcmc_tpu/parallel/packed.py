@@ -52,6 +52,7 @@ from pysgmcmc_tpu.ops.slim_update import (
     slim_sghmc_update,
     slim_sghmc_update_tree,
     slim_sgld_update,
+    slim_sgnht_update,
 )
 from pysgmcmc_tpu.samplers.psgld import PSGLDSampler, PSGLDState
 from pysgmcmc_tpu.samplers.relativistic_sghmc import (
@@ -60,6 +61,7 @@ from pysgmcmc_tpu.samplers.relativistic_sghmc import (
 )
 from pysgmcmc_tpu.samplers.sghmc import SGHMCSampler, SGHMCState
 from pysgmcmc_tpu.samplers.sgld import SGLDSampler, SGLDState
+from pysgmcmc_tpu.samplers.sgnht import SGNHTSampler, SGNHTState
 
 
 class PackSpec(NamedTuple):
@@ -409,10 +411,12 @@ def sample_chain_lanes(
         kind = "psgld"
     elif isinstance(sampler, RelativisticSGHMCSampler):
         kind = "rsghmc"
+    elif isinstance(sampler, SGNHTSampler):
+        kind = "sgnht"
     else:
         raise NotImplementedError(
-            "sample_chain_lanes supports the SGHMC, SGLD, PSGLD and "
-            "RelativisticSGHMC samplers; got {!r}".format(
+            "sample_chain_lanes supports the SGHMC, SGLD, PSGLD, "
+            "RelativisticSGHMC and SGNHT samplers; got {!r}".format(
                 type(sampler).__name__)
         )
     is_sghmc = kind == "sghmc"
@@ -432,7 +436,7 @@ def sample_chain_lanes(
     # mass-matrix inverse in bf16 HBM (update arithmetic stays f32 in
     # VMEM): halves their traffic for an O(2^-8) relative rounding — far
     # below the injected sampling noise (moments pinned in tests).
-    if kind in ("sghmc", "rsghmc"):
+    if kind in ("sghmc", "rsghmc", "sgnht"):
         v = pack_lanes(spec, states.momentum, dtype=state_dtype)
     elif kind == "psgld":
         v = pack_lanes(spec, states.v, dtype=state_dtype)
@@ -442,6 +446,19 @@ def sample_chain_lanes(
         pack_lanes(spec, states.stats.minv, dtype=state_dtype)
         if kind in ("sghmc", "sgld") else None
     )
+    if kind == "sgnht":
+        # per-chain thermostat scalar on the lanes, plus the row mask /
+        # real-dim count its cross-row kinetic-energy reduction needs
+        # (padding rows random-walk under the injected noise and must not
+        # count toward p^T p)
+        xi = jnp.asarray(states.xi, jnp.float32).reshape(1, n_chains)
+        rowmask = np.zeros((spec.rows, 1), np.float32)
+        for off, size in zip(spec.offsets, spec.sizes):
+            rowmask[off:off + size] = 1.0
+        rowmask = jnp.asarray(rowmask)
+        n_dim = float(sum(spec.sizes))
+    else:
+        xi = None
 
     grad_fn = jax.vmap(
         lambda pos, batch: jax.value_and_grad(sampler.cost_fn)(pos, batch)
@@ -460,7 +477,7 @@ def sample_chain_lanes(
     step0 = jnp.max(states.step) if jnp.ndim(states.step) else states.step
 
     def one_step(carry, _):
-        theta, v, key, step = carry
+        theta, v, xi, key, step = carry
         key, key_step = jax.random.split(key)
         theta_tree = unpack_lanes(spec, theta, compute_dtype)
         if batch_fn is not None:
@@ -487,6 +504,15 @@ def sample_chain_lanes(
                 a_coef=float(a_coef), scale_grad=scale_grad,
                 prior_scale=prior_scale, interpret=interpret,
             )
+        elif backend == "pallas" and kind == "sgnht":
+            theta, v = slim_sgnht_update(
+                theta, v, grad_flat, None, xi, eps, seed,
+                a_diff=sampler.a_diff, scale_grad=scale_grad,
+                prior_scale=prior_scale, interpret=interpret,
+            )
+            sumsq = jnp.sum(
+                jnp.square(v.astype(jnp.float32) * rowmask), axis=0)
+            xi = xi + eps * (sumsq.reshape(1, n_chains) / n_dim - 1.0)
         elif backend == "pallas" and kind == "psgld":
             theta, v = slim_psgld_update(
                 theta, v, grad_flat, None, eps, seed,
@@ -539,6 +565,18 @@ def sample_chain_lanes(
                 - sampler.D * vel(p32)
             theta = theta + vel(p32)
             v = p32.astype(state_dtype)
+        elif kind == "sgnht":
+            key, key_noise = jax.random.split(key)
+            eta = jax.random.normal(key_noise, theta.shape, jnp.float32)
+            g = grad_flat.astype(jnp.float32) + prior_scale * theta
+            sigma = jnp.sqrt(jnp.maximum(
+                2.0 * sampler.a_diff * eps / scale_grad, 0.0))
+            p32 = v.astype(jnp.float32)
+            p32 = p32 - xi * eps * p32 - eps * g + sigma * eta
+            theta = theta + eps * p32
+            sumsq = jnp.sum(jnp.square(p32 * rowmask), axis=0)
+            xi = xi + eps * (sumsq.reshape(1, n_chains) / n_dim - 1.0)
+            v = p32.astype(state_dtype)
         else:
             key, key_noise = jax.random.split(key)
             eta = jax.random.normal(key_noise, theta.shape, jnp.float32)
@@ -551,15 +589,15 @@ def sample_chain_lanes(
                 eps * precond / scale_grad, 0.0))
             theta = theta - 0.5 * eps * precond * g + sigma * eta
             v = v32.astype(state_dtype)
-        return (theta, v, key, step + 1), cost
+        return (theta, v, xi, key, step + 1), cost
 
     def thinned(carry, _):
         carry, costs = jax.lax.scan(one_step, carry, None, length=keep_every)
         out = unpack_lanes(spec, carry[0]) if collect_positions else None
         return carry, (out, costs[-1])
 
-    (theta, v, _, step), (positions, costs) = jax.lax.scan(
-        thinned, (theta, v, key, step0), None, length=n_samples
+    (theta, v, xi, _, step), (positions, costs) = jax.lax.scan(
+        thinned, (theta, v, xi, key, step0), None, length=n_samples
     )
 
     if is_sghmc:
@@ -581,6 +619,14 @@ def sample_chain_lanes(
         new_states = RelativisticSGHMCState(
             position=unpack_lanes(spec, theta),
             momentum=unpack_lanes(spec, v, jnp.float32),
+            step=states.step + n_samples * keep_every,
+            schedule_state=states.schedule_state,
+        )
+    elif kind == "sgnht":
+        new_states = SGNHTState(
+            position=unpack_lanes(spec, theta),
+            momentum=unpack_lanes(spec, v, jnp.float32),
+            xi=xi.reshape(n_chains),
             step=states.step + n_samples * keep_every,
             schedule_state=states.schedule_state,
         )

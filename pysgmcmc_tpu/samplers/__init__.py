@@ -11,6 +11,7 @@ from pysgmcmc_tpu.samplers.relativistic_sghmc import (
 from pysgmcmc_tpu.samplers.psgld import PSGLDSampler, PSGLDState
 from pysgmcmc_tpu.samplers.sghmc import SGHMCSampler, SGHMCState
 from pysgmcmc_tpu.samplers.sgld import SGLDSampler, SGLDState
+from pysgmcmc_tpu.samplers.sgnht import SGNHTSampler, SGNHTState
 from pysgmcmc_tpu.samplers.svgd import SVGDSampler, SVGDState
 
 __all__ = [
@@ -28,4 +29,6 @@ __all__ = [
     "SVGDState",
     "PSGLDSampler",
     "PSGLDState",
+    "SGNHTSampler",
+    "SGNHTState",
 ]

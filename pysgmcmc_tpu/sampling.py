@@ -13,7 +13,8 @@ Differences from the reference, by design:
   TPU BNN supports all of them, including SVGD via a vmapped particle
   ensemble of networks, fixing the reference's ``svgd.py:7-10`` interface
   wart.)
-- One addition: ``PSGLD`` (RMSprop-preconditioned SGLD, Li et al. 2016).
+- Two additions: ``PSGLD`` (RMSprop-preconditioned SGLD, Li et al. 2016)
+  and ``SGNHT`` (Nosé-Hoover thermostat SGHMC, Ding et al. 2014).
 - Samplers are constructed from ``cost_fn`` + hyperparameters only; there is
   no session/graph. Initial parameters are passed to ``sampler.init``.
 """
@@ -30,6 +31,8 @@ class Sampler(Enum):
     SVGD = "SVGD"
     # beyond the reference: RMSprop-preconditioned SGLD (Li et al. 2016)
     PSGLD = "PSGLD"
+    # beyond the reference: Nosé-Hoover thermostat SGHMC (Ding et al. 2014)
+    SGNHT = "SGNHT"
 
     @staticmethod
     def is_burn_in_mcmc(sampling_method):
@@ -71,6 +74,7 @@ class Sampler(Enum):
             Sampler.RelativisticSGHMC,
             Sampler.SVGD,
             Sampler.PSGLD,
+            Sampler.SGNHT,
         )
 
     @classmethod
@@ -105,6 +109,8 @@ class Sampler(Enum):
             from pysgmcmc_tpu.samplers.svgd import SVGDSampler as sampler_cls
         elif sampling_method == cls.PSGLD:
             from pysgmcmc_tpu.samplers.psgld import PSGLDSampler as sampler_cls
+        elif sampling_method == cls.SGNHT:
+            from pysgmcmc_tpu.samplers.sgnht import SGNHTSampler as sampler_cls
         else:
             raise ValueError(
                 "sampling.Sampler.get_sampler: unknown sampling method "

@@ -232,6 +232,21 @@ def test_train_with_psgld():
 
 
 @pytest.mark.slow
+def test_train_with_sgnht():
+    """SGNHT (beyond-reference, Ding et al. 2014) trains the BNN."""
+    x_train, y_train, x_test, _ = _sinc_data()
+    bnn = _fast_bnn(
+        sampling_method=Sampler.SGNHT,
+        stepsize_schedule=1e-3,
+        burn_in_steps=0,
+        n_nets=5,
+    )
+    bnn.train(x_train, y_train)
+    mean, _ = bnn.predict(x_test)
+    assert np.all(np.isfinite(mean))
+
+
+@pytest.mark.slow
 def test_dense_network_option_trains():
     """network='dense' (lane-friendly parameterization) trains and predicts."""
     x, y = _sinc_data()[:2]
@@ -291,6 +306,7 @@ def test_lanes_step_impl_all_samplers():
         (Sampler.SGLD, {"stepsize_schedule": 1e-5}),
         (Sampler.PSGLD, {"stepsize_schedule": 1e-4}),
         (Sampler.RelativisticSGHMC, {"stepsize_schedule": 1e-3}),
+        (Sampler.SGNHT, {"stepsize_schedule": 1e-3}),
     ):
         bnn = BayesianNeuralNetwork(
             sampling_method=method, step_impl="lanes", n_chains=2,
