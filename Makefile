@@ -3,7 +3,7 @@
 
 PYTEST ?= python -m pytest
 
-.PHONY: test test-fast examples docs figures bench clean
+.PHONY: test test-fast examples docs figures bench mutation clean
 
 test:
 	$(PYTEST) tests/ -q
@@ -40,6 +40,13 @@ figures:
 
 bench:
 	python bench.py
+
+# Mutation-testing analog (the reference's cosmic-ray target was never
+# wired up, /root/reference/pysgmcmc/Makefile:26-28; this one runs):
+# curated single-line mutants of the load-bearing numerics, each of which
+# must be killed by a targeted test selection.
+mutation:
+	python ci/mutation_check.py
 
 clean:
 	find . -name __pycache__ -type d -exec rm -rf {} +

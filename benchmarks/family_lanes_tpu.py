@@ -1,4 +1,4 @@
-"""pSGLD + relativistic SGHMC on the lanes path: on-chip A/B vs pytree.
+"""pSGLD + relativistic SGHMC + SGNHT on the lanes path: on-chip A/B vs pytree.
 
 Completes the kernel-family measurement table (SGHMC and SGLD measured in
 packed_ab_tpu.py / sgld_lanes_tpu.py) on the flagship 8192-chain BNN
@@ -16,6 +16,7 @@ from pysgmcmc_tpu.parallel.packed import sample_chain_lanes
 from pysgmcmc_tpu.samplers.base import sample_chain
 from pysgmcmc_tpu.samplers.psgld import PSGLDSampler
 from pysgmcmc_tpu.samplers.relativistic_sghmc import RelativisticSGHMCSampler
+from pysgmcmc_tpu.samplers.sgnht import SGNHTSampler
 
 N_CHAINS = 8192
 STEPS = 200
@@ -74,6 +75,9 @@ def main():
     ), positions, select_batch)
     measure("RSGHMC", RelativisticSGHMCSampler(
         base.cost_fn, stepsize_schedule=1e-3,
+    ), positions, select_batch)
+    measure("SGNHT", SGNHTSampler(
+        base.cost_fn, stepsize_schedule=1e-3, scale_grad=base.scale_grad,
     ), positions, select_batch)
 
 

@@ -38,6 +38,7 @@ import pysgmcmc_tpu.samplers.psgld
 import pysgmcmc_tpu.samplers.relativistic_sghmc
 import pysgmcmc_tpu.samplers.sghmc
 import pysgmcmc_tpu.samplers.sgld
+import pysgmcmc_tpu.samplers.sgnht
 import pysgmcmc_tpu.samplers.svgd
 import pysgmcmc_tpu.sampling
 import pysgmcmc_tpu.stepsize_schedules
@@ -79,6 +80,7 @@ MODULES = [
     pysgmcmc_tpu.samplers.relativistic_sghmc,
     pysgmcmc_tpu.samplers.sghmc,
     pysgmcmc_tpu.samplers.sgld,
+    pysgmcmc_tpu.samplers.sgnht,
     pysgmcmc_tpu.samplers.svgd,
     pysgmcmc_tpu.sampling,
     pysgmcmc_tpu.stepsize_schedules,
