@@ -9,8 +9,9 @@
 #       remaining tail is one-off XLA compiles spread over ~200 tests,
 #       not test workloads — so a persistent JAX compilation cache
 #       (below) recovers most of it on every rerun (~25% per cached
-#       compile measured on the worst offender).  --durations=10 keeps
-#       drift visible.
+#       compile measured on the worst offender; measured 2m41 warm on
+#       this single-core env, inside the <3 min target).
+#       --durations=10 keeps drift visible.
 # full: the whole suite, then every example under examples/ (the analog of
 #       the reference's nbval notebook run, pysgmcmc/Makefile:10-14).
 set -euo pipefail

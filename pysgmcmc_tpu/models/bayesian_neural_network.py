@@ -242,10 +242,11 @@ class BayesianNeuralNetwork(BaseModel):
 
             fused_slot(units[0])  # validates H <= 114
             if sampling_method not in (
-                Sampler.SGHMC, Sampler.SGLD, Sampler.PSGLD,
+                Sampler.SGHMC, Sampler.SGLD, Sampler.PSGLD, Sampler.SGNHT,
             ):
                 raise ValueError(
-                    "step_impl='fused' supports SGHMC, SGLD and PSGLD")
+                    "step_impl='fused' supports SGHMC, SGLD, PSGLD and "
+                    "SGNHT")
             if get_net is not None:
                 raise ValueError(
                     "step_impl='fused' supports the dense NxH architecture "
@@ -764,9 +765,9 @@ class BayesianNeuralNetwork(BaseModel):
         def make_burn(n_steps):
             # burn-in on the fused EMA-adaptation lanes kernels
             # (parallel/packed.burnin_chain_lanes) — the whole training
-            # run stays on the kernel path; mesh-composable.  PSGLD has
-            # no burn-in machinery: early lanes-kernel steps are simply
-            # discarded.
+            # run stays on the kernel path; mesh-composable.  PSGLD and
+            # SGNHT have no burn-in machinery: early lanes-kernel steps
+            # are simply discarded.
             from pysgmcmc_tpu.parallel.packed import (
                 burnin_chain_lanes,
                 sample_chain_lanes,

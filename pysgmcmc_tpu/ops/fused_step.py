@@ -1534,3 +1534,182 @@ def fused_bnn_step_psgld(
     v_new = tuple(outs[2:4])
     cost = theta_new[0][:, (s + VEC_ROWS) - 1, 0:1]
     return theta_new, v_new, cost
+
+
+def _make_kernel_sgnht(batch_size, n_data, with_noise, block_chains,
+                       n_inputs, h, s=S, bias_row=BIAS_ROW):
+    """SGNHT whole-step kernel: fused fwd/bwd + thermostat momentum update.
+
+    Semantics of :mod:`pysgmcmc_tpu.samplers.sgnht` (Ding et al. 2014):
+    the per-chain thermostat ``xi`` rides a replicated ``(C, 128)`` lane
+    row; its update needs the masked kinetic energy ``p'^T p' / d``, a
+    per-chain reduction over all three state slabs that runs in-kernel on
+    the f32 momentum BEFORE the state-dtype cast (the padding cells are
+    zeroed by the same static validity masks as pSGLD —
+    :func:`_psgld_valid_masks` — since SGNHT has no frozen ``minv`` whose
+    zeros mask them).
+    """
+    inv_b = 1.0 / batch_size
+    inv_n = 1.0 / n_data
+    C = block_chains
+
+    def kernel(int_ref, float_ref,
+               tbig, tw3, vbig, vw3, xi_ref, xin_ref, y_ref, *rest):
+        if with_noise:
+            (nbig, nw3, obig, ow3, pbig, pw3, xi_out,
+             s_a1, s_a2, s_a3, s_gvec) = rest
+        else:
+            (obig, ow3, pbig, pw3, xi_out,
+             s_a1, s_a2, s_a3, s_gvec) = rest
+            pltpu.prng_seed(int_ref[0], pl.program_id(0))
+        eps = float_ref[0]
+        sigma = float_ref[1]
+        prior_scale = float_ref[2]
+        inv_d = float_ref[3]
+
+        brow = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD), 1)
+        bmask = (brow < batch_size).astype(jnp.float32)
+        lane3 = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD, s), 2)
+        lane2 = jax.lax.broadcasted_iota(jnp.int32, (C, s), 1)
+        mat_valid, vec_valid = _psgld_valid_masks(C, n_inputs, h, s, bias_row)
+
+        cost, g_w2, g_vec, g_w3 = _fwd_bwd(
+            tbig[:], tw3[:], xin_ref[:].astype(jnp.bfloat16), y_ref[:],
+            bmask, lane3, lane2, s_a1, s_a2, s_a3, s_gvec,
+            inv_b, inv_n, n_inputs, C, s, bias_row)
+
+        if with_noise:
+            etas = (nbig[:][:, 0:s, :], nbig[:][:, s:(s + VEC_ROWS), :], nw3[:])
+        else:
+            etas = _block_etas(C, s, bias_row)
+
+        xi3 = xi_ref[:, 0:1][:, :, None]  # (C, 1, 1) broadcast row
+
+        def _update(theta, v, grad, eta, valid):
+            v32 = v.astype(jnp.float32)
+            g = grad + prior_scale * theta
+            p_new = (v32 - xi3 * eps * v32 - eps * g + sigma * eta) * valid
+            sumsq = jnp.sum(
+                jnp.sum(p_new * p_new, axis=2, keepdims=True),
+                axis=1, keepdims=True)
+            return theta + eps * p_new, p_new, sumsq[:, 0, :]
+
+        t_new, p_new, ss_w2 = _update(
+            tbig[:, 0:s, :], vbig[:, 0:s, :], g_w2, etas[0], mat_valid)
+        obig[:, 0:s, :] = t_new
+        pbig[:, 0:s, :] = p_new.astype(pbig.dtype)
+        t_new, p_new, ss_vec = _update(
+            tbig[:, s:(s + VEC_ROWS), :], vbig[:, s:(s + VEC_ROWS), :],
+            g_vec, etas[1], vec_valid)
+        obig[:, s:(s + VEC_ROWS), :] = t_new
+        pbig[:, s:(s + VEC_ROWS), :] = p_new.astype(pbig.dtype)
+        t_new, p_new, ss_w3 = _update(tw3[:], vw3[:], g_w3, etas[2], mat_valid)
+        ow3[:] = t_new
+        pw3[:] = p_new.astype(pw3.dtype)
+
+        kinetic = (ss_w2 + ss_vec + ss_w3) * inv_d  # (C, 1)
+        xi_new = xi_ref[:, 0:1] + eps * (kinetic - 1.0)
+        xi_out[:, :] = xi_new + jnp.zeros((C, 128), jnp.float32)
+        obig[:, (s + VEC_ROWS) - 1, LANE_B4:LANE_B4 + 1] = cost
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("a_diff", "scale_grad", "prior_scale", "batch_size",
+                     "n_data", "block_chains", "state_dtype", "n_inputs",
+                     "h", "interpret"),
+)
+def fused_bnn_step_sgnht(
+    theta, v, xi, x_sel, y_sel, eps, seed,
+    a_diff=1.0, scale_grad=1.0, prior_scale=0.0,
+    batch_size=20, n_data=100, block_chains=64,
+    state_dtype=jnp.bfloat16, n_inputs=1, h=50, noise=None,
+    interpret=False,
+):
+    """One fused forward+backward+update SGNHT step (flagship BNN family).
+
+    As :func:`fused_bnn_step` but with the Nosé-Hoover thermostat update
+    of :mod:`pysgmcmc_tpu.samplers.sgnht`; ``xi`` is the per-chain
+    thermostat replicated into a ``(n_chains, 128)`` f32 lane row (read
+    back as column 0).  Returns ``(theta', v', xi', cost)``.
+    """
+    tbig, tw3 = theta
+    n_chains = tbig.shape[0]
+    if n_chains % block_chains:
+        raise ValueError(
+            "fused_bnn_step_sgnht: n_chains ({}) must be divisible by "
+            "block_chains ({})".format(n_chains, block_chains))
+    if xi.shape != (n_chains, 128):
+        raise ValueError(
+            "fused_bnn_step_sgnht: xi must be a replicated ({}, 128) "
+            "row; got {}".format(n_chains, xi.shape))
+    s = tbig.shape[2]
+    bias_row = BIAS_ROW if s == 64 else WIDE_BIAS_ROW
+    # real (unpadded) parameter count: two (h+1) x h weight slabs (biases
+    # ride the ones-lane bias row) + w1/b1/w4 vector rows + (b4, lvb)
+    n_dim = 2 * (h + 1) * h + (n_inputs + 2) * h + 2
+
+    xin = _fused_xin(x_sel, n_inputs)
+    int_scalars = jnp.asarray(seed, jnp.int32).reshape(1)
+    eps32 = jnp.asarray(eps, jnp.float32)
+    float_scalars = jnp.stack([
+        eps32,
+        jnp.sqrt(jnp.maximum(
+            2.0 * jnp.asarray(a_diff, jnp.float32) * eps32 / scale_grad,
+            0.0)),
+        jnp.asarray(prior_scale, jnp.float32),
+        jnp.asarray(1.0 / n_dim, jnp.float32),
+    ])
+
+    big_spec, mat_spec, xin_spec, y_spec = _fused_family_specs(
+        block_chains, n_inputs, xin, y_sel, s)
+    xi_spec = pl.BlockSpec(
+        (block_chains, 128), lambda i, *_: (i, 0),
+        memory_space=pltpu.VMEM)
+    state_specs = [big_spec(), mat_spec()]
+    in_specs = state_specs + state_specs + [xi_spec, xin_spec, y_spec]
+    operands = list(theta) + list(v) + [xi, xin, y_sel]
+    with_noise = noise is not None
+    if with_noise:
+        in_specs = in_specs + state_specs
+        operands = operands + list(noise)
+
+    out_shape = (
+        tuple(jax.ShapeDtypeStruct(t.shape, jnp.float32) for t in theta)
+        + tuple(jax.ShapeDtypeStruct(t.shape, state_dtype) for t in theta)
+        + (jax.ShapeDtypeStruct((n_chains, 128), jnp.float32),)
+    )
+    bbs = (block_chains, B_PAD, s)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_chains // block_chains,),
+        in_specs=in_specs,
+        out_specs=tuple(state_specs) + tuple(state_specs) + (xi_spec,),
+        scratch_shapes=[
+            pltpu.VMEM(bbs, jnp.bfloat16),
+            pltpu.VMEM(bbs, jnp.bfloat16),
+            pltpu.VMEM(bbs, jnp.bfloat16),
+            pltpu.VMEM((block_chains, VEC_ROWS, s), jnp.float32),
+        ],
+    )
+    aliases = {2: 0, 3: 1, 4: 2, 5: 3, 6: 4}
+    kernel = _make_kernel_sgnht(
+        float(batch_size), float(n_data), with_noise, block_chains,
+        n_inputs, int(h), s=s, bias_row=bias_row)
+    interpreter = pltpu.InterpretParams() if interpret else False
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpreter,
+    )(int_scalars, float_scalars, *operands)
+    theta_new = tuple(outs[0:2])
+    v_new = tuple(outs[2:4])
+    xi_new = outs[4]
+    cost = theta_new[0][:, (s + VEC_ROWS) - 1, 0:1]
+    return theta_new, v_new, xi_new, cost

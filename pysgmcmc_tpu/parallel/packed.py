@@ -670,7 +670,7 @@ def sample_chain_fused(
     per-step XLA ops are the threefry window draw and the one-hot MXU
     gather of each chain's minibatch.  Requires the dense BNN
     parameterization (:func:`pysgmcmc_tpu.models.architectures.
-    dense_network` pytrees) and an SGHMC, SGLD or pSGLD sampler whose cost
+    dense_network` pytrees) and an SGHMC, SGLD, pSGLD or SGNHT sampler whose cost
     is the reference heteroscedastic sinc-style likelihood; arbitrary
     cost functions should use :func:`sample_chain_lanes` or the pytree
     path.
@@ -705,6 +705,7 @@ def sample_chain_fused(
         fused_bnn_step,
         fused_bnn_step_psgld,
         fused_bnn_step_sgld,
+        fused_bnn_step_sgnht,
         gather_batch,
         pack_fused,
         unpack_fused,
@@ -716,10 +717,12 @@ def sample_chain_fused(
         fkind = "sgld"
     elif isinstance(sampler, PSGLDSampler):
         fkind = "psgld"
+    elif isinstance(sampler, SGNHTSampler):
+        fkind = "sgnht"
     else:
         raise NotImplementedError(
-            "sample_chain_fused supports the SGHMC, SGLD and PSGLD "
-            "samplers; got {!r}".format(type(sampler).__name__)
+            "sample_chain_fused supports the SGHMC, SGLD, PSGLD and "
+            "SGNHT samplers; got {!r}".format(type(sampler).__name__)
         )
     h = states.position["w2"].shape[-1]
     n_chains = states.position["w2"].shape[0]
@@ -739,9 +742,19 @@ def sample_chain_fused(
         v = None
         minv = tuple(
             a.astype(state_dtype) for a in pack_fused(states.stats.minv))
+    elif fkind == "sgnht":
+        v = tuple(
+            a.astype(state_dtype) for a in pack_fused(states.momentum))
+        minv = None
     else:  # psgld: the accumulator adapts every step and stays f32
         v = pack_fused(states.v)
         minv = None
+    if fkind == "sgnht":
+        # per-chain thermostat replicated into a (n_chains, 128) lane row
+        xi = jnp.asarray(states.xi, jnp.float32)[:, None] + jnp.zeros(
+            (n_chains, 128), jnp.float32)
+    else:
+        xi = None
 
     key, key_seed = jax.random.split(key)
     base_seed = _base_seed(key_seed)
@@ -753,7 +766,7 @@ def sample_chain_fused(
             "multistep supports the 1-input SGHMC flagship family only")
 
     def one_step(carry, _):
-        theta, v, key, step = carry
+        theta, v, xi, key, step = carry
         key, key_batch = jax.random.split(key)
         widx = jax.random.randint(key_batch, (n_chains,), 0, n_windows)
         x_sel, y_sel = gather_batch(x_win, y_win, widx)
@@ -777,6 +790,15 @@ def sample_chain_fused(
                 block_chains=block_chains, state_dtype=state_dtype,
                 n_inputs=n_inputs, interpret=interpret,
             )
+        elif fkind == "sgnht":
+            theta, v, xi, cost = fused_bnn_step_sgnht(
+                theta, v, xi, x_sel, y_sel, eps, seed,
+                a_diff=sampler.a_diff, scale_grad=sampler.scale_grad,
+                prior_scale=sampler.gaussian_prior_scale,
+                batch_size=batch_size, n_data=n_data,
+                block_chains=block_chains, state_dtype=state_dtype,
+                n_inputs=n_inputs, h=h, interpret=interpret,
+            )
         else:
             theta, v, cost = fused_bnn_step_psgld(
                 theta, v, x_sel, y_sel, eps, seed,
@@ -787,7 +809,7 @@ def sample_chain_fused(
                 block_chains=block_chains, state_dtype=jnp.float32,
                 n_inputs=n_inputs, h=h, interpret=interpret,
             )
-        return (theta, v, key, step + 1), cost[:, 0]
+        return (theta, v, xi, key, step + 1), cost[:, 0]
 
     def thinned(carry, _):
         carry, costs = jax.lax.scan(one_step, carry, None, length=keep_every)
@@ -804,7 +826,7 @@ def sample_chain_fused(
         # multistep=False).
         from pysgmcmc_tpu.ops.fused_step import fused_bnn_multistep
 
-        theta, v, key, step = carry
+        theta, v, xi, key, step = carry
         eps = _schedule_eps(sampler, schedule_state0, step)
         theta, v, cost = fused_bnn_multistep(
             theta, v, minv, x_win, y_win, eps,
@@ -815,13 +837,13 @@ def sample_chain_fused(
             block_chains=block_chains, state_dtype=state_dtype,
             k_steps=keep_every, interpret=interpret,
         )
-        carry = (theta, v, key, step + keep_every)
+        carry = (theta, v, xi, key, step + keep_every)
         out = unpack_fused(theta, h, n_inputs) if collect_positions else None
         return carry, (out, cost[:, 0])
 
-    (theta, v, _, step), (positions, costs) = jax.lax.scan(
+    (theta, v, xi, _, step), (positions, costs) = jax.lax.scan(
         thinned_multistep if multistep else thinned,
-        (theta, v, key, step0), None, length=n_samples
+        (theta, v, xi, key, step0), None, length=n_samples
     )
 
     if fkind == "sghmc":
@@ -839,6 +861,17 @@ def sample_chain_fused(
         new_states = SGLDState(
             position=unpack_fused(theta, h, n_inputs),
             stats=states.stats,
+            step=states.step + n_samples * keep_every,
+            schedule_state=states.schedule_state,
+        )
+    elif fkind == "sgnht":
+        new_states = SGNHTState(
+            position=unpack_fused(theta, h, n_inputs),
+            momentum=jax.tree_util.tree_map(
+                lambda l: l.astype(jnp.float32),
+                unpack_fused(v, h, n_inputs),
+            ),
+            xi=xi[:, 0],
             step=states.step + n_samples * keep_every,
             schedule_state=states.schedule_state,
         )

@@ -326,13 +326,15 @@ def test_lanes_step_impl_all_samplers():
 
 @pytest.mark.slow
 def test_fused_step_impl_sgld_and_psgld():
-    """step_impl='fused' trains with the widened family (SGLD, PSGLD)."""
+    """step_impl='fused' trains with the widened family (SGLD, PSGLD,
+    SGNHT)."""
     from pysgmcmc_tpu.sampling import Sampler
 
     x, y = _sinc_data()[:2]
     for method, kw in (
         (Sampler.SGLD, {"stepsize_schedule": 0.01}),
         (Sampler.PSGLD, {"stepsize_schedule": 1e-4}),
+        (Sampler.SGNHT, {"stepsize_schedule": 1e-3}),
     ):
         bnn = BayesianNeuralNetwork(
             network="dense", step_impl="fused", sampling_method=method,

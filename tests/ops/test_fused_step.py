@@ -501,3 +501,67 @@ def test_wide_slot_pack_roundtrip_and_step():
     # padding never moves (bias row 114; rows 101..113 and 115+ dead)
     assert np.all(np.asarray(theta2[0])[:, 101:114, :] == 0)
     assert np.all(np.asarray(theta2[0])[:, :128, 100:] == 0)
+
+
+@pytest.mark.slow
+def test_fused_sgnht_step_matches_pytree_step():
+    """One fused SGNHT step == vmapped SGNHTSampler.step (same batch/noise),
+    including the per-chain thermostat update."""
+    from pysgmcmc_tpu.ops.fused_step import fused_bnn_step_sgnht
+    from pysgmcmc_tpu.samplers.sgnht import SGNHTSampler
+
+    n = 4
+    base, positions, _ = _workload(n)
+    sampler = SGNHTSampler(
+        base.cost_fn, stepsize_schedule=1e-3,
+        scale_grad=base.scale_grad,
+        gaussian_prior_scale=base.gaussian_prior_scale)
+    x, y = _bnn_data()
+
+    states = jax.vmap(sampler.init)(
+        positions, jax.random.split(jax.random.PRNGKey(0), n))
+
+    x_win, y_win = data_windows(x, y, 20)
+    widx = jnp.asarray([0, 3, 80, 41], jnp.int32)
+    x_sel, y_sel = gather_batch(x_win, y_win, widx)
+    eta = jax.vmap(normal_like_tree, in_axes=(0, 0))(
+        jax.random.split(jax.random.PRNGKey(2), n), states.position)
+
+    def ref_step(state, e, w):
+        xb = jax.lax.dynamic_slice_in_dim(jnp.asarray(x), w, 20, axis=0)
+        yb = jax.lax.dynamic_slice_in_dim(
+            jnp.asarray(y).reshape(-1), w, 20, axis=0).reshape(-1, 1)
+        return sampler.step(
+            state, jax.random.PRNGKey(0), (xb, yb), noise=e)[0]
+
+    ref = jax.vmap(ref_step)(states, eta, widx)
+
+    xi0 = jnp.broadcast_to(
+        jnp.asarray(states.xi, jnp.float32)[:, None], (n, 128)
+    ) + jnp.zeros((n, 128), jnp.float32)
+    theta2, v2, xi2, cost = fused_bnn_step_sgnht(
+        pack_fused(states.position), pack_fused(states.momentum),
+        xi0, x_sel, y_sel, 1e-3, 0,
+        a_diff=sampler.a_diff, scale_grad=sampler.scale_grad,
+        prior_scale=sampler.gaussian_prior_scale,
+        batch_size=20, n_data=100, block_chains=n,
+        state_dtype=jnp.float32, noise=pack_fused(eta), interpret=True,
+    )
+    got_pos = unpack_fused(theta2, 50)
+    got_p = unpack_fused(v2, 50)
+    for k in got_pos:
+        np.testing.assert_allclose(
+            np.asarray(ref.position[k]), np.asarray(got_pos[k]),
+            rtol=0, atol=5e-3, err_msg="position " + k)
+        np.testing.assert_allclose(
+            np.asarray(ref.momentum[k]), np.asarray(got_p[k]),
+            rtol=0, atol=5e-3, err_msg="momentum " + k)
+    # thermostat: per-chain scalar, replicated across the lane row
+    np.testing.assert_allclose(
+        np.asarray(ref.xi), np.asarray(xi2)[:, 0], rtol=0, atol=1e-4)
+    assert np.all(np.asarray(xi2) == np.asarray(xi2)[:, 0:1])
+    assert np.isfinite(np.asarray(cost)).all()
+    # padding never moves
+    assert np.all(np.asarray(theta2[0])[:, 51:64, :] == 0)
+    assert np.all(np.asarray(theta2[0])[:, :64, 50:] == 0)
+    assert np.all(np.asarray(v2[0])[:, 51:64, :] == 0)
