@@ -243,10 +243,11 @@ class BayesianNeuralNetwork(BaseModel):
             fused_slot(units[0])  # validates H <= 114
             if sampling_method not in (
                 Sampler.SGHMC, Sampler.SGLD, Sampler.PSGLD, Sampler.SGNHT,
+                Sampler.RelativisticSGHMC,
             ):
                 raise ValueError(
-                    "step_impl='fused' supports SGHMC, SGLD, PSGLD and "
-                    "SGNHT")
+                    "step_impl='fused' supports SGHMC, SGLD, PSGLD, SGNHT "
+                    "and RelativisticSGHMC")
             if get_net is not None:
                 raise ValueError(
                     "step_impl='fused' supports the dense NxH architecture "
@@ -720,7 +721,10 @@ class BayesianNeuralNetwork(BaseModel):
             return -ll
 
         kwargs = dict(self.sampler_kwargs)
-        kwargs.setdefault("scale_grad", float(n_datapoints))
+        if self.sampling_method != Sampler.RelativisticSGHMC:
+            # RSGHMC has no minibatch noise-scaling hyperparameter
+            # (reference relativistic_sghmc.py:24-27)
+            kwargs.setdefault("scale_grad", float(n_datapoints))
         if Sampler.is_burn_in_mcmc(self.sampling_method):
             kwargs.setdefault("burn_in_steps", self.burn_in_steps)
         kwargs.setdefault("gaussian_prior_scale", prior_scale)

@@ -1713,3 +1713,164 @@ def fused_bnn_step_sgnht(
     xi_new = outs[4]
     cost = theta_new[0][:, (s + VEC_ROWS) - 1, 0:1]
     return theta_new, v_new, xi_new, cost
+
+
+def _make_kernel_rsghmc(batch_size, n_data, with_noise, block_chains,
+                        n_inputs, h, s=S, bias_row=BIAS_ROW):
+    """Relativistic SGHMC whole-step kernel (Lu et al. 2017).
+
+    Semantics of :mod:`pysgmcmc_tpu.samplers.relativistic_sghmc`: the
+    dynamics follow the log-likelihood gradient (= -cost gradient), the
+    relativistic velocity ``eps p / (m sqrt(p^2/(m^2 c^2) + 1))`` runs as
+    one rsqrt per element on the VPU, and the momentum marginal has no
+    burn-in phase.  Padding is masked by the static validity masks
+    (:func:`_psgld_valid_masks`); no cross-row reductions.
+    """
+    inv_b = 1.0 / batch_size
+    inv_n = 1.0 / n_data
+    C = block_chains
+
+    def kernel(int_ref, float_ref,
+               tbig, tw3, vbig, vw3, xin_ref, y_ref, *rest):
+        if with_noise:
+            nbig, nw3, obig, ow3, pbig, pw3, s_a1, s_a2, s_a3, s_gvec = rest
+        else:
+            obig, ow3, pbig, pw3, s_a1, s_a2, s_a3, s_gvec = rest
+            pltpu.prng_seed(int_ref[0], pl.program_id(0))
+        eps = float_ref[0]
+        noise_scale = float_ref[1]
+        prior_scale = float_ref[2]
+        inv_mc2 = float_ref[3]
+        inv_m = float_ref[4]
+        d_coef = float_ref[5]
+
+        brow = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD), 1)
+        bmask = (brow < batch_size).astype(jnp.float32)
+        lane3 = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD, s), 2)
+        lane2 = jax.lax.broadcasted_iota(jnp.int32, (C, s), 1)
+        mat_valid, vec_valid = _psgld_valid_masks(C, n_inputs, h, s, bias_row)
+
+        cost, g_w2, g_vec, g_w3 = _fwd_bwd(
+            tbig[:], tw3[:], xin_ref[:].astype(jnp.bfloat16), y_ref[:],
+            bmask, lane3, lane2, s_a1, s_a2, s_a3, s_gvec,
+            inv_b, inv_n, n_inputs, C, s, bias_row)
+
+        if with_noise:
+            etas = (nbig[:][:, 0:s, :], nbig[:][:, s:(s + VEC_ROWS), :], nw3[:])
+        else:
+            etas = _block_etas(C, s, bias_row)
+
+        def vel(p):
+            return eps * p * inv_m * jax.lax.rsqrt(p * p * inv_mc2 + 1.0)
+
+        def _update(theta, v, grad, eta, valid):
+            p = v.astype(jnp.float32)
+            loglik_g = -(grad + prior_scale * theta)
+            p_new = (p + eps * loglik_g + noise_scale * eta
+                     - d_coef * vel(p)) * valid
+            return theta + vel(p_new) * valid, p_new
+
+        t_new, p_new = _update(
+            tbig[:, 0:s, :], vbig[:, 0:s, :], g_w2, etas[0], mat_valid)
+        obig[:, 0:s, :] = t_new
+        pbig[:, 0:s, :] = p_new.astype(pbig.dtype)
+        t_new, p_new = _update(
+            tbig[:, s:(s + VEC_ROWS), :], vbig[:, s:(s + VEC_ROWS), :],
+            g_vec, etas[1], vec_valid)
+        obig[:, s:(s + VEC_ROWS), :] = t_new
+        pbig[:, s:(s + VEC_ROWS), :] = p_new.astype(pbig.dtype)
+        t_new, p_new = _update(tw3[:], vw3[:], g_w3, etas[2], mat_valid)
+        ow3[:] = t_new
+        pw3[:] = p_new.astype(pw3.dtype)
+        obig[:, (s + VEC_ROWS) - 1, LANE_B4:LANE_B4 + 1] = cost
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mass", "speed_of_light", "d_coef", "b_hat",
+                     "prior_scale", "batch_size", "n_data", "block_chains",
+                     "state_dtype", "n_inputs", "h", "interpret"),
+)
+def fused_bnn_step_rsghmc(
+    theta, v, x_sel, y_sel, eps, seed,
+    mass=1.0, speed_of_light=1.0, d_coef=1.0, b_hat=0.0, prior_scale=0.0,
+    batch_size=20, n_data=100, block_chains=64,
+    state_dtype=jnp.bfloat16, n_inputs=1, h=50, noise=None,
+    interpret=False,
+):
+    """One fused forward+backward+update relativistic-SGHMC step.
+
+    As :func:`fused_bnn_step` but with the relativistic momentum update of
+    :mod:`pysgmcmc_tpu.samplers.relativistic_sghmc` (Lu et al. 2017);
+    returns ``(theta', p', cost)``.
+    """
+    tbig, tw3 = theta
+    n_chains = tbig.shape[0]
+    if n_chains % block_chains:
+        raise ValueError(
+            "fused_bnn_step_rsghmc: n_chains ({}) must be divisible by "
+            "block_chains ({})".format(n_chains, block_chains))
+    s = tbig.shape[2]
+    bias_row = BIAS_ROW if s == 64 else WIDE_BIAS_ROW
+
+    xin = _fused_xin(x_sel, n_inputs)
+    int_scalars = jnp.asarray(seed, jnp.int32).reshape(1)
+    eps32 = jnp.asarray(eps, jnp.float32)
+    float_scalars = jnp.stack([
+        eps32,
+        jnp.sqrt(jnp.maximum(
+            eps32 * (2.0 * d_coef - eps32 * b_hat), 0.0)),
+        jnp.asarray(prior_scale, jnp.float32),
+        jnp.asarray(1.0 / (mass * mass * speed_of_light * speed_of_light),
+                    jnp.float32),
+        jnp.asarray(1.0 / mass, jnp.float32),
+        jnp.asarray(d_coef, jnp.float32),
+    ])
+
+    big_spec, mat_spec, xin_spec, y_spec = _fused_family_specs(
+        block_chains, n_inputs, xin, y_sel, s)
+    state_specs = [big_spec(), mat_spec()]
+    in_specs = state_specs + state_specs + [xin_spec, y_spec]
+    operands = list(theta) + list(v) + [xin, y_sel]
+    with_noise = noise is not None
+    if with_noise:
+        in_specs = in_specs + state_specs
+        operands = operands + list(noise)
+
+    out_shape = (
+        tuple(jax.ShapeDtypeStruct(t.shape, jnp.float32) for t in theta)
+        + tuple(jax.ShapeDtypeStruct(t.shape, state_dtype) for t in theta)
+    )
+    bbs = (block_chains, B_PAD, s)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_chains // block_chains,),
+        in_specs=in_specs,
+        out_specs=tuple(state_specs) + tuple(state_specs),
+        scratch_shapes=[
+            pltpu.VMEM(bbs, jnp.bfloat16),
+            pltpu.VMEM(bbs, jnp.bfloat16),
+            pltpu.VMEM(bbs, jnp.bfloat16),
+            pltpu.VMEM((block_chains, VEC_ROWS, s), jnp.float32),
+        ],
+    )
+    aliases = {2: 0, 3: 1, 4: 2, 5: 3}
+    kernel = _make_kernel_rsghmc(
+        float(batch_size), float(n_data), with_noise, block_chains,
+        n_inputs, int(h), s=s, bias_row=bias_row)
+    interpreter = pltpu.InterpretParams() if interpret else False
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpreter,
+    )(int_scalars, float_scalars, *operands)
+    theta_new = tuple(outs[0:2])
+    v_new = tuple(outs[2:4])
+    cost = theta_new[0][:, (s + VEC_ROWS) - 1, 0:1]
+    return theta_new, v_new, cost

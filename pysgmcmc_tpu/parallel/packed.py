@@ -670,7 +670,8 @@ def sample_chain_fused(
     per-step XLA ops are the threefry window draw and the one-hot MXU
     gather of each chain's minibatch.  Requires the dense BNN
     parameterization (:func:`pysgmcmc_tpu.models.architectures.
-    dense_network` pytrees) and an SGHMC, SGLD, pSGLD or SGNHT sampler whose cost
+    dense_network` pytrees) and an SGHMC, SGLD, pSGLD, SGNHT or
+    RelativisticSGHMC sampler whose cost
     is the reference heteroscedastic sinc-style likelihood; arbitrary
     cost functions should use :func:`sample_chain_lanes` or the pytree
     path.
@@ -704,6 +705,7 @@ def sample_chain_fused(
         data_windows,
         fused_bnn_step,
         fused_bnn_step_psgld,
+        fused_bnn_step_rsghmc,
         fused_bnn_step_sgld,
         fused_bnn_step_sgnht,
         gather_batch,
@@ -719,10 +721,13 @@ def sample_chain_fused(
         fkind = "psgld"
     elif isinstance(sampler, SGNHTSampler):
         fkind = "sgnht"
+    elif isinstance(sampler, RelativisticSGHMCSampler):
+        fkind = "rsghmc"
     else:
         raise NotImplementedError(
-            "sample_chain_fused supports the SGHMC, SGLD, PSGLD and "
-            "SGNHT samplers; got {!r}".format(type(sampler).__name__)
+            "sample_chain_fused supports the SGHMC, SGLD, PSGLD, SGNHT "
+            "and RelativisticSGHMC samplers; got {!r}".format(
+                type(sampler).__name__)
         )
     h = states.position["w2"].shape[-1]
     n_chains = states.position["w2"].shape[0]
@@ -742,7 +747,7 @@ def sample_chain_fused(
         v = None
         minv = tuple(
             a.astype(state_dtype) for a in pack_fused(states.stats.minv))
-    elif fkind == "sgnht":
+    elif fkind in ("sgnht", "rsghmc"):
         v = tuple(
             a.astype(state_dtype) for a in pack_fused(states.momentum))
         minv = None
@@ -794,6 +799,16 @@ def sample_chain_fused(
             theta, v, xi, cost = fused_bnn_step_sgnht(
                 theta, v, xi, x_sel, y_sel, eps, seed,
                 a_diff=sampler.a_diff, scale_grad=sampler.scale_grad,
+                prior_scale=sampler.gaussian_prior_scale,
+                batch_size=batch_size, n_data=n_data,
+                block_chains=block_chains, state_dtype=state_dtype,
+                n_inputs=n_inputs, h=h, interpret=interpret,
+            )
+        elif fkind == "rsghmc":
+            theta, v, cost = fused_bnn_step_rsghmc(
+                theta, v, x_sel, y_sel, eps, seed,
+                mass=sampler.mass, speed_of_light=sampler.speed_of_light,
+                d_coef=sampler.D, b_hat=sampler.Bhat,
                 prior_scale=sampler.gaussian_prior_scale,
                 batch_size=batch_size, n_data=n_data,
                 block_chains=block_chains, state_dtype=state_dtype,
@@ -872,6 +887,16 @@ def sample_chain_fused(
                 unpack_fused(v, h, n_inputs),
             ),
             xi=xi[:, 0],
+            step=states.step + n_samples * keep_every,
+            schedule_state=states.schedule_state,
+        )
+    elif fkind == "rsghmc":
+        new_states = RelativisticSGHMCState(
+            position=unpack_fused(theta, h, n_inputs),
+            momentum=jax.tree_util.tree_map(
+                lambda l: l.astype(jnp.float32),
+                unpack_fused(v, h, n_inputs),
+            ),
             step=states.step + n_samples * keep_every,
             schedule_state=states.schedule_state,
         )

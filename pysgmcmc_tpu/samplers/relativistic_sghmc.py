@@ -74,12 +74,18 @@ class RelativisticSGHMCSampler(MCMCSampler):
         D=1.0,
         Bhat=0.0,
         dtype=jnp.float32,
+        gaussian_prior_scale=0.0,
     ):
         super().__init__(cost_fn, stepsize_schedule, dtype)
         self.mass = float(mass)
         self.speed_of_light = float(speed_of_light)
         self.D = float(D)
         self.Bhat = float(Bhat)
+        # analytic isotropic-Gaussian-prior fold, as in SGHMC/SGLD/SGNHT:
+        # grad += scale * theta (cost-space) instead of differentiating
+        # the prior term — lets the fused kernel path carry the BNN's
+        # weight prior without it appearing in cost_fn
+        self.gaussian_prior_scale = float(gaussian_prior_scale)
 
     def _velocity(self, p, eps):
         """eps * p / (m * sqrt(p^2/(m^2 c^2) + 1)) (cf. ``relativistic_sghmc.py:123``)."""
@@ -106,6 +112,11 @@ class RelativisticSGHMCSampler(MCMCSampler):
         del phase
         eps = self._stepsize(state)
         cost, grads = self._cost_and_grad(state.position, batch)
+        if self.gaussian_prior_scale:
+            scale = jnp.asarray(self.gaussian_prior_scale, self.dtype)
+            grads = jax.tree_util.tree_map(
+                lambda g, theta: g + scale * theta, grads, state.position
+            )
         # The dynamics use the gradient of the log-likelihood = -cost
         # (cf. relativistic_sghmc.py:97-103).
         loglik_grads = jax.tree_util.tree_map(jnp.negative, grads)

@@ -335,6 +335,7 @@ def test_fused_step_impl_sgld_and_psgld():
         (Sampler.SGLD, {"stepsize_schedule": 0.01}),
         (Sampler.PSGLD, {"stepsize_schedule": 1e-4}),
         (Sampler.SGNHT, {"stepsize_schedule": 1e-3}),
+        (Sampler.RelativisticSGHMC, {"stepsize_schedule": 1e-3}),
     ):
         bnn = BayesianNeuralNetwork(
             network="dense", step_impl="fused", sampling_method=method,

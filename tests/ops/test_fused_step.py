@@ -565,3 +565,62 @@ def test_fused_sgnht_step_matches_pytree_step():
     assert np.all(np.asarray(theta2[0])[:, 51:64, :] == 0)
     assert np.all(np.asarray(theta2[0])[:, :64, 50:] == 0)
     assert np.all(np.asarray(v2[0])[:, 51:64, :] == 0)
+
+
+@pytest.mark.slow
+def test_fused_rsghmc_step_matches_pytree_step():
+    """One fused relativistic-SGHMC step == vmapped
+    RelativisticSGHMCSampler.step (same batch/noise)."""
+    from pysgmcmc_tpu.ops.fused_step import fused_bnn_step_rsghmc
+    from pysgmcmc_tpu.samplers.relativistic_sghmc import (
+        RelativisticSGHMCSampler,
+    )
+
+    n = 4
+    base, positions, _ = _workload(n)
+    sampler = RelativisticSGHMCSampler(
+        base.cost_fn, stepsize_schedule=1e-3,
+        gaussian_prior_scale=base.gaussian_prior_scale)
+    x, y = _bnn_data()
+
+    states = jax.vmap(sampler.init)(
+        positions, jax.random.split(jax.random.PRNGKey(0), n))
+
+    x_win, y_win = data_windows(x, y, 20)
+    widx = jnp.asarray([0, 3, 80, 41], jnp.int32)
+    x_sel, y_sel = gather_batch(x_win, y_win, widx)
+    eta = jax.vmap(normal_like_tree, in_axes=(0, 0))(
+        jax.random.split(jax.random.PRNGKey(2), n), states.position)
+
+    def ref_step(state, e, w):
+        xb = jax.lax.dynamic_slice_in_dim(jnp.asarray(x), w, 20, axis=0)
+        yb = jax.lax.dynamic_slice_in_dim(
+            jnp.asarray(y).reshape(-1), w, 20, axis=0).reshape(-1, 1)
+        return sampler.step(
+            state, jax.random.PRNGKey(0), (xb, yb), noise=e)[0]
+
+    ref = jax.vmap(ref_step)(states, eta, widx)
+
+    theta2, v2, cost = fused_bnn_step_rsghmc(
+        pack_fused(states.position), pack_fused(states.momentum),
+        x_sel, y_sel, 1e-3, 0,
+        mass=sampler.mass, speed_of_light=sampler.speed_of_light,
+        d_coef=sampler.D, b_hat=sampler.Bhat,
+        prior_scale=sampler.gaussian_prior_scale,
+        batch_size=20, n_data=100, block_chains=n,
+        state_dtype=jnp.float32, noise=pack_fused(eta), interpret=True,
+    )
+    got_pos = unpack_fused(theta2, 50)
+    got_p = unpack_fused(v2, 50)
+    for k in got_pos:
+        np.testing.assert_allclose(
+            np.asarray(ref.position[k]), np.asarray(got_pos[k]),
+            rtol=0, atol=5e-3, err_msg="position " + k)
+        np.testing.assert_allclose(
+            np.asarray(ref.momentum[k]), np.asarray(got_p[k]),
+            rtol=0, atol=5e-3, err_msg="momentum " + k)
+    assert np.isfinite(np.asarray(cost)).all()
+    # padding never moves
+    assert np.all(np.asarray(theta2[0])[:, 51:64, :] == 0)
+    assert np.all(np.asarray(theta2[0])[:, :64, 50:] == 0)
+    assert np.all(np.asarray(v2[0])[:, 51:64, :] == 0)
