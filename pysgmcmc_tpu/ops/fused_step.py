@@ -1874,3 +1874,180 @@ def fused_bnn_step_rsghmc(
     v_new = tuple(outs[2:4])
     cost = theta_new[0][:, (s + VEC_ROWS) - 1, 0:1]
     return theta_new, v_new, cost
+
+
+def _make_multistep_kernel_sgld(batch_size, n_data, block_chains,
+                                n_windows, k_steps):
+    """SGLD variant of :func:`_make_multistep_kernel`.
+
+    ``k_steps`` momentum-free SGLD updates per launch with theta resident
+    in the aliased output refs; forward/likelihood/backward shared with
+    the single-step family via :func:`_fwd_bwd` (which operates on
+    VALUES, so it reads the loop state straight from the output refs).
+    In-kernel minibatch window selection as in the SGHMC multi-step
+    kernel; 1-input flagship family only.
+    """
+    inv_b = 1.0 / batch_size
+    inv_n = 1.0 / n_data
+    C = block_chains
+
+    def kernel(int_ref, float_ref,
+               tbig, tw3, mbig, mw3, xw_ref, yw_ref,
+               obig, ow3,
+               s_a1, s_a2, s_a3, s_gvec):
+        pltpu.prng_seed(int_ref[0], pl.program_id(0))
+        eps = float_ref[0]
+        a_coef = float_ref[1]
+        a_over_sg = float_ref[2]
+        prior_scale = float_ref[3]
+
+        obig[:] = tbig[:]
+        ow3[:] = tw3[:]
+
+        brow = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD), 1)
+        bmask = (brow < batch_size).astype(jnp.float32)
+        lane3 = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD, S), 2)
+        lane2 = jax.lax.broadcasted_iota(jnp.int32, (C, S), 1)
+        win_iota = jax.lax.broadcasted_iota(jnp.int32, (C, n_windows), 1)
+
+        def body(t, carry):
+            # ---- in-kernel minibatch selection ----
+            u = _uniform_3d((C, 8))[:, 0:1]
+            widx = jnp.clip(
+                (u * n_windows).astype(jnp.int32), 0, n_windows - 1)
+            onehot = (win_iota == widx).astype(jnp.float32)
+            x_sel = jax.lax.dot_general(
+                onehot, xw_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            y = jax.lax.dot_general(
+                onehot, yw_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            xin_bf = jnp.stack(
+                [x_sel, jnp.ones_like(x_sel)], axis=2).astype(jnp.bfloat16)
+
+            cost, g_w2, g_vec, g_w3 = _fwd_bwd(
+                obig[:], ow3[:], xin_bf, y,
+                bmask, lane3, lane2, s_a1, s_a2, s_a3, s_gvec,
+                inv_b, inv_n, 1, C, S, BIAS_ROW)
+
+            etas = _block_etas(C)
+
+            def _update(theta, minv, grad, eta):
+                minv = minv.astype(jnp.float32)
+                g = grad + prior_scale * theta
+                sigma = jnp.sqrt(jnp.maximum(
+                    2.0 * eps * minv * a_over_sg, 0.0))
+                delta = -eps * minv * a_coef * g + sigma * eta
+                return theta + jnp.where(minv > 0.0, delta, 0.0)
+
+            obig[:, 0:S, :] = _update(
+                obig[:, 0:S, :], mbig[:, 0:S, :], g_w2, etas[0])
+            obig[:, S:BIG_ROWS, :] = _update(
+                obig[:, S:BIG_ROWS, :], mbig[:, S:BIG_ROWS, :],
+                g_vec, etas[1])
+            ow3[:] = _update(ow3[:], mw3[:], g_w3, etas[2])
+            obig[:, BIG_ROWS - 1, LANE_B4:LANE_B4 + 1] = cost
+            return carry
+
+        jax.lax.fori_loop(0, k_steps, body, 0)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("a_coef", "scale_grad", "prior_scale", "batch_size",
+                     "n_data", "block_chains", "k_steps", "interpret"),
+)
+def fused_bnn_multistep_sgld(
+    theta, minv, x_win, y_win, eps, seed,
+    a_coef=1.0, scale_grad=1.0, prior_scale=0.0,
+    batch_size=20, n_data=100, block_chains=32,
+    k_steps=1, interpret=False,
+):
+    """``k_steps`` fused SGLD steps in ONE kernel launch, VMEM-resident.
+
+    As :func:`fused_bnn_multistep` but with the momentum-free SGLD
+    update; returns ``(theta', cost)`` (cost of the final step).
+    1-input flagship family only.
+    """
+    tbig, tw3 = theta
+    n_chains = tbig.shape[0]
+    if tbig.shape[2] != S:
+        raise ValueError(
+            "fused_bnn_multistep_sgld supports the 64-slot flagship "
+            "layout only (H <= 50)")
+    if n_chains % block_chains:
+        raise ValueError(
+            "fused_bnn_multistep_sgld: n_chains ({}) must be divisible "
+            "by block_chains ({})".format(n_chains, block_chains))
+    n_windows = x_win.shape[0]
+    if x_win.ndim != 2:
+        raise ValueError(
+            "fused_bnn_multistep_sgld supports the 1-input flagship "
+            "family (x_win of shape (n_windows, B_PAD)); got shape "
+            "{}".format(x_win.shape))
+
+    eps32 = jnp.asarray(eps, jnp.float32)
+    int_scalars = jnp.asarray(seed, jnp.int32).reshape(1)
+    float_scalars = jnp.stack([
+        eps32,
+        jnp.asarray(a_coef, jnp.float32),
+        jnp.asarray(a_coef / scale_grad, jnp.float32),
+        jnp.asarray(prior_scale, jnp.float32),
+    ])
+
+    def mat_spec():
+        return pl.BlockSpec((block_chains, S, S), lambda i, *_: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def big_spec():
+        return pl.BlockSpec(
+            (block_chains, BIG_ROWS, S), lambda i, *_: (i, 0, 0),
+            memory_space=pltpu.VMEM)
+
+    def table_spec(arr):
+        return pl.BlockSpec(
+            tuple(arr.shape), lambda i, *_: (0,) * arr.ndim,
+            memory_space=pltpu.VMEM)
+
+    state_specs = [big_spec(), mat_spec()]
+    in_specs = (
+        state_specs + state_specs
+        + [table_spec(x_win), table_spec(y_win)]
+    )
+    operands = list(theta) + list(minv) + [
+        jnp.asarray(x_win, jnp.float32), jnp.asarray(y_win, jnp.float32)]
+
+    out_shape = tuple(
+        jax.ShapeDtypeStruct(t.shape, jnp.float32) for t in theta)
+
+    bbs = (block_chains, B_PAD, S)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_chains // block_chains,),
+        in_specs=in_specs,
+        out_specs=tuple(state_specs),
+        scratch_shapes=[
+            pltpu.VMEM(bbs, jnp.bfloat16),
+            pltpu.VMEM(bbs, jnp.bfloat16),
+            pltpu.VMEM(bbs, jnp.bfloat16),
+            pltpu.VMEM((block_chains, VEC_ROWS, S), jnp.float32),
+        ],
+    )
+    kernel = _make_multistep_kernel_sgld(
+        float(batch_size), float(n_data), block_chains, n_windows,
+        int(k_steps))
+    interpreter = pltpu.InterpretParams() if interpret else False
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        input_output_aliases={2: 0, 3: 1},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpreter,
+    )(int_scalars, float_scalars, *operands)
+    theta_new = tuple(outs[0:2])
+    cost = theta_new[0][:, BIG_ROWS - 1, 0:1]
+    return theta_new, cost

@@ -766,9 +766,10 @@ def sample_chain_fused(
     schedule_state0 = _shared_schedule_state(states, "sample_chain_fused")
     step0 = jnp.max(states.step) if jnp.ndim(states.step) else states.step
 
-    if multistep and (n_inputs != 1 or fkind != "sghmc"):
+    if multistep and (n_inputs != 1 or fkind not in ("sghmc", "sgld")):
         raise ValueError(
-            "multistep supports the 1-input SGHMC flagship family only")
+            "multistep supports the 1-input SGHMC/SGLD flagship family "
+            "only")
 
     def one_step(carry, _):
         theta, v, xi, key, step = carry
@@ -839,19 +840,33 @@ def sample_chain_fused(
         # costs[-1].  The stepsize is evaluated once per segment (exact
         # for constant schedules; step-varying schedules should use
         # multistep=False).
-        from pysgmcmc_tpu.ops.fused_step import fused_bnn_multistep
+        from pysgmcmc_tpu.ops.fused_step import (
+            fused_bnn_multistep,
+            fused_bnn_multistep_sgld,
+        )
 
         theta, v, xi, key, step = carry
         eps = _schedule_eps(sampler, schedule_state0, step)
-        theta, v, cost = fused_bnn_multistep(
-            theta, v, minv, x_win, y_win, eps,
-            base_seed + step.astype(jnp.int32),
-            mdecay=sampler.mdecay, scale_grad=sampler.scale_grad,
-            prior_scale=sampler.gaussian_prior_scale,
-            batch_size=batch_size, n_data=n_data,
-            block_chains=block_chains, state_dtype=state_dtype,
-            k_steps=keep_every, interpret=interpret,
-        )
+        if fkind == "sghmc":
+            theta, v, cost = fused_bnn_multistep(
+                theta, v, minv, x_win, y_win, eps,
+                base_seed + step.astype(jnp.int32),
+                mdecay=sampler.mdecay, scale_grad=sampler.scale_grad,
+                prior_scale=sampler.gaussian_prior_scale,
+                batch_size=batch_size, n_data=n_data,
+                block_chains=block_chains, state_dtype=state_dtype,
+                k_steps=keep_every, interpret=interpret,
+            )
+        else:
+            theta, cost = fused_bnn_multistep_sgld(
+                theta, minv, x_win, y_win, eps,
+                base_seed + step.astype(jnp.int32),
+                a_coef=float(sampler.A), scale_grad=sampler.scale_grad,
+                prior_scale=sampler.gaussian_prior_scale,
+                batch_size=batch_size, n_data=n_data,
+                block_chains=block_chains,
+                k_steps=keep_every, interpret=interpret,
+            )
         carry = (theta, v, xi, key, step + keep_every)
         out = unpack_fused(theta, h, n_inputs) if collect_positions else None
         return carry, (out, cost[:, 0])

@@ -284,12 +284,12 @@ def test_fused_step_impl_trains_and_validates():
 def test_fused_step_impl_ctor_validation():
     with pytest.raises(ValueError, match="requires network='dense'"):
         BayesianNeuralNetwork(step_impl="fused")
-    with pytest.raises(ValueError, match="supports SGHMC, SGLD and PSGLD"):
+    with pytest.raises(ValueError, match="step_impl='fused' supports"):
         from pysgmcmc_tpu.sampling import Sampler
 
         BayesianNeuralNetwork(
             step_impl="fused", network="dense",
-            sampling_method=Sampler.RelativisticSGHMC)
+            sampling_method=Sampler.SVGD)
     # round 3: mesh composes with the fused path (sharded kernel drivers)
     assert BayesianNeuralNetwork(
         step_impl="fused", network="dense", mesh=object()).mesh is not None

@@ -624,3 +624,58 @@ def test_fused_rsghmc_step_matches_pytree_step():
     assert np.all(np.asarray(theta2[0])[:, 51:64, :] == 0)
     assert np.all(np.asarray(theta2[0])[:, :64, 50:] == 0)
     assert np.all(np.asarray(v2[0])[:, 51:64, :] == 0)
+
+
+@pytest.mark.slow
+def test_fused_driver_sgnht_and_rsghmc():
+    """sample_chain_fused runs the SGNHT and RSGHMC kinds end to end
+    (interpret mode): bookkeeping, state threading (incl. the SGNHT
+    thermostat in the scan carry), and mesh composition."""
+    from pysgmcmc_tpu.parallel.mesh import chain_mesh
+    from pysgmcmc_tpu.parallel.packed import sample_chain_fused
+    from pysgmcmc_tpu.samplers.relativistic_sghmc import (
+        RelativisticSGHMCSampler,
+    )
+    from pysgmcmc_tpu.samplers.sgnht import SGNHTSampler
+
+    n = 4
+    base, positions, _ = _workload(n)
+    rng = np.random.RandomState(0)
+    x = rng.uniform(0.0, 1.0, (100, 1)).astype(np.float32)
+    from pysgmcmc_tpu.diagnostics.objective_functions import sinc
+
+    y = np.asarray(sinc(x), np.float32)
+
+    for sampler in (
+        SGNHTSampler(
+            base.cost_fn, stepsize_schedule=1e-3,
+            scale_grad=base.scale_grad,
+            gaussian_prior_scale=base.gaussian_prior_scale),
+        RelativisticSGHMCSampler(
+            base.cost_fn, stepsize_schedule=1e-3,
+            gaussian_prior_scale=base.gaussian_prior_scale),
+    ):
+        states = jax.vmap(sampler.init)(
+            positions, jax.random.split(jax.random.PRNGKey(0), n))
+        out_states, pos, costs = sample_chain_fused(
+            sampler, states, jax.random.PRNGKey(2), 3, x, y,
+            batch_size=20, keep_every=2, block_chains=n,
+            state_dtype=jnp.float32, interpret=True,
+        )
+        name = type(sampler).__name__
+        assert costs.shape == (n, 3), name
+        assert np.isfinite(np.asarray(costs)).all(), name
+        assert pos["w2"].shape == (n, 3, 50, 50), name
+        assert int(out_states.step[0]) == 6, name
+        if isinstance(sampler, SGNHTSampler):
+            xi = np.asarray(out_states.xi)
+            assert xi.shape == (n,) and np.isfinite(xi).all()
+            # the thermostat moved off its initial value
+            assert np.any(xi != sampler.a_diff)
+        # mesh composition: same call sharded over 2 virtual devices
+        _, _, costs_mesh = sample_chain_fused(
+            sampler, states, jax.random.PRNGKey(2), 3, x, y,
+            batch_size=20, keep_every=2, block_chains=2,
+            state_dtype=jnp.float32, interpret=True, mesh=chain_mesh(2),
+        )
+        assert np.isfinite(np.asarray(costs_mesh)).all(), name

@@ -159,3 +159,43 @@ def test_bench_multistep_path_tiny():
     assert costs.shape == (4, 2)
     assert np.isfinite(np.asarray(costs)).all()
     assert int(states.step[0]) == 3 + 4
+
+
+def test_multistep_sgld_path_tiny():
+    """The SGLD multi-step fused kernel end to end (interpret mode)."""
+    import jax.numpy as jnp
+
+    from bench import build_workload
+    from pysgmcmc_tpu.parallel.packed import sample_chain_fused
+    from pysgmcmc_tpu.samplers.base import sample_chain
+    from pysgmcmc_tpu.samplers.sgld import SGLDSampler
+
+    base, positions, select_batch, (x, y) = build_workload(
+        n_chains=4, network="dense", return_data=True)
+    sampler = SGLDSampler(
+        base.cost_fn, stepsize_schedule=0.01, burn_in_steps=3,
+        scale_grad=base.scale_grad,
+        gaussian_prior_scale=base.gaussian_prior_scale)
+
+    def one(position, ck):
+        k_init, k_burn = jax.random.split(ck)
+        state = sampler.init(position, k_init)
+        state, _ = sample_chain(
+            sampler, state, k_burn, 1, batch_fn=select_batch,
+            keep_every=3, collect_costs=False, phase="burn_in")
+        return state
+
+    states = jax.vmap(one)(
+        positions, jax.random.split(jax.random.PRNGKey(0), 4))
+    states, _, costs = sample_chain_fused(
+        sampler, states, jax.random.PRNGKey(1), 2, x, y,
+        batch_size=20, keep_every=2, block_chains=4,
+        state_dtype=jnp.float32, collect_positions=False,
+        multistep=True, interpret=True)
+    assert costs.shape == (4, 2)
+    assert np.isfinite(np.asarray(costs)).all()
+    assert int(states.step[0]) == 3 + 4
+    leaves = np.concatenate([
+        np.asarray(l).ravel()
+        for l in jax.tree_util.tree_leaves(states.position)])
+    assert np.isfinite(leaves).all()
