@@ -2051,3 +2051,216 @@ def fused_bnn_multistep_sgld(
     theta_new = tuple(outs[0:2])
     cost = theta_new[0][:, BIG_ROWS - 1, 0:1]
     return theta_new, cost
+
+
+def _make_multistep_kernel_sgnht(batch_size, n_data, block_chains,
+                                 n_windows, k_steps, h):
+    """SGNHT variant of :func:`_make_multistep_kernel`.
+
+    The thermostat rides the aliased ``(C, 128)`` xi output ref for the
+    whole k-step loop alongside the theta/momentum slabs — all state
+    VMEM-resident; its per-chain kinetic-energy reduction runs every
+    iteration on the f32 momentum before the state-dtype cast.  Masking
+    via the static validity masks (:func:`_psgld_valid_masks`);
+    forward/likelihood/backward shared via :func:`_fwd_bwd`.  1-input
+    flagship family only.
+    """
+    inv_b = 1.0 / batch_size
+    inv_n = 1.0 / n_data
+    C = block_chains
+
+    def kernel(int_ref, float_ref,
+               tbig, tw3, vbig, vw3, xi_ref, xw_ref, yw_ref,
+               obig, ow3, pbig, pw3, xi_out,
+               s_a1, s_a2, s_a3, s_gvec):
+        pltpu.prng_seed(int_ref[0], pl.program_id(0))
+        eps = float_ref[0]
+        sigma = float_ref[1]
+        prior_scale = float_ref[2]
+        inv_d = float_ref[3]
+
+        obig[:] = tbig[:]
+        ow3[:] = tw3[:]
+        pbig[:] = vbig[:]
+        pw3[:] = vw3[:]
+        xi_out[:] = xi_ref[:]
+
+        brow = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD), 1)
+        bmask = (brow < batch_size).astype(jnp.float32)
+        lane3 = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD, S), 2)
+        lane2 = jax.lax.broadcasted_iota(jnp.int32, (C, S), 1)
+        win_iota = jax.lax.broadcasted_iota(jnp.int32, (C, n_windows), 1)
+        mat_valid, vec_valid = _psgld_valid_masks(C, 1, h, S, BIAS_ROW)
+
+        def body(t, carry):
+            u = _uniform_3d((C, 8))[:, 0:1]
+            widx = jnp.clip(
+                (u * n_windows).astype(jnp.int32), 0, n_windows - 1)
+            onehot = (win_iota == widx).astype(jnp.float32)
+            x_sel = jax.lax.dot_general(
+                onehot, xw_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            y = jax.lax.dot_general(
+                onehot, yw_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            xin_bf = jnp.stack(
+                [x_sel, jnp.ones_like(x_sel)], axis=2).astype(jnp.bfloat16)
+
+            cost, g_w2, g_vec, g_w3 = _fwd_bwd(
+                obig[:], ow3[:], xin_bf, y,
+                bmask, lane3, lane2, s_a1, s_a2, s_a3, s_gvec,
+                inv_b, inv_n, 1, C, S, BIAS_ROW)
+
+            etas = _block_etas(C)
+            xi3 = xi_out[:, 0:1][:, :, None]
+
+            def _update(theta, v, grad, eta, valid):
+                v32 = v.astype(jnp.float32)
+                g = grad + prior_scale * theta
+                p_new = (v32 - xi3 * eps * v32 - eps * g
+                         + sigma * eta) * valid
+                sumsq = jnp.sum(
+                    jnp.sum(p_new * p_new, axis=2, keepdims=True),
+                    axis=1, keepdims=True)
+                return theta + eps * p_new, p_new, sumsq[:, 0, :]
+
+            t_new, p_new, ss_w2 = _update(
+                obig[:, 0:S, :], pbig[:, 0:S, :], g_w2, etas[0], mat_valid)
+            obig[:, 0:S, :] = t_new
+            pbig[:, 0:S, :] = p_new.astype(pbig.dtype)
+            t_new, p_new, ss_vec = _update(
+                obig[:, S:BIG_ROWS, :], pbig[:, S:BIG_ROWS, :],
+                g_vec, etas[1], vec_valid)
+            obig[:, S:BIG_ROWS, :] = t_new
+            pbig[:, S:BIG_ROWS, :] = p_new.astype(pbig.dtype)
+            t_new, p_new, ss_w3 = _update(
+                ow3[:], pw3[:], g_w3, etas[2], mat_valid)
+            ow3[:] = t_new
+            pw3[:] = p_new.astype(pw3.dtype)
+
+            kinetic = (ss_w2 + ss_vec + ss_w3) * inv_d
+            xi_new = xi_out[:, 0:1] + eps * (kinetic - 1.0)
+            xi_out[:, :] = xi_new + jnp.zeros((C, 128), jnp.float32)
+            obig[:, BIG_ROWS - 1, LANE_B4:LANE_B4 + 1] = cost
+            return carry
+
+        jax.lax.fori_loop(0, k_steps, body, 0)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("a_diff", "scale_grad", "prior_scale", "batch_size",
+                     "n_data", "block_chains", "state_dtype", "k_steps",
+                     "h", "interpret"),
+)
+def fused_bnn_multistep_sgnht(
+    theta, v, xi, x_win, y_win, eps, seed,
+    a_diff=1.0, scale_grad=1.0, prior_scale=0.0,
+    batch_size=20, n_data=100, block_chains=32,
+    state_dtype=jnp.bfloat16, k_steps=1, h=50, interpret=False,
+):
+    """``k_steps`` fused SGNHT steps in ONE kernel launch, VMEM-resident.
+
+    As :func:`fused_bnn_multistep` but with the Nosé-Hoover thermostat
+    update; ``xi`` as in :func:`fused_bnn_step_sgnht`.  Returns
+    ``(theta', v', xi', cost)``.  1-input flagship family only.
+    """
+    tbig, tw3 = theta
+    n_chains = tbig.shape[0]
+    if tbig.shape[2] != S:
+        raise ValueError(
+            "fused_bnn_multistep_sgnht supports the 64-slot flagship "
+            "layout only (H <= 50)")
+    if n_chains % block_chains:
+        raise ValueError(
+            "fused_bnn_multistep_sgnht: n_chains ({}) must be divisible "
+            "by block_chains ({})".format(n_chains, block_chains))
+    if xi.shape != (n_chains, 128):
+        raise ValueError(
+            "fused_bnn_multistep_sgnht: xi must be a replicated "
+            "({}, 128) row; got {}".format(n_chains, xi.shape))
+    n_windows = x_win.shape[0]
+    if x_win.ndim != 2:
+        raise ValueError(
+            "fused_bnn_multistep_sgnht supports the 1-input flagship "
+            "family (x_win of shape (n_windows, B_PAD)); got shape "
+            "{}".format(x_win.shape))
+    n_dim = 2 * (h + 1) * h + 3 * h + 2
+
+    eps32 = jnp.asarray(eps, jnp.float32)
+    int_scalars = jnp.asarray(seed, jnp.int32).reshape(1)
+    float_scalars = jnp.stack([
+        eps32,
+        jnp.sqrt(jnp.maximum(
+            2.0 * jnp.asarray(a_diff, jnp.float32) * eps32 / scale_grad,
+            0.0)),
+        jnp.asarray(prior_scale, jnp.float32),
+        jnp.asarray(1.0 / n_dim, jnp.float32),
+    ])
+
+    def mat_spec():
+        return pl.BlockSpec((block_chains, S, S), lambda i, *_: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def big_spec():
+        return pl.BlockSpec(
+            (block_chains, BIG_ROWS, S), lambda i, *_: (i, 0, 0),
+            memory_space=pltpu.VMEM)
+
+    def table_spec(arr):
+        return pl.BlockSpec(
+            tuple(arr.shape), lambda i, *_: (0,) * arr.ndim,
+            memory_space=pltpu.VMEM)
+
+    xi_spec = pl.BlockSpec(
+        (block_chains, 128), lambda i, *_: (i, 0),
+        memory_space=pltpu.VMEM)
+    state_specs = [big_spec(), mat_spec()]
+    in_specs = (
+        state_specs + state_specs + [xi_spec]
+        + [table_spec(x_win), table_spec(y_win)]
+    )
+    operands = list(theta) + list(v) + [xi] + [
+        jnp.asarray(x_win, jnp.float32), jnp.asarray(y_win, jnp.float32)]
+
+    out_shape = (
+        tuple(jax.ShapeDtypeStruct(t.shape, jnp.float32) for t in theta)
+        + tuple(jax.ShapeDtypeStruct(t.shape, state_dtype) for t in theta)
+        + (jax.ShapeDtypeStruct((n_chains, 128), jnp.float32),)
+    )
+    out_specs = tuple(state_specs) + tuple(state_specs) + (xi_spec,)
+
+    bbs = (block_chains, B_PAD, S)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_chains // block_chains,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM(bbs, jnp.bfloat16),
+            pltpu.VMEM(bbs, jnp.bfloat16),
+            pltpu.VMEM(bbs, jnp.bfloat16),
+            pltpu.VMEM((block_chains, VEC_ROWS, S), jnp.float32),
+        ],
+    )
+    aliases = {2: 0, 3: 1, 4: 2, 5: 3, 6: 4}
+    kernel = _make_multistep_kernel_sgnht(
+        float(batch_size), float(n_data), block_chains, n_windows,
+        int(k_steps), int(h))
+    interpreter = pltpu.InterpretParams() if interpret else False
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpreter,
+    )(int_scalars, float_scalars, *operands)
+    theta_new = tuple(outs[0:2])
+    v_new = tuple(outs[2:4])
+    xi_new = outs[4]
+    cost = theta_new[0][:, BIG_ROWS - 1, 0:1]
+    return theta_new, v_new, xi_new, cost

@@ -766,10 +766,12 @@ def sample_chain_fused(
     schedule_state0 = _shared_schedule_state(states, "sample_chain_fused")
     step0 = jnp.max(states.step) if jnp.ndim(states.step) else states.step
 
-    if multistep and (n_inputs != 1 or fkind not in ("sghmc", "sgld")):
+    if multistep and (
+        n_inputs != 1 or fkind not in ("sghmc", "sgld", "sgnht")
+    ):
         raise ValueError(
-            "multistep supports the 1-input SGHMC/SGLD flagship family "
-            "only")
+            "multistep supports the 1-input SGHMC/SGLD/SGNHT flagship "
+            "family only")
 
     def one_step(carry, _):
         theta, v, xi, key, step = carry
@@ -843,6 +845,7 @@ def sample_chain_fused(
         from pysgmcmc_tpu.ops.fused_step import (
             fused_bnn_multistep,
             fused_bnn_multistep_sgld,
+            fused_bnn_multistep_sgnht,
         )
 
         theta, v, xi, key, step = carry
@@ -856,6 +859,16 @@ def sample_chain_fused(
                 batch_size=batch_size, n_data=n_data,
                 block_chains=block_chains, state_dtype=state_dtype,
                 k_steps=keep_every, interpret=interpret,
+            )
+        elif fkind == "sgnht":
+            theta, v, xi, cost = fused_bnn_multistep_sgnht(
+                theta, v, xi, x_win, y_win, eps,
+                base_seed + step.astype(jnp.int32),
+                a_diff=sampler.a_diff, scale_grad=sampler.scale_grad,
+                prior_scale=sampler.gaussian_prior_scale,
+                batch_size=batch_size, n_data=n_data,
+                block_chains=block_chains, state_dtype=state_dtype,
+                k_steps=keep_every, h=h, interpret=interpret,
             )
         else:
             theta, cost = fused_bnn_multistep_sgld(

@@ -199,3 +199,36 @@ def test_multistep_sgld_path_tiny():
         np.asarray(l).ravel()
         for l in jax.tree_util.tree_leaves(states.position)])
     assert np.isfinite(leaves).all()
+
+
+def test_multistep_sgnht_path_tiny():
+    """The SGNHT multi-step fused kernel end to end (interpret mode),
+    including the VMEM-resident thermostat threading."""
+    import jax.numpy as jnp
+
+    from bench import build_workload
+    from pysgmcmc_tpu.parallel.packed import sample_chain_fused
+    from pysgmcmc_tpu.samplers.sgnht import SGNHTSampler
+
+    base, positions, _ = build_workload(n_chains=4, network="dense")
+    sampler = SGNHTSampler(
+        base.cost_fn, stepsize_schedule=1e-3,
+        scale_grad=base.scale_grad,
+        gaussian_prior_scale=base.gaussian_prior_scale)
+
+    x = np.random.RandomState(0).uniform(0, 1, (100, 1)).astype(np.float32)
+    from pysgmcmc_tpu.diagnostics.objective_functions import sinc
+
+    y = np.asarray(sinc(x), np.float32)
+    states = jax.vmap(sampler.init)(
+        positions, jax.random.split(jax.random.PRNGKey(0), 4))
+    states, _, costs = sample_chain_fused(
+        sampler, states, jax.random.PRNGKey(1), 2, x, y,
+        batch_size=20, keep_every=2, block_chains=4,
+        state_dtype=jnp.float32, collect_positions=False,
+        multistep=True, interpret=True)
+    assert costs.shape == (4, 2)
+    assert np.isfinite(np.asarray(costs)).all()
+    assert int(states.step[0]) == 4
+    xi = np.asarray(states.xi)
+    assert xi.shape == (4,) and np.isfinite(xi).all()
