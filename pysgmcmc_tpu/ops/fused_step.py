@@ -2264,3 +2264,348 @@ def fused_bnn_multistep_sgnht(
     xi_new = outs[4]
     cost = theta_new[0][:, BIG_ROWS - 1, 0:1]
     return theta_new, v_new, xi_new, cost
+
+
+def _make_multistep_kernel_psgld(batch_size, n_data, block_chains,
+                                 n_windows, k_steps, h):
+    """pSGLD variant of :func:`_make_multistep_kernel`.
+
+    The RMSprop preconditioner accumulator rides the aliased f32 output
+    refs across the k-step loop (it adapts every step — pSGLD has no
+    frozen phase); masking and fwd/bwd as in the SGNHT multi-step
+    kernel.  1-input flagship family only.
+    """
+    inv_b = 1.0 / batch_size
+    inv_n = 1.0 / n_data
+    C = block_chains
+
+    def kernel(int_ref, float_ref,
+               tbig, tw3, vbig, vw3, xw_ref, yw_ref,
+               obig, ow3, pbig, pw3,
+               s_a1, s_a2, s_a3, s_gvec):
+        pltpu.prng_seed(int_ref[0], pl.program_id(0))
+        eps = float_ref[0]
+        alpha = float_ref[1]
+        lam = float_ref[2]
+        inv_sg = float_ref[3]
+        prior_scale = float_ref[4]
+
+        obig[:] = tbig[:]
+        ow3[:] = tw3[:]
+        pbig[:] = vbig[:]
+        pw3[:] = vw3[:]
+
+        brow = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD), 1)
+        bmask = (brow < batch_size).astype(jnp.float32)
+        lane3 = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD, S), 2)
+        lane2 = jax.lax.broadcasted_iota(jnp.int32, (C, S), 1)
+        win_iota = jax.lax.broadcasted_iota(jnp.int32, (C, n_windows), 1)
+        mat_valid, vec_valid = _psgld_valid_masks(C, 1, h, S, BIAS_ROW)
+
+        def body(t, carry):
+            u = _uniform_3d((C, 8))[:, 0:1]
+            widx = jnp.clip(
+                (u * n_windows).astype(jnp.int32), 0, n_windows - 1)
+            onehot = (win_iota == widx).astype(jnp.float32)
+            x_sel = jax.lax.dot_general(
+                onehot, xw_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            y = jax.lax.dot_general(
+                onehot, yw_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            xin_bf = jnp.stack(
+                [x_sel, jnp.ones_like(x_sel)], axis=2).astype(jnp.bfloat16)
+
+            cost, g_w2, g_vec, g_w3 = _fwd_bwd(
+                obig[:], ow3[:], xin_bf, y,
+                bmask, lane3, lane2, s_a1, s_a2, s_a3, s_gvec,
+                inv_b, inv_n, 1, C, S, BIAS_ROW)
+
+            etas = _block_etas(C)
+
+            def _update(theta, v, grad, eta, valid):
+                v32 = v.astype(jnp.float32)
+                g = grad + prior_scale * theta
+                v_new = alpha * v32 + (1.0 - alpha) * g * g
+                precond = 1.0 / (lam + jnp.sqrt(jnp.maximum(v_new, 0.0)))
+                sigma = jnp.sqrt(jnp.maximum(eps * precond * inv_sg, 0.0))
+                delta = -0.5 * eps * precond * g + sigma * eta
+                return theta + delta * valid, v_new * valid
+
+            t_new, v_new = _update(
+                obig[:, 0:S, :], pbig[:, 0:S, :], g_w2, etas[0], mat_valid)
+            obig[:, 0:S, :] = t_new
+            pbig[:, 0:S, :] = v_new.astype(pbig.dtype)
+            t_new, v_new = _update(
+                obig[:, S:BIG_ROWS, :], pbig[:, S:BIG_ROWS, :],
+                g_vec, etas[1], vec_valid)
+            obig[:, S:BIG_ROWS, :] = t_new
+            pbig[:, S:BIG_ROWS, :] = v_new.astype(pbig.dtype)
+            t_new, v_new = _update(
+                ow3[:], pw3[:], g_w3, etas[2], mat_valid)
+            ow3[:] = t_new
+            pw3[:] = v_new.astype(pw3.dtype)
+            obig[:, BIG_ROWS - 1, LANE_B4:LANE_B4 + 1] = cost
+            return carry
+
+        jax.lax.fori_loop(0, k_steps, body, 0)
+
+    return kernel
+
+
+def _make_multistep_kernel_rsghmc(batch_size, n_data, block_chains,
+                                  n_windows, k_steps, h):
+    """Relativistic-SGHMC variant of :func:`_make_multistep_kernel`.
+
+    Momentum rides the aliased output refs; the relativistic velocity
+    (one rsqrt per element) and log-likelihood-convention gradients as in
+    :func:`_make_kernel_rsghmc`.  1-input flagship family only.
+    """
+    inv_b = 1.0 / batch_size
+    inv_n = 1.0 / n_data
+    C = block_chains
+
+    def kernel(int_ref, float_ref,
+               tbig, tw3, vbig, vw3, xw_ref, yw_ref,
+               obig, ow3, pbig, pw3,
+               s_a1, s_a2, s_a3, s_gvec):
+        pltpu.prng_seed(int_ref[0], pl.program_id(0))
+        eps = float_ref[0]
+        noise_scale = float_ref[1]
+        prior_scale = float_ref[2]
+        inv_mc2 = float_ref[3]
+        inv_m = float_ref[4]
+        d_coef = float_ref[5]
+
+        obig[:] = tbig[:]
+        ow3[:] = tw3[:]
+        pbig[:] = vbig[:]
+        pw3[:] = vw3[:]
+
+        brow = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD), 1)
+        bmask = (brow < batch_size).astype(jnp.float32)
+        lane3 = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD, S), 2)
+        lane2 = jax.lax.broadcasted_iota(jnp.int32, (C, S), 1)
+        win_iota = jax.lax.broadcasted_iota(jnp.int32, (C, n_windows), 1)
+        mat_valid, vec_valid = _psgld_valid_masks(C, 1, h, S, BIAS_ROW)
+
+        def body(t, carry):
+            u = _uniform_3d((C, 8))[:, 0:1]
+            widx = jnp.clip(
+                (u * n_windows).astype(jnp.int32), 0, n_windows - 1)
+            onehot = (win_iota == widx).astype(jnp.float32)
+            x_sel = jax.lax.dot_general(
+                onehot, xw_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            y = jax.lax.dot_general(
+                onehot, yw_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            xin_bf = jnp.stack(
+                [x_sel, jnp.ones_like(x_sel)], axis=2).astype(jnp.bfloat16)
+
+            cost, g_w2, g_vec, g_w3 = _fwd_bwd(
+                obig[:], ow3[:], xin_bf, y,
+                bmask, lane3, lane2, s_a1, s_a2, s_a3, s_gvec,
+                inv_b, inv_n, 1, C, S, BIAS_ROW)
+
+            etas = _block_etas(C)
+
+            def vel(p):
+                return eps * p * inv_m * jax.lax.rsqrt(
+                    p * p * inv_mc2 + 1.0)
+
+            def _update(theta, v, grad, eta, valid):
+                p = v.astype(jnp.float32)
+                loglik_g = -(grad + prior_scale * theta)
+                p_new = (p + eps * loglik_g + noise_scale * eta
+                         - d_coef * vel(p)) * valid
+                return theta + vel(p_new) * valid, p_new
+
+            t_new, p_new = _update(
+                obig[:, 0:S, :], pbig[:, 0:S, :], g_w2, etas[0], mat_valid)
+            obig[:, 0:S, :] = t_new
+            pbig[:, 0:S, :] = p_new.astype(pbig.dtype)
+            t_new, p_new = _update(
+                obig[:, S:BIG_ROWS, :], pbig[:, S:BIG_ROWS, :],
+                g_vec, etas[1], vec_valid)
+            obig[:, S:BIG_ROWS, :] = t_new
+            pbig[:, S:BIG_ROWS, :] = p_new.astype(pbig.dtype)
+            t_new, p_new = _update(
+                ow3[:], pw3[:], g_w3, etas[2], mat_valid)
+            ow3[:] = t_new
+            pw3[:] = p_new.astype(pw3.dtype)
+            obig[:, BIG_ROWS - 1, LANE_B4:LANE_B4 + 1] = cost
+            return carry
+
+        jax.lax.fori_loop(0, k_steps, body, 0)
+
+    return kernel
+
+
+def _multistep_family_call(kernel, theta, v, tables, out_dtypes,
+                           int_scalars, float_scalars, block_chains,
+                           interpret):
+    """Shared pallas_call plumbing for the theta+momentum multi-step
+    variants (pSGLD / RSGHMC): 2 aliased theta outputs + 2 aliased
+    momentum outputs, shared window tables, the standard scratch set."""
+    tbig, _ = theta
+    n_chains = tbig.shape[0]
+    x_win, y_win = tables
+
+    def mat_spec():
+        return pl.BlockSpec((block_chains, S, S), lambda i, *_: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def big_spec():
+        return pl.BlockSpec(
+            (block_chains, BIG_ROWS, S), lambda i, *_: (i, 0, 0),
+            memory_space=pltpu.VMEM)
+
+    def table_spec(arr):
+        return pl.BlockSpec(
+            tuple(arr.shape), lambda i, *_: (0,) * arr.ndim,
+            memory_space=pltpu.VMEM)
+
+    state_specs = [big_spec(), mat_spec()]
+    in_specs = (
+        state_specs + state_specs
+        + [table_spec(x_win), table_spec(y_win)]
+    )
+    operands = list(theta) + list(v) + [
+        jnp.asarray(x_win, jnp.float32), jnp.asarray(y_win, jnp.float32)]
+    out_shape = (
+        tuple(jax.ShapeDtypeStruct(t.shape, out_dtypes[0]) for t in theta)
+        + tuple(jax.ShapeDtypeStruct(t.shape, out_dtypes[1]) for t in theta)
+    )
+    bbs = (block_chains, B_PAD, S)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_chains // block_chains,),
+        in_specs=in_specs,
+        out_specs=tuple(state_specs) + tuple(state_specs),
+        scratch_shapes=[
+            pltpu.VMEM(bbs, jnp.bfloat16),
+            pltpu.VMEM(bbs, jnp.bfloat16),
+            pltpu.VMEM(bbs, jnp.bfloat16),
+            pltpu.VMEM((block_chains, VEC_ROWS, S), jnp.float32),
+        ],
+    )
+    aliases = {2: 0, 3: 1, 4: 2, 5: 3}
+    interpreter = pltpu.InterpretParams() if interpret else False
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpreter,
+    )(int_scalars, float_scalars, *operands)
+    theta_new = tuple(outs[0:2])
+    v_new = tuple(outs[2:4])
+    cost = theta_new[0][:, BIG_ROWS - 1, 0:1]
+    return theta_new, v_new, cost
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("alpha", "lambda_reg", "scale_grad", "prior_scale",
+                     "batch_size", "n_data", "block_chains", "k_steps",
+                     "h", "interpret"),
+)
+def fused_bnn_multistep_psgld(
+    theta, v, x_win, y_win, eps, seed,
+    alpha=0.99, lambda_reg=1e-5, scale_grad=1.0, prior_scale=0.0,
+    batch_size=20, n_data=100, block_chains=32,
+    k_steps=1, h=50, interpret=False,
+):
+    """``k_steps`` fused pSGLD steps in ONE kernel launch, VMEM-resident.
+
+    As :func:`fused_bnn_multistep` but with the RMSprop-preconditioned
+    pSGLD update (accumulator ``v`` stays f32 and adapts in-loop).
+    Returns ``(theta', v', cost)``.  1-input flagship family only.
+    """
+    tbig, tw3 = theta
+    n_chains = tbig.shape[0]
+    if tbig.shape[2] != S:
+        raise ValueError(
+            "fused_bnn_multistep_psgld supports the 64-slot flagship "
+            "layout only (H <= 50)")
+    if n_chains % block_chains:
+        raise ValueError(
+            "fused_bnn_multistep_psgld: n_chains ({}) must be divisible "
+            "by block_chains ({})".format(n_chains, block_chains))
+    if x_win.ndim != 2:
+        raise ValueError(
+            "fused_bnn_multistep_psgld supports the 1-input flagship "
+            "family (x_win of shape (n_windows, B_PAD)); got shape "
+            "{}".format(x_win.shape))
+
+    int_scalars = jnp.asarray(seed, jnp.int32).reshape(1)
+    float_scalars = jnp.stack([
+        jnp.asarray(eps, jnp.float32),
+        jnp.asarray(alpha, jnp.float32),
+        jnp.asarray(lambda_reg, jnp.float32),
+        jnp.asarray(1.0 / scale_grad, jnp.float32),
+        jnp.asarray(prior_scale, jnp.float32),
+    ])
+    kernel = _make_multistep_kernel_psgld(
+        float(batch_size), float(n_data), block_chains,
+        x_win.shape[0], int(k_steps), int(h))
+    return _multistep_family_call(
+        kernel, theta, v, (x_win, y_win), (jnp.float32, jnp.float32),
+        int_scalars, float_scalars, block_chains, interpret)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mass", "speed_of_light", "d_coef", "b_hat",
+                     "prior_scale", "batch_size", "n_data", "block_chains",
+                     "state_dtype", "k_steps", "h", "interpret"),
+)
+def fused_bnn_multistep_rsghmc(
+    theta, v, x_win, y_win, eps, seed,
+    mass=1.0, speed_of_light=1.0, d_coef=1.0, b_hat=0.0, prior_scale=0.0,
+    batch_size=20, n_data=100, block_chains=32,
+    state_dtype=jnp.bfloat16, k_steps=1, h=50, interpret=False,
+):
+    """``k_steps`` fused relativistic-SGHMC steps in ONE kernel launch.
+
+    As :func:`fused_bnn_multistep` but with the relativistic momentum
+    update of :func:`fused_bnn_step_rsghmc`.  Returns
+    ``(theta', p', cost)``.  1-input flagship family only.
+    """
+    tbig, tw3 = theta
+    n_chains = tbig.shape[0]
+    if tbig.shape[2] != S:
+        raise ValueError(
+            "fused_bnn_multistep_rsghmc supports the 64-slot flagship "
+            "layout only (H <= 50)")
+    if n_chains % block_chains:
+        raise ValueError(
+            "fused_bnn_multistep_rsghmc: n_chains ({}) must be divisible "
+            "by block_chains ({})".format(n_chains, block_chains))
+    if x_win.ndim != 2:
+        raise ValueError(
+            "fused_bnn_multistep_rsghmc supports the 1-input flagship "
+            "family (x_win of shape (n_windows, B_PAD)); got shape "
+            "{}".format(x_win.shape))
+
+    eps32 = jnp.asarray(eps, jnp.float32)
+    int_scalars = jnp.asarray(seed, jnp.int32).reshape(1)
+    float_scalars = jnp.stack([
+        eps32,
+        jnp.sqrt(jnp.maximum(
+            eps32 * (2.0 * d_coef - eps32 * b_hat), 0.0)),
+        jnp.asarray(prior_scale, jnp.float32),
+        jnp.asarray(1.0 / (mass * mass * speed_of_light * speed_of_light),
+                    jnp.float32),
+        jnp.asarray(1.0 / mass, jnp.float32),
+        jnp.asarray(d_coef, jnp.float32),
+    ])
+    kernel = _make_multistep_kernel_rsghmc(
+        float(batch_size), float(n_data), block_chains,
+        x_win.shape[0], int(k_steps), int(h))
+    return _multistep_family_call(
+        kernel, theta, v, (x_win, y_win), (jnp.float32, state_dtype),
+        int_scalars, float_scalars, block_chains, interpret)

@@ -766,12 +766,9 @@ def sample_chain_fused(
     schedule_state0 = _shared_schedule_state(states, "sample_chain_fused")
     step0 = jnp.max(states.step) if jnp.ndim(states.step) else states.step
 
-    if multistep and (
-        n_inputs != 1 or fkind not in ("sghmc", "sgld", "sgnht")
-    ):
+    if multistep and n_inputs != 1:
         raise ValueError(
-            "multistep supports the 1-input SGHMC/SGLD/SGNHT flagship "
-            "family only")
+            "multistep supports the 1-input flagship family only")
 
     def one_step(carry, _):
         theta, v, xi, key, step = carry
@@ -844,6 +841,8 @@ def sample_chain_fused(
         # multistep=False).
         from pysgmcmc_tpu.ops.fused_step import (
             fused_bnn_multistep,
+            fused_bnn_multistep_psgld,
+            fused_bnn_multistep_rsghmc,
             fused_bnn_multistep_sgld,
             fused_bnn_multistep_sgnht,
         )
@@ -865,6 +864,28 @@ def sample_chain_fused(
                 theta, v, xi, x_win, y_win, eps,
                 base_seed + step.astype(jnp.int32),
                 a_diff=sampler.a_diff, scale_grad=sampler.scale_grad,
+                prior_scale=sampler.gaussian_prior_scale,
+                batch_size=batch_size, n_data=n_data,
+                block_chains=block_chains, state_dtype=state_dtype,
+                k_steps=keep_every, h=h, interpret=interpret,
+            )
+        elif fkind == "psgld":
+            theta, v, cost = fused_bnn_multistep_psgld(
+                theta, v, x_win, y_win, eps,
+                base_seed + step.astype(jnp.int32),
+                alpha=sampler.alpha, lambda_reg=sampler.lambda_reg,
+                scale_grad=sampler.scale_grad,
+                prior_scale=getattr(sampler, "gaussian_prior_scale", 0.0),
+                batch_size=batch_size, n_data=n_data,
+                block_chains=block_chains,
+                k_steps=keep_every, h=h, interpret=interpret,
+            )
+        elif fkind == "rsghmc":
+            theta, v, cost = fused_bnn_multistep_rsghmc(
+                theta, v, x_win, y_win, eps,
+                base_seed + step.astype(jnp.int32),
+                mass=sampler.mass, speed_of_light=sampler.speed_of_light,
+                d_coef=sampler.D, b_hat=sampler.Bhat,
                 prior_scale=sampler.gaussian_prior_scale,
                 batch_size=batch_size, n_data=n_data,
                 block_chains=block_chains, state_dtype=state_dtype,

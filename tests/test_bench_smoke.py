@@ -232,3 +232,47 @@ def test_multistep_sgnht_path_tiny():
     assert int(states.step[0]) == 4
     xi = np.asarray(states.xi)
     assert xi.shape == (4,) and np.isfinite(xi).all()
+
+
+def test_multistep_psgld_and_rsghmc_path_tiny():
+    """The pSGLD and RSGHMC multi-step fused kernels end to end
+    (interpret mode) — with these, every gradient-based sampler runs the
+    k-steps-per-launch VMEM-resident path."""
+    import jax.numpy as jnp
+
+    from bench import build_workload
+    from pysgmcmc_tpu.parallel.packed import sample_chain_fused
+    from pysgmcmc_tpu.samplers.psgld import PSGLDSampler
+    from pysgmcmc_tpu.samplers.relativistic_sghmc import (
+        RelativisticSGHMCSampler,
+    )
+
+    base, positions, _ = build_workload(n_chains=4, network="dense")
+    x = np.random.RandomState(0).uniform(0, 1, (100, 1)).astype(np.float32)
+    from pysgmcmc_tpu.diagnostics.objective_functions import sinc
+
+    y = np.asarray(sinc(x), np.float32)
+    for sampler in (
+        PSGLDSampler(
+            base.cost_fn, stepsize_schedule=1e-4,
+            scale_grad=base.scale_grad,
+            gaussian_prior_scale=base.gaussian_prior_scale),
+        RelativisticSGHMCSampler(
+            base.cost_fn, stepsize_schedule=1e-3,
+            gaussian_prior_scale=base.gaussian_prior_scale),
+    ):
+        states = jax.vmap(sampler.init)(
+            positions, jax.random.split(jax.random.PRNGKey(0), 4))
+        states, _, costs = sample_chain_fused(
+            sampler, states, jax.random.PRNGKey(1), 2, x, y,
+            batch_size=20, keep_every=2, block_chains=4,
+            state_dtype=jnp.float32, collect_positions=False,
+            multistep=True, interpret=True)
+        name = type(sampler).__name__
+        assert costs.shape == (4, 2), name
+        assert np.isfinite(np.asarray(costs)).all(), name
+        assert int(states.step[0]) == 4, name
+        leaves = np.concatenate([
+            np.asarray(l).ravel()
+            for l in jax.tree_util.tree_leaves(states.position)])
+        assert np.isfinite(leaves).all(), name
