@@ -18,10 +18,9 @@ from pysgmcmc_tpu.samplers.psgld import PSGLDSampler
 from pysgmcmc_tpu.samplers.relativistic_sghmc import RelativisticSGHMCSampler
 
 n_chains, scan_steps = 8192, 200
-base, positions, select_batch, (x, y) = build_workload(
-    n_chains, network="dense", return_data=True)
 
-def measure(name, sampler, state_dtype):
+
+def measure(name, sampler, state_dtype, positions, select_batch, x, y):
     @jax.jit
     def warm(positions, key):
         def one(p, ck):
@@ -54,9 +53,18 @@ def measure(name, sampler, state_dtype):
     print("%s fused multi-step  %.3f ms/step (%.2fM steps/s)" % (
         name, ms, n_chains / ms / 1e3))
 
-measure("pSGLD", PSGLDSampler(
-    base.cost_fn, stepsize_schedule=1e-4, scale_grad=base.scale_grad,
-    gaussian_prior_scale=base.gaussian_prior_scale), jnp.float32)
-measure("RSGHMC", RelativisticSGHMCSampler(
-    base.cost_fn, stepsize_schedule=1e-3,
-    gaussian_prior_scale=base.gaussian_prior_scale), jnp.bfloat16)
+def main():
+    base, positions, select_batch, (x, y) = build_workload(
+        n_chains, network="dense", return_data=True)
+    measure("pSGLD", PSGLDSampler(
+        base.cost_fn, stepsize_schedule=1e-4, scale_grad=base.scale_grad,
+        gaussian_prior_scale=base.gaussian_prior_scale), jnp.float32,
+        positions, select_batch, x, y)
+    measure("RSGHMC", RelativisticSGHMCSampler(
+        base.cost_fn, stepsize_schedule=1e-3,
+        gaussian_prior_scale=base.gaussian_prior_scale), jnp.bfloat16,
+        positions, select_batch, x, y)
+
+
+if __name__ == "__main__":
+    main()

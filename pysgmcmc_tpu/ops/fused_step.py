@@ -843,6 +843,57 @@ def fused_bnn_step(
 
 #  Multi-step kernel: k steps per launch, state resident in VMEM -------------
 
+def _select_window_bf(c, n_windows, win_iota, xw_ref, yw_ref):
+    """In-kernel minibatch window selection, shared by every multi-step
+    kernel: draw a per-chain window index from the in-kernel PRNG and
+    gather the (x, y) window with one masked dot against the shared
+    tables.  Returns ``(xin_bf, y)`` — the bf16 ``[x, 1]`` input lanes
+    and the f32 targets.  1-input family only."""
+    u = _uniform_3d((c, 8))[:, 0:1]
+    widx = jnp.clip((u * n_windows).astype(jnp.int32), 0, n_windows - 1)
+    onehot = (win_iota == widx).astype(jnp.float32)
+    x_sel = jax.lax.dot_general(
+        onehot, xw_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    y = jax.lax.dot_general(
+        onehot, yw_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    xin_bf = jnp.stack(
+        [x_sel, jnp.ones_like(x_sel)], axis=2).astype(jnp.bfloat16)
+    return xin_bf, y
+
+
+def _mat_spec(block_chains):
+    """Per-block ``(C, S, S)`` VMEM slab spec, blocked on the chain axis."""
+    return pl.BlockSpec((block_chains, S, S), lambda i, *_: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _big_spec(block_chains):
+    """Per-block ``(C, BIG_ROWS, S)`` VMEM slab spec (matrix + vec rows)."""
+    return pl.BlockSpec(
+        (block_chains, BIG_ROWS, S), lambda i, *_: (i, 0, 0),
+        memory_space=pltpu.VMEM)
+
+
+def _table_spec(arr):
+    """Whole-array VMEM spec for grid-invariant shared window tables."""
+    return pl.BlockSpec(tuple(arr.shape), lambda i, *_: (0,) * arr.ndim,
+                        memory_space=pltpu.VMEM)
+
+
+def _multistep_scratch(block_chains):
+    """The multi-step kernels' standard scratch set: three bf16
+    activation slabs + one f32 gradient-vector slab."""
+    bbs = (block_chains, B_PAD, S)
+    return [
+        pltpu.VMEM(bbs, jnp.bfloat16),
+        pltpu.VMEM(bbs, jnp.bfloat16),
+        pltpu.VMEM(bbs, jnp.bfloat16),
+        pltpu.VMEM((block_chains, VEC_ROWS, S), jnp.float32),
+    ]
+
+
 def _make_multistep_kernel(batch_size, n_data, block_chains, n_windows,
                            k_steps):
     """flash-SGHMC kernel advancing ``k_steps`` steps per launch.
@@ -898,20 +949,10 @@ def _make_multistep_kernel(batch_size, n_data, block_chains, n_windows,
             lvb = scal[:, LANE_LVB:LANE_LVB + 1]
 
             # ---- in-kernel minibatch selection ----
-            u = _uniform_3d((C, 8))[:, 0:1]
-            widx = jnp.clip(
-                (u * n_windows).astype(jnp.int32), 0, n_windows - 1)
-            onehot = (win_iota == widx).astype(jnp.float32)
-            x_sel = jax.lax.dot_general(
-                onehot, xw_ref[:], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            y = jax.lax.dot_general(
-                onehot, yw_ref[:], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            xin = jnp.stack([x_sel, jnp.ones_like(x_sel)], axis=2)
+            xin_bf, y = _select_window_bf(
+                C, n_windows, win_iota, xw_ref, yw_ref)
 
             # ---- forward ----
-            xin_bf = xin.astype(bf16)
             w1m_bf = big[:, ROW_W1:ROW_B1 + 1, :].astype(bf16)
             z1 = _bdot(xin_bf, w1m_bf, (((2,), (1,))))
             s_a1[:] = jnp.where(
@@ -1054,24 +1095,10 @@ def fused_bnn_multistep(
         jnp.asarray(prior_scale, jnp.float32),
     ])
 
-    def mat_spec():
-        return pl.BlockSpec((block_chains, S, S), lambda i, *_: (i, 0, 0),
-                            memory_space=pltpu.VMEM)
-
-    def big_spec():
-        return pl.BlockSpec(
-            (block_chains, BIG_ROWS, S), lambda i, *_: (i, 0, 0),
-            memory_space=pltpu.VMEM)
-
-    def table_spec(arr):
-        return pl.BlockSpec(
-            tuple(arr.shape), lambda i, *_: (0,) * arr.ndim,
-            memory_space=pltpu.VMEM)
-
-    state_specs = [big_spec(), mat_spec()]
+    state_specs = [_big_spec(block_chains), _mat_spec(block_chains)]
     in_specs = (
         state_specs + state_specs + state_specs
-        + [table_spec(x_win), table_spec(y_win)]
+        + [_table_spec(x_win), _table_spec(y_win)]
     )
     operands = list(theta) + list(v) + list(minv) + [
         jnp.asarray(x_win, jnp.float32), jnp.asarray(y_win, jnp.float32)]
@@ -1082,18 +1109,12 @@ def fused_bnn_multistep(
     )
     out_specs = tuple(state_specs) + tuple(state_specs)
 
-    bbs = (block_chains, B_PAD, S)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_chains // block_chains,),
         in_specs=in_specs,
         out_specs=out_specs,
-        scratch_shapes=[
-            pltpu.VMEM(bbs, jnp.bfloat16),
-            pltpu.VMEM(bbs, jnp.bfloat16),
-            pltpu.VMEM(bbs, jnp.bfloat16),
-            pltpu.VMEM((block_chains, VEC_ROWS, S), jnp.float32),
-        ],
+        scratch_shapes=_multistep_scratch(block_chains),
     )
     aliases = {i + 2: i for i in range(2)}
     aliases.update({i + 4: i + 2 for i in range(2)})
@@ -1912,18 +1933,8 @@ def _make_multistep_kernel_sgld(batch_size, n_data, block_chains,
 
         def body(t, carry):
             # ---- in-kernel minibatch selection ----
-            u = _uniform_3d((C, 8))[:, 0:1]
-            widx = jnp.clip(
-                (u * n_windows).astype(jnp.int32), 0, n_windows - 1)
-            onehot = (win_iota == widx).astype(jnp.float32)
-            x_sel = jax.lax.dot_general(
-                onehot, xw_ref[:], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            y = jax.lax.dot_general(
-                onehot, yw_ref[:], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            xin_bf = jnp.stack(
-                [x_sel, jnp.ones_like(x_sel)], axis=2).astype(jnp.bfloat16)
+            xin_bf, y = _select_window_bf(
+                C, n_windows, win_iota, xw_ref, yw_ref)
 
             cost, g_w2, g_vec, g_w3 = _fwd_bwd(
                 obig[:], ow3[:], xin_bf, y,
@@ -1997,24 +2008,10 @@ def fused_bnn_multistep_sgld(
         jnp.asarray(prior_scale, jnp.float32),
     ])
 
-    def mat_spec():
-        return pl.BlockSpec((block_chains, S, S), lambda i, *_: (i, 0, 0),
-                            memory_space=pltpu.VMEM)
-
-    def big_spec():
-        return pl.BlockSpec(
-            (block_chains, BIG_ROWS, S), lambda i, *_: (i, 0, 0),
-            memory_space=pltpu.VMEM)
-
-    def table_spec(arr):
-        return pl.BlockSpec(
-            tuple(arr.shape), lambda i, *_: (0,) * arr.ndim,
-            memory_space=pltpu.VMEM)
-
-    state_specs = [big_spec(), mat_spec()]
+    state_specs = [_big_spec(block_chains), _mat_spec(block_chains)]
     in_specs = (
         state_specs + state_specs
-        + [table_spec(x_win), table_spec(y_win)]
+        + [_table_spec(x_win), _table_spec(y_win)]
     )
     operands = list(theta) + list(minv) + [
         jnp.asarray(x_win, jnp.float32), jnp.asarray(y_win, jnp.float32)]
@@ -2022,18 +2019,12 @@ def fused_bnn_multistep_sgld(
     out_shape = tuple(
         jax.ShapeDtypeStruct(t.shape, jnp.float32) for t in theta)
 
-    bbs = (block_chains, B_PAD, S)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_chains // block_chains,),
         in_specs=in_specs,
         out_specs=tuple(state_specs),
-        scratch_shapes=[
-            pltpu.VMEM(bbs, jnp.bfloat16),
-            pltpu.VMEM(bbs, jnp.bfloat16),
-            pltpu.VMEM(bbs, jnp.bfloat16),
-            pltpu.VMEM((block_chains, VEC_ROWS, S), jnp.float32),
-        ],
+        scratch_shapes=_multistep_scratch(block_chains),
     )
     kernel = _make_multistep_kernel_sgld(
         float(batch_size), float(n_data), block_chains, n_windows,
@@ -2093,18 +2084,8 @@ def _make_multistep_kernel_sgnht(batch_size, n_data, block_chains,
         mat_valid, vec_valid = _psgld_valid_masks(C, 1, h, S, BIAS_ROW)
 
         def body(t, carry):
-            u = _uniform_3d((C, 8))[:, 0:1]
-            widx = jnp.clip(
-                (u * n_windows).astype(jnp.int32), 0, n_windows - 1)
-            onehot = (win_iota == widx).astype(jnp.float32)
-            x_sel = jax.lax.dot_general(
-                onehot, xw_ref[:], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            y = jax.lax.dot_general(
-                onehot, yw_ref[:], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            xin_bf = jnp.stack(
-                [x_sel, jnp.ones_like(x_sel)], axis=2).astype(jnp.bfloat16)
+            xin_bf, y = _select_window_bf(
+                C, n_windows, win_iota, xw_ref, yw_ref)
 
             cost, g_w2, g_vec, g_w3 = _fwd_bwd(
                 obig[:], ow3[:], xin_bf, y,
@@ -2200,27 +2181,13 @@ def fused_bnn_multistep_sgnht(
         jnp.asarray(1.0 / n_dim, jnp.float32),
     ])
 
-    def mat_spec():
-        return pl.BlockSpec((block_chains, S, S), lambda i, *_: (i, 0, 0),
-                            memory_space=pltpu.VMEM)
-
-    def big_spec():
-        return pl.BlockSpec(
-            (block_chains, BIG_ROWS, S), lambda i, *_: (i, 0, 0),
-            memory_space=pltpu.VMEM)
-
-    def table_spec(arr):
-        return pl.BlockSpec(
-            tuple(arr.shape), lambda i, *_: (0,) * arr.ndim,
-            memory_space=pltpu.VMEM)
-
     xi_spec = pl.BlockSpec(
         (block_chains, 128), lambda i, *_: (i, 0),
         memory_space=pltpu.VMEM)
-    state_specs = [big_spec(), mat_spec()]
+    state_specs = [_big_spec(block_chains), _mat_spec(block_chains)]
     in_specs = (
         state_specs + state_specs + [xi_spec]
-        + [table_spec(x_win), table_spec(y_win)]
+        + [_table_spec(x_win), _table_spec(y_win)]
     )
     operands = list(theta) + list(v) + [xi] + [
         jnp.asarray(x_win, jnp.float32), jnp.asarray(y_win, jnp.float32)]
@@ -2232,18 +2199,12 @@ def fused_bnn_multistep_sgnht(
     )
     out_specs = tuple(state_specs) + tuple(state_specs) + (xi_spec,)
 
-    bbs = (block_chains, B_PAD, S)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_chains // block_chains,),
         in_specs=in_specs,
         out_specs=out_specs,
-        scratch_shapes=[
-            pltpu.VMEM(bbs, jnp.bfloat16),
-            pltpu.VMEM(bbs, jnp.bfloat16),
-            pltpu.VMEM(bbs, jnp.bfloat16),
-            pltpu.VMEM((block_chains, VEC_ROWS, S), jnp.float32),
-        ],
+        scratch_shapes=_multistep_scratch(block_chains),
     )
     aliases = {2: 0, 3: 1, 4: 2, 5: 3, 6: 4}
     kernel = _make_multistep_kernel_sgnht(
@@ -2303,18 +2264,8 @@ def _make_multistep_kernel_psgld(batch_size, n_data, block_chains,
         mat_valid, vec_valid = _psgld_valid_masks(C, 1, h, S, BIAS_ROW)
 
         def body(t, carry):
-            u = _uniform_3d((C, 8))[:, 0:1]
-            widx = jnp.clip(
-                (u * n_windows).astype(jnp.int32), 0, n_windows - 1)
-            onehot = (win_iota == widx).astype(jnp.float32)
-            x_sel = jax.lax.dot_general(
-                onehot, xw_ref[:], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            y = jax.lax.dot_general(
-                onehot, yw_ref[:], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            xin_bf = jnp.stack(
-                [x_sel, jnp.ones_like(x_sel)], axis=2).astype(jnp.bfloat16)
+            xin_bf, y = _select_window_bf(
+                C, n_windows, win_iota, xw_ref, yw_ref)
 
             cost, g_w2, g_vec, g_w3 = _fwd_bwd(
                 obig[:], ow3[:], xin_bf, y,
@@ -2390,18 +2341,8 @@ def _make_multistep_kernel_rsghmc(batch_size, n_data, block_chains,
         mat_valid, vec_valid = _psgld_valid_masks(C, 1, h, S, BIAS_ROW)
 
         def body(t, carry):
-            u = _uniform_3d((C, 8))[:, 0:1]
-            widx = jnp.clip(
-                (u * n_windows).astype(jnp.int32), 0, n_windows - 1)
-            onehot = (win_iota == widx).astype(jnp.float32)
-            x_sel = jax.lax.dot_general(
-                onehot, xw_ref[:], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            y = jax.lax.dot_general(
-                onehot, yw_ref[:], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            xin_bf = jnp.stack(
-                [x_sel, jnp.ones_like(x_sel)], axis=2).astype(jnp.bfloat16)
+            xin_bf, y = _select_window_bf(
+                C, n_windows, win_iota, xw_ref, yw_ref)
 
             cost, g_w2, g_vec, g_w3 = _fwd_bwd(
                 obig[:], ow3[:], xin_bf, y,
@@ -2452,24 +2393,10 @@ def _multistep_family_call(kernel, theta, v, tables, out_dtypes,
     n_chains = tbig.shape[0]
     x_win, y_win = tables
 
-    def mat_spec():
-        return pl.BlockSpec((block_chains, S, S), lambda i, *_: (i, 0, 0),
-                            memory_space=pltpu.VMEM)
-
-    def big_spec():
-        return pl.BlockSpec(
-            (block_chains, BIG_ROWS, S), lambda i, *_: (i, 0, 0),
-            memory_space=pltpu.VMEM)
-
-    def table_spec(arr):
-        return pl.BlockSpec(
-            tuple(arr.shape), lambda i, *_: (0,) * arr.ndim,
-            memory_space=pltpu.VMEM)
-
-    state_specs = [big_spec(), mat_spec()]
+    state_specs = [_big_spec(block_chains), _mat_spec(block_chains)]
     in_specs = (
         state_specs + state_specs
-        + [table_spec(x_win), table_spec(y_win)]
+        + [_table_spec(x_win), _table_spec(y_win)]
     )
     operands = list(theta) + list(v) + [
         jnp.asarray(x_win, jnp.float32), jnp.asarray(y_win, jnp.float32)]
@@ -2477,18 +2404,12 @@ def _multistep_family_call(kernel, theta, v, tables, out_dtypes,
         tuple(jax.ShapeDtypeStruct(t.shape, out_dtypes[0]) for t in theta)
         + tuple(jax.ShapeDtypeStruct(t.shape, out_dtypes[1]) for t in theta)
     )
-    bbs = (block_chains, B_PAD, S)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_chains // block_chains,),
         in_specs=in_specs,
         out_specs=tuple(state_specs) + tuple(state_specs),
-        scratch_shapes=[
-            pltpu.VMEM(bbs, jnp.bfloat16),
-            pltpu.VMEM(bbs, jnp.bfloat16),
-            pltpu.VMEM(bbs, jnp.bfloat16),
-            pltpu.VMEM((block_chains, VEC_ROWS, S), jnp.float32),
-        ],
+        scratch_shapes=_multistep_scratch(block_chains),
     )
     aliases = {2: 0, 3: 1, 4: 2, 5: 3}
     interpreter = pltpu.InterpretParams() if interpret else False

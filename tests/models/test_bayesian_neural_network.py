@@ -325,9 +325,9 @@ def test_lanes_step_impl_all_samplers():
 
 
 @pytest.mark.slow
-def test_fused_step_impl_sgld_and_psgld():
+def test_fused_step_impl_widened_family():
     """step_impl='fused' trains with the widened family (SGLD, PSGLD,
-    SGNHT)."""
+    SGNHT, RelativisticSGHMC)."""
     from pysgmcmc_tpu.sampling import Sampler
 
     x, y = _sinc_data()[:2]
