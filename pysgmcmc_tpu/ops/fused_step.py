@@ -863,16 +863,16 @@ def _select_window_bf(c, n_windows, win_iota, xw_ref, yw_ref):
     return xin_bf, y
 
 
-def _mat_spec(block_chains):
-    """Per-block ``(C, S, S)`` VMEM slab spec, blocked on the chain axis."""
-    return pl.BlockSpec((block_chains, S, S), lambda i, *_: (i, 0, 0),
+def _mat_spec(block_chains, s=S):
+    """Per-block ``(C, s, s)`` VMEM slab spec, blocked on the chain axis."""
+    return pl.BlockSpec((block_chains, s, s), lambda i, *_: (i, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
-def _big_spec(block_chains):
-    """Per-block ``(C, BIG_ROWS, S)`` VMEM slab spec (matrix + vec rows)."""
+def _big_spec(block_chains, s=S):
+    """Per-block ``(C, s+VEC_ROWS, s)`` VMEM slab spec (matrix + vec rows)."""
     return pl.BlockSpec(
-        (block_chains, BIG_ROWS, S), lambda i, *_: (i, 0, 0),
+        (block_chains, s + VEC_ROWS, s), lambda i, *_: (i, 0, 0),
         memory_space=pltpu.VMEM)
 
 
@@ -882,20 +882,31 @@ def _table_spec(arr):
                         memory_space=pltpu.VMEM)
 
 
-def _multistep_scratch(block_chains):
+def _multistep_slot(tbig, name):
+    """Validate and return the slot width of a packed multi-step slab."""
+    s = tbig.shape[2]
+    if s not in (S, WIDE_S):
+        raise ValueError(
+            "{}: unknown slot width {}; expected {} (H <= {}) or {} "
+            "(H <= {})".format(name, s, S, BIAS_ROW, WIDE_S,
+                               WIDE_BIAS_ROW))
+    return s
+
+
+def _multistep_scratch(block_chains, s=S):
     """The multi-step kernels' standard scratch set: three bf16
     activation slabs + one f32 gradient-vector slab."""
-    bbs = (block_chains, B_PAD, S)
+    bbs = (block_chains, B_PAD, s)
     return [
         pltpu.VMEM(bbs, jnp.bfloat16),
         pltpu.VMEM(bbs, jnp.bfloat16),
         pltpu.VMEM(bbs, jnp.bfloat16),
-        pltpu.VMEM((block_chains, VEC_ROWS, S), jnp.float32),
+        pltpu.VMEM((block_chains, VEC_ROWS, s), jnp.float32),
     ]
 
 
 def _make_multistep_kernel(batch_size, n_data, block_chains, n_windows,
-                           k_steps):
+                           k_steps, s=S, bias_row=BIAS_ROW):
     """flash-SGHMC kernel advancing ``k_steps`` steps per launch.
 
     The round-2 kernel round-trips theta/v through HBM every step (~1 GB
@@ -912,12 +923,15 @@ def _make_multistep_kernel(batch_size, n_data, block_chains, n_windows,
 
     Same forward/likelihood/backward/update formulation as
     :func:`_make_kernel` (the one proven to compile on v5e); 1-input
-    flagship family only.
+    family, both slot layouts (``s=64`` H<=50, ``s=128`` H<=114).
     """
     bf16 = jnp.bfloat16
     inv_b = 1.0 / batch_size
     inv_n = 1.0 / n_data
     C = block_chains
+    row_b1, row_w4, row_scal = _vec_rows(1, s)
+    big_rows = s + VEC_ROWS
+    row_w1 = s
 
     def kernel(int_ref, float_ref,
                tbig, tw3, vbig, vw3, mbig, mw3, xw_ref, yw_ref,
@@ -937,14 +951,14 @@ def _make_multistep_kernel(batch_size, n_data, block_chains, n_windows,
 
         brow = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD), 1)
         bmask = (brow < batch_size).astype(jnp.float32)
-        lane3 = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD, S), 2)
-        lane2 = jax.lax.broadcasted_iota(jnp.int32, (C, S), 1)
+        lane3 = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD, s), 2)
+        lane2 = jax.lax.broadcasted_iota(jnp.int32, (C, s), 1)
         win_iota = jax.lax.broadcasted_iota(jnp.int32, (C, n_windows), 1)
 
         def body(t, carry):
             big = obig[:]
-            w4 = big[:, ROW_W4, :]
-            scal = big[:, ROW_SCAL, :]
+            w4 = big[:, row_w4, :]
+            scal = big[:, row_scal, :]
             b4 = scal[:, LANE_B4:LANE_B4 + 1]
             lvb = scal[:, LANE_LVB:LANE_LVB + 1]
 
@@ -953,18 +967,18 @@ def _make_multistep_kernel(batch_size, n_data, block_chains, n_windows,
                 C, n_windows, win_iota, xw_ref, yw_ref)
 
             # ---- forward ----
-            w1m_bf = big[:, ROW_W1:ROW_B1 + 1, :].astype(bf16)
+            w1m_bf = big[:, row_w1:row_b1 + 1, :].astype(bf16)
             z1 = _bdot(xin_bf, w1m_bf, (((2,), (1,))))
             s_a1[:] = jnp.where(
-                lane3 == BIAS_ROW, 1.0, jnp.tanh(z1)).astype(bf16)
+                lane3 == bias_row, 1.0, jnp.tanh(z1)).astype(bf16)
             a1 = s_a1[:]
             a1f = a1.astype(jnp.float32)
 
-            w2_bf = big[:, 0:S, :].astype(bf16)
+            w2_bf = big[:, 0:s, :].astype(bf16)
             w3_bf = ow3[:].astype(bf16)
             z2 = _bdot(a1, w2_bf, (((2,), (1,))))
             s_a2[:] = jnp.where(
-                lane3 == BIAS_ROW, 1.0, jnp.tanh(z2)).astype(bf16)
+                lane3 == bias_row, 1.0, jnp.tanh(z2)).astype(bf16)
             a2 = s_a2[:]
             a2f = a2.astype(jnp.float32)
             z3 = _bdot(a2, w3_bf, (((2,), (1,))))
@@ -1007,13 +1021,13 @@ def _make_multistep_kernel(batch_size, n_data, block_chains, n_windows,
                 jnp.where(lane2 == LANE_LVB, d_lvb, 0.0),
             ).astype(jnp.float32)
             s_gvec[:, 0:2, :] = g_w1m
-            s_gvec[:, ROW_W4 - S, :] = g_w4
-            s_gvec[:, ROW_SCAL - S, :] = g_scal
-            s_gvec[:, ROW_SCAL - S + 1:VEC_ROWS, :] = jnp.zeros(
-                (C, VEC_ROWS - (ROW_SCAL - S) - 1, S), jnp.float32)
+            s_gvec[:, row_w4 - s, :] = g_w4
+            s_gvec[:, row_scal - s, :] = g_scal
+            s_gvec[:, row_scal - s + 1:VEC_ROWS, :] = jnp.zeros(
+                (C, VEC_ROWS - (row_scal - s) - 1, s), jnp.float32)
             g_vec = s_gvec[:]
 
-            etas = _block_etas(C)
+            etas = _block_etas(C, s)
 
             def _update(theta, v, minv, grad, eta):
                 v32 = v.astype(jnp.float32)
@@ -1027,20 +1041,20 @@ def _make_multistep_kernel(batch_size, n_data, block_chains, n_windows,
                 return theta + v_new, v_new
 
             t_new, v_new = _update(
-                obig[:, 0:S, :], pbig[:, 0:S, :], mbig[:, 0:S, :],
+                obig[:, 0:s, :], pbig[:, 0:s, :], mbig[:, 0:s, :],
                 g_w2, etas[0])
-            obig[:, 0:S, :] = t_new
-            pbig[:, 0:S, :] = v_new.astype(pbig.dtype)
+            obig[:, 0:s, :] = t_new
+            pbig[:, 0:s, :] = v_new.astype(pbig.dtype)
             t_new, v_new = _update(
-                obig[:, S:BIG_ROWS, :], pbig[:, S:BIG_ROWS, :],
-                mbig[:, S:BIG_ROWS, :], g_vec, etas[1])
-            obig[:, S:BIG_ROWS, :] = t_new
-            pbig[:, S:BIG_ROWS, :] = v_new.astype(pbig.dtype)
+                obig[:, s:big_rows, :], pbig[:, s:big_rows, :],
+                mbig[:, s:big_rows, :], g_vec, etas[1])
+            obig[:, s:big_rows, :] = t_new
+            pbig[:, s:big_rows, :] = v_new.astype(pbig.dtype)
             t_new, v_new = _update(ow3[:], pw3[:], mw3[:], g_w3, etas[2])
             ow3[:] = t_new
             pw3[:] = v_new.astype(pw3.dtype)
 
-            obig[:, BIG_ROWS - 1, LANE_B4:LANE_B4 + 1] = cost
+            obig[:, big_rows - 1, LANE_B4:LANE_B4 + 1] = cost
             return carry
 
         jax.lax.fori_loop(0, k_steps, body, 0)
@@ -1066,16 +1080,15 @@ def fused_bnn_multistep(
     ``x_win``/``y_win`` are the SHARED window tables from
     :func:`data_windows` (each chain draws its window index from the
     in-kernel PRNG every step).  The per-chain cost of the final step is
-    returned; intermediate states never leave VMEM.  1-input family only.
+    returned; intermediate states never leave VMEM.  1-input family,
+    both slot layouts (64-slot H <= 50, 128-slot H <= 114).
 
     Returns ``(theta', v', cost)``.
     """
     tbig, tw3 = theta
     n_chains = tbig.shape[0]
-    if tbig.shape[2] != S:
-        raise ValueError(
-            "fused_bnn_multistep supports the 64-slot flagship layout "
-            "only (H <= 50)")
+    s = _multistep_slot(tbig, "fused_bnn_multistep")
+    bias_row = BIAS_ROW if s == S else WIDE_BIAS_ROW
     if n_chains % block_chains:
         raise ValueError(
             "fused_bnn_multistep: n_chains ({}) must be divisible by "
@@ -1095,7 +1108,7 @@ def fused_bnn_multistep(
         jnp.asarray(prior_scale, jnp.float32),
     ])
 
-    state_specs = [_big_spec(block_chains), _mat_spec(block_chains)]
+    state_specs = [_big_spec(block_chains, s), _mat_spec(block_chains, s)]
     in_specs = (
         state_specs + state_specs + state_specs
         + [_table_spec(x_win), _table_spec(y_win)]
@@ -1114,14 +1127,14 @@ def fused_bnn_multistep(
         grid=(n_chains // block_chains,),
         in_specs=in_specs,
         out_specs=out_specs,
-        scratch_shapes=_multistep_scratch(block_chains),
+        scratch_shapes=_multistep_scratch(block_chains, s),
     )
     aliases = {i + 2: i for i in range(2)}
     aliases.update({i + 4: i + 2 for i in range(2)})
 
     kernel = _make_multistep_kernel(
         float(batch_size), float(n_data), block_chains, n_windows,
-        int(k_steps))
+        int(k_steps), s, bias_row)
     interpreter = pltpu.InterpretParams() if interpret else False
     outs = pl.pallas_call(
         kernel,
@@ -1134,7 +1147,7 @@ def fused_bnn_multistep(
     )(int_scalars, float_scalars, *operands)
     theta_new = tuple(outs[0:2])
     v_new = tuple(outs[2:4])
-    cost = theta_new[0][:, BIG_ROWS - 1, 0:1]
+    cost = theta_new[0][:, s + VEC_ROWS - 1, 0:1]
     return theta_new, v_new, cost
 
 
@@ -1898,7 +1911,8 @@ def fused_bnn_step_rsghmc(
 
 
 def _make_multistep_kernel_sgld(batch_size, n_data, block_chains,
-                                n_windows, k_steps):
+                                n_windows, k_steps, s=S,
+                                bias_row=BIAS_ROW):
     """SGLD variant of :func:`_make_multistep_kernel`.
 
     ``k_steps`` momentum-free SGLD updates per launch with theta resident
@@ -1906,7 +1920,7 @@ def _make_multistep_kernel_sgld(batch_size, n_data, block_chains,
     the single-step family via :func:`_fwd_bwd` (which operates on
     VALUES, so it reads the loop state straight from the output refs).
     In-kernel minibatch window selection as in the SGHMC multi-step
-    kernel; 1-input flagship family only.
+    kernel; 1-input family, both slot layouts.
     """
     inv_b = 1.0 / batch_size
     inv_n = 1.0 / n_data
@@ -1925,10 +1939,11 @@ def _make_multistep_kernel_sgld(batch_size, n_data, block_chains,
         obig[:] = tbig[:]
         ow3[:] = tw3[:]
 
+        big_rows = s + VEC_ROWS
         brow = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD), 1)
         bmask = (brow < batch_size).astype(jnp.float32)
-        lane3 = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD, S), 2)
-        lane2 = jax.lax.broadcasted_iota(jnp.int32, (C, S), 1)
+        lane3 = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD, s), 2)
+        lane2 = jax.lax.broadcasted_iota(jnp.int32, (C, s), 1)
         win_iota = jax.lax.broadcasted_iota(jnp.int32, (C, n_windows), 1)
 
         def body(t, carry):
@@ -1939,9 +1954,9 @@ def _make_multistep_kernel_sgld(batch_size, n_data, block_chains,
             cost, g_w2, g_vec, g_w3 = _fwd_bwd(
                 obig[:], ow3[:], xin_bf, y,
                 bmask, lane3, lane2, s_a1, s_a2, s_a3, s_gvec,
-                inv_b, inv_n, 1, C, S, BIAS_ROW)
+                inv_b, inv_n, 1, C, s, bias_row)
 
-            etas = _block_etas(C)
+            etas = _block_etas(C, s)
 
             def _update(theta, minv, grad, eta):
                 minv = minv.astype(jnp.float32)
@@ -1951,13 +1966,13 @@ def _make_multistep_kernel_sgld(batch_size, n_data, block_chains,
                 delta = -eps * minv * a_coef * g + sigma * eta
                 return theta + jnp.where(minv > 0.0, delta, 0.0)
 
-            obig[:, 0:S, :] = _update(
-                obig[:, 0:S, :], mbig[:, 0:S, :], g_w2, etas[0])
-            obig[:, S:BIG_ROWS, :] = _update(
-                obig[:, S:BIG_ROWS, :], mbig[:, S:BIG_ROWS, :],
+            obig[:, 0:s, :] = _update(
+                obig[:, 0:s, :], mbig[:, 0:s, :], g_w2, etas[0])
+            obig[:, s:big_rows, :] = _update(
+                obig[:, s:big_rows, :], mbig[:, s:big_rows, :],
                 g_vec, etas[1])
             ow3[:] = _update(ow3[:], mw3[:], g_w3, etas[2])
-            obig[:, BIG_ROWS - 1, LANE_B4:LANE_B4 + 1] = cost
+            obig[:, big_rows - 1, LANE_B4:LANE_B4 + 1] = cost
             return carry
 
         jax.lax.fori_loop(0, k_steps, body, 0)
@@ -1980,14 +1995,12 @@ def fused_bnn_multistep_sgld(
 
     As :func:`fused_bnn_multistep` but with the momentum-free SGLD
     update; returns ``(theta', cost)`` (cost of the final step).
-    1-input flagship family only.
+    1-input family, both slot layouts.
     """
     tbig, tw3 = theta
     n_chains = tbig.shape[0]
-    if tbig.shape[2] != S:
-        raise ValueError(
-            "fused_bnn_multistep_sgld supports the 64-slot flagship "
-            "layout only (H <= 50)")
+    s = _multistep_slot(tbig, "fused_bnn_multistep_sgld")
+    bias_row = BIAS_ROW if s == S else WIDE_BIAS_ROW
     if n_chains % block_chains:
         raise ValueError(
             "fused_bnn_multistep_sgld: n_chains ({}) must be divisible "
@@ -2008,7 +2021,7 @@ def fused_bnn_multistep_sgld(
         jnp.asarray(prior_scale, jnp.float32),
     ])
 
-    state_specs = [_big_spec(block_chains), _mat_spec(block_chains)]
+    state_specs = [_big_spec(block_chains, s), _mat_spec(block_chains, s)]
     in_specs = (
         state_specs + state_specs
         + [_table_spec(x_win), _table_spec(y_win)]
@@ -2024,11 +2037,11 @@ def fused_bnn_multistep_sgld(
         grid=(n_chains // block_chains,),
         in_specs=in_specs,
         out_specs=tuple(state_specs),
-        scratch_shapes=_multistep_scratch(block_chains),
+        scratch_shapes=_multistep_scratch(block_chains, s),
     )
     kernel = _make_multistep_kernel_sgld(
         float(batch_size), float(n_data), block_chains, n_windows,
-        int(k_steps))
+        int(k_steps), s, bias_row)
     interpreter = pltpu.InterpretParams() if interpret else False
     outs = pl.pallas_call(
         kernel,
@@ -2040,12 +2053,12 @@ def fused_bnn_multistep_sgld(
         interpret=interpreter,
     )(int_scalars, float_scalars, *operands)
     theta_new = tuple(outs[0:2])
-    cost = theta_new[0][:, BIG_ROWS - 1, 0:1]
+    cost = theta_new[0][:, s + VEC_ROWS - 1, 0:1]
     return theta_new, cost
 
 
 def _make_multistep_kernel_sgnht(batch_size, n_data, block_chains,
-                                 n_windows, k_steps, h):
+                                 n_windows, k_steps, h, s=S, bias_row=BIAS_ROW):
     """SGNHT variant of :func:`_make_multistep_kernel`.
 
     The thermostat rides the aliased ``(C, 128)`` xi output ref for the
@@ -2054,11 +2067,12 @@ def _make_multistep_kernel_sgnht(batch_size, n_data, block_chains,
     iteration on the f32 momentum before the state-dtype cast.  Masking
     via the static validity masks (:func:`_psgld_valid_masks`);
     forward/likelihood/backward shared via :func:`_fwd_bwd`.  1-input
-    flagship family only.
+    family, both slot layouts.
     """
     inv_b = 1.0 / batch_size
     inv_n = 1.0 / n_data
     C = block_chains
+    big_rows = s + VEC_ROWS
 
     def kernel(int_ref, float_ref,
                tbig, tw3, vbig, vw3, xi_ref, xw_ref, yw_ref,
@@ -2078,10 +2092,10 @@ def _make_multistep_kernel_sgnht(batch_size, n_data, block_chains,
 
         brow = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD), 1)
         bmask = (brow < batch_size).astype(jnp.float32)
-        lane3 = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD, S), 2)
-        lane2 = jax.lax.broadcasted_iota(jnp.int32, (C, S), 1)
+        lane3 = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD, s), 2)
+        lane2 = jax.lax.broadcasted_iota(jnp.int32, (C, s), 1)
         win_iota = jax.lax.broadcasted_iota(jnp.int32, (C, n_windows), 1)
-        mat_valid, vec_valid = _psgld_valid_masks(C, 1, h, S, BIAS_ROW)
+        mat_valid, vec_valid = _psgld_valid_masks(C, 1, h, s, bias_row)
 
         def body(t, carry):
             xin_bf, y = _select_window_bf(
@@ -2090,9 +2104,9 @@ def _make_multistep_kernel_sgnht(batch_size, n_data, block_chains,
             cost, g_w2, g_vec, g_w3 = _fwd_bwd(
                 obig[:], ow3[:], xin_bf, y,
                 bmask, lane3, lane2, s_a1, s_a2, s_a3, s_gvec,
-                inv_b, inv_n, 1, C, S, BIAS_ROW)
+                inv_b, inv_n, 1, C, s, bias_row)
 
-            etas = _block_etas(C)
+            etas = _block_etas(C, s)
             xi3 = xi_out[:, 0:1][:, :, None]
 
             def _update(theta, v, grad, eta, valid):
@@ -2106,14 +2120,14 @@ def _make_multistep_kernel_sgnht(batch_size, n_data, block_chains,
                 return theta + eps * p_new, p_new, sumsq[:, 0, :]
 
             t_new, p_new, ss_w2 = _update(
-                obig[:, 0:S, :], pbig[:, 0:S, :], g_w2, etas[0], mat_valid)
-            obig[:, 0:S, :] = t_new
-            pbig[:, 0:S, :] = p_new.astype(pbig.dtype)
+                obig[:, 0:s, :], pbig[:, 0:s, :], g_w2, etas[0], mat_valid)
+            obig[:, 0:s, :] = t_new
+            pbig[:, 0:s, :] = p_new.astype(pbig.dtype)
             t_new, p_new, ss_vec = _update(
-                obig[:, S:BIG_ROWS, :], pbig[:, S:BIG_ROWS, :],
+                obig[:, s:big_rows, :], pbig[:, s:big_rows, :],
                 g_vec, etas[1], vec_valid)
-            obig[:, S:BIG_ROWS, :] = t_new
-            pbig[:, S:BIG_ROWS, :] = p_new.astype(pbig.dtype)
+            obig[:, s:big_rows, :] = t_new
+            pbig[:, s:big_rows, :] = p_new.astype(pbig.dtype)
             t_new, p_new, ss_w3 = _update(
                 ow3[:], pw3[:], g_w3, etas[2], mat_valid)
             ow3[:] = t_new
@@ -2122,7 +2136,7 @@ def _make_multistep_kernel_sgnht(batch_size, n_data, block_chains,
             kinetic = (ss_w2 + ss_vec + ss_w3) * inv_d
             xi_new = xi_out[:, 0:1] + eps * (kinetic - 1.0)
             xi_out[:, :] = xi_new + jnp.zeros((C, 128), jnp.float32)
-            obig[:, BIG_ROWS - 1, LANE_B4:LANE_B4 + 1] = cost
+            obig[:, big_rows - 1, LANE_B4:LANE_B4 + 1] = cost
             return carry
 
         jax.lax.fori_loop(0, k_steps, body, 0)
@@ -2146,14 +2160,12 @@ def fused_bnn_multistep_sgnht(
 
     As :func:`fused_bnn_multistep` but with the Nosé-Hoover thermostat
     update; ``xi`` as in :func:`fused_bnn_step_sgnht`.  Returns
-    ``(theta', v', xi', cost)``.  1-input flagship family only.
+    ``(theta', v', xi', cost)``.  1-input family, both slot layouts.
     """
     tbig, tw3 = theta
     n_chains = tbig.shape[0]
-    if tbig.shape[2] != S:
-        raise ValueError(
-            "fused_bnn_multistep_sgnht supports the 64-slot flagship "
-            "layout only (H <= 50)")
+    s = _multistep_slot(tbig, "fused_bnn_multistep_sgnht")
+    bias_row = BIAS_ROW if s == S else WIDE_BIAS_ROW
     if n_chains % block_chains:
         raise ValueError(
             "fused_bnn_multistep_sgnht: n_chains ({}) must be divisible "
@@ -2184,7 +2196,7 @@ def fused_bnn_multistep_sgnht(
     xi_spec = pl.BlockSpec(
         (block_chains, 128), lambda i, *_: (i, 0),
         memory_space=pltpu.VMEM)
-    state_specs = [_big_spec(block_chains), _mat_spec(block_chains)]
+    state_specs = [_big_spec(block_chains, s), _mat_spec(block_chains, s)]
     in_specs = (
         state_specs + state_specs + [xi_spec]
         + [_table_spec(x_win), _table_spec(y_win)]
@@ -2204,12 +2216,12 @@ def fused_bnn_multistep_sgnht(
         grid=(n_chains // block_chains,),
         in_specs=in_specs,
         out_specs=out_specs,
-        scratch_shapes=_multistep_scratch(block_chains),
+        scratch_shapes=_multistep_scratch(block_chains, s),
     )
     aliases = {2: 0, 3: 1, 4: 2, 5: 3, 6: 4}
     kernel = _make_multistep_kernel_sgnht(
         float(batch_size), float(n_data), block_chains, n_windows,
-        int(k_steps), int(h))
+        int(k_steps), int(h), s, bias_row)
     interpreter = pltpu.InterpretParams() if interpret else False
     outs = pl.pallas_call(
         kernel,
@@ -2223,22 +2235,23 @@ def fused_bnn_multistep_sgnht(
     theta_new = tuple(outs[0:2])
     v_new = tuple(outs[2:4])
     xi_new = outs[4]
-    cost = theta_new[0][:, BIG_ROWS - 1, 0:1]
+    cost = theta_new[0][:, s + VEC_ROWS - 1, 0:1]
     return theta_new, v_new, xi_new, cost
 
 
 def _make_multistep_kernel_psgld(batch_size, n_data, block_chains,
-                                 n_windows, k_steps, h):
+                                 n_windows, k_steps, h, s=S, bias_row=BIAS_ROW):
     """pSGLD variant of :func:`_make_multistep_kernel`.
 
     The RMSprop preconditioner accumulator rides the aliased f32 output
     refs across the k-step loop (it adapts every step — pSGLD has no
     frozen phase); masking and fwd/bwd as in the SGNHT multi-step
-    kernel.  1-input flagship family only.
+    kernel.  1-input family, both slot layouts.
     """
     inv_b = 1.0 / batch_size
     inv_n = 1.0 / n_data
     C = block_chains
+    big_rows = s + VEC_ROWS
 
     def kernel(int_ref, float_ref,
                tbig, tw3, vbig, vw3, xw_ref, yw_ref,
@@ -2258,10 +2271,10 @@ def _make_multistep_kernel_psgld(batch_size, n_data, block_chains,
 
         brow = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD), 1)
         bmask = (brow < batch_size).astype(jnp.float32)
-        lane3 = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD, S), 2)
-        lane2 = jax.lax.broadcasted_iota(jnp.int32, (C, S), 1)
+        lane3 = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD, s), 2)
+        lane2 = jax.lax.broadcasted_iota(jnp.int32, (C, s), 1)
         win_iota = jax.lax.broadcasted_iota(jnp.int32, (C, n_windows), 1)
-        mat_valid, vec_valid = _psgld_valid_masks(C, 1, h, S, BIAS_ROW)
+        mat_valid, vec_valid = _psgld_valid_masks(C, 1, h, s, bias_row)
 
         def body(t, carry):
             xin_bf, y = _select_window_bf(
@@ -2270,9 +2283,9 @@ def _make_multistep_kernel_psgld(batch_size, n_data, block_chains,
             cost, g_w2, g_vec, g_w3 = _fwd_bwd(
                 obig[:], ow3[:], xin_bf, y,
                 bmask, lane3, lane2, s_a1, s_a2, s_a3, s_gvec,
-                inv_b, inv_n, 1, C, S, BIAS_ROW)
+                inv_b, inv_n, 1, C, s, bias_row)
 
-            etas = _block_etas(C)
+            etas = _block_etas(C, s)
 
             def _update(theta, v, grad, eta, valid):
                 v32 = v.astype(jnp.float32)
@@ -2284,19 +2297,19 @@ def _make_multistep_kernel_psgld(batch_size, n_data, block_chains,
                 return theta + delta * valid, v_new * valid
 
             t_new, v_new = _update(
-                obig[:, 0:S, :], pbig[:, 0:S, :], g_w2, etas[0], mat_valid)
-            obig[:, 0:S, :] = t_new
-            pbig[:, 0:S, :] = v_new.astype(pbig.dtype)
+                obig[:, 0:s, :], pbig[:, 0:s, :], g_w2, etas[0], mat_valid)
+            obig[:, 0:s, :] = t_new
+            pbig[:, 0:s, :] = v_new.astype(pbig.dtype)
             t_new, v_new = _update(
-                obig[:, S:BIG_ROWS, :], pbig[:, S:BIG_ROWS, :],
+                obig[:, s:big_rows, :], pbig[:, s:big_rows, :],
                 g_vec, etas[1], vec_valid)
-            obig[:, S:BIG_ROWS, :] = t_new
-            pbig[:, S:BIG_ROWS, :] = v_new.astype(pbig.dtype)
+            obig[:, s:big_rows, :] = t_new
+            pbig[:, s:big_rows, :] = v_new.astype(pbig.dtype)
             t_new, v_new = _update(
                 ow3[:], pw3[:], g_w3, etas[2], mat_valid)
             ow3[:] = t_new
             pw3[:] = v_new.astype(pw3.dtype)
-            obig[:, BIG_ROWS - 1, LANE_B4:LANE_B4 + 1] = cost
+            obig[:, big_rows - 1, LANE_B4:LANE_B4 + 1] = cost
             return carry
 
         jax.lax.fori_loop(0, k_steps, body, 0)
@@ -2305,16 +2318,17 @@ def _make_multistep_kernel_psgld(batch_size, n_data, block_chains,
 
 
 def _make_multistep_kernel_rsghmc(batch_size, n_data, block_chains,
-                                  n_windows, k_steps, h):
+                                  n_windows, k_steps, h, s=S, bias_row=BIAS_ROW):
     """Relativistic-SGHMC variant of :func:`_make_multistep_kernel`.
 
     Momentum rides the aliased output refs; the relativistic velocity
     (one rsqrt per element) and log-likelihood-convention gradients as in
-    :func:`_make_kernel_rsghmc`.  1-input flagship family only.
+    :func:`_make_kernel_rsghmc`.  1-input family, both slot layouts.
     """
     inv_b = 1.0 / batch_size
     inv_n = 1.0 / n_data
     C = block_chains
+    big_rows = s + VEC_ROWS
 
     def kernel(int_ref, float_ref,
                tbig, tw3, vbig, vw3, xw_ref, yw_ref,
@@ -2335,10 +2349,10 @@ def _make_multistep_kernel_rsghmc(batch_size, n_data, block_chains,
 
         brow = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD), 1)
         bmask = (brow < batch_size).astype(jnp.float32)
-        lane3 = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD, S), 2)
-        lane2 = jax.lax.broadcasted_iota(jnp.int32, (C, S), 1)
+        lane3 = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD, s), 2)
+        lane2 = jax.lax.broadcasted_iota(jnp.int32, (C, s), 1)
         win_iota = jax.lax.broadcasted_iota(jnp.int32, (C, n_windows), 1)
-        mat_valid, vec_valid = _psgld_valid_masks(C, 1, h, S, BIAS_ROW)
+        mat_valid, vec_valid = _psgld_valid_masks(C, 1, h, s, bias_row)
 
         def body(t, carry):
             xin_bf, y = _select_window_bf(
@@ -2347,9 +2361,9 @@ def _make_multistep_kernel_rsghmc(batch_size, n_data, block_chains,
             cost, g_w2, g_vec, g_w3 = _fwd_bwd(
                 obig[:], ow3[:], xin_bf, y,
                 bmask, lane3, lane2, s_a1, s_a2, s_a3, s_gvec,
-                inv_b, inv_n, 1, C, S, BIAS_ROW)
+                inv_b, inv_n, 1, C, s, bias_row)
 
-            etas = _block_etas(C)
+            etas = _block_etas(C, s)
 
             def vel(p):
                 return eps * p * inv_m * jax.lax.rsqrt(
@@ -2363,19 +2377,19 @@ def _make_multistep_kernel_rsghmc(batch_size, n_data, block_chains,
                 return theta + vel(p_new) * valid, p_new
 
             t_new, p_new = _update(
-                obig[:, 0:S, :], pbig[:, 0:S, :], g_w2, etas[0], mat_valid)
-            obig[:, 0:S, :] = t_new
-            pbig[:, 0:S, :] = p_new.astype(pbig.dtype)
+                obig[:, 0:s, :], pbig[:, 0:s, :], g_w2, etas[0], mat_valid)
+            obig[:, 0:s, :] = t_new
+            pbig[:, 0:s, :] = p_new.astype(pbig.dtype)
             t_new, p_new = _update(
-                obig[:, S:BIG_ROWS, :], pbig[:, S:BIG_ROWS, :],
+                obig[:, s:big_rows, :], pbig[:, s:big_rows, :],
                 g_vec, etas[1], vec_valid)
-            obig[:, S:BIG_ROWS, :] = t_new
-            pbig[:, S:BIG_ROWS, :] = p_new.astype(pbig.dtype)
+            obig[:, s:big_rows, :] = t_new
+            pbig[:, s:big_rows, :] = p_new.astype(pbig.dtype)
             t_new, p_new = _update(
                 ow3[:], pw3[:], g_w3, etas[2], mat_valid)
             ow3[:] = t_new
             pw3[:] = p_new.astype(pw3.dtype)
-            obig[:, BIG_ROWS - 1, LANE_B4:LANE_B4 + 1] = cost
+            obig[:, big_rows - 1, LANE_B4:LANE_B4 + 1] = cost
             return carry
 
         jax.lax.fori_loop(0, k_steps, body, 0)
@@ -2391,9 +2405,10 @@ def _multistep_family_call(kernel, theta, v, tables, out_dtypes,
     momentum outputs, shared window tables, the standard scratch set."""
     tbig, _ = theta
     n_chains = tbig.shape[0]
+    s = tbig.shape[2]
     x_win, y_win = tables
 
-    state_specs = [_big_spec(block_chains), _mat_spec(block_chains)]
+    state_specs = [_big_spec(block_chains, s), _mat_spec(block_chains, s)]
     in_specs = (
         state_specs + state_specs
         + [_table_spec(x_win), _table_spec(y_win)]
@@ -2409,7 +2424,7 @@ def _multistep_family_call(kernel, theta, v, tables, out_dtypes,
         grid=(n_chains // block_chains,),
         in_specs=in_specs,
         out_specs=tuple(state_specs) + tuple(state_specs),
-        scratch_shapes=_multistep_scratch(block_chains),
+        scratch_shapes=_multistep_scratch(block_chains, s),
     )
     aliases = {2: 0, 3: 1, 4: 2, 5: 3}
     interpreter = pltpu.InterpretParams() if interpret else False
@@ -2424,7 +2439,7 @@ def _multistep_family_call(kernel, theta, v, tables, out_dtypes,
     )(int_scalars, float_scalars, *operands)
     theta_new = tuple(outs[0:2])
     v_new = tuple(outs[2:4])
-    cost = theta_new[0][:, BIG_ROWS - 1, 0:1]
+    cost = theta_new[0][:, s + VEC_ROWS - 1, 0:1]
     return theta_new, v_new, cost
 
 
@@ -2444,14 +2459,12 @@ def fused_bnn_multistep_psgld(
 
     As :func:`fused_bnn_multistep` but with the RMSprop-preconditioned
     pSGLD update (accumulator ``v`` stays f32 and adapts in-loop).
-    Returns ``(theta', v', cost)``.  1-input flagship family only.
+    Returns ``(theta', v', cost)``.  1-input family, both slot layouts.
     """
     tbig, tw3 = theta
     n_chains = tbig.shape[0]
-    if tbig.shape[2] != S:
-        raise ValueError(
-            "fused_bnn_multistep_psgld supports the 64-slot flagship "
-            "layout only (H <= 50)")
+    s = _multistep_slot(tbig, "fused_bnn_multistep_psgld")
+    bias_row = BIAS_ROW if s == S else WIDE_BIAS_ROW
     if n_chains % block_chains:
         raise ValueError(
             "fused_bnn_multistep_psgld: n_chains ({}) must be divisible "
@@ -2472,7 +2485,7 @@ def fused_bnn_multistep_psgld(
     ])
     kernel = _make_multistep_kernel_psgld(
         float(batch_size), float(n_data), block_chains,
-        x_win.shape[0], int(k_steps), int(h))
+        x_win.shape[0], int(k_steps), int(h), s, bias_row)
     return _multistep_family_call(
         kernel, theta, v, (x_win, y_win), (jnp.float32, jnp.float32),
         int_scalars, float_scalars, block_chains, interpret)
@@ -2494,14 +2507,12 @@ def fused_bnn_multistep_rsghmc(
 
     As :func:`fused_bnn_multistep` but with the relativistic momentum
     update of :func:`fused_bnn_step_rsghmc`.  Returns
-    ``(theta', p', cost)``.  1-input flagship family only.
+    ``(theta', p', cost)``.  1-input family, both slot layouts.
     """
     tbig, tw3 = theta
     n_chains = tbig.shape[0]
-    if tbig.shape[2] != S:
-        raise ValueError(
-            "fused_bnn_multistep_rsghmc supports the 64-slot flagship "
-            "layout only (H <= 50)")
+    s = _multistep_slot(tbig, "fused_bnn_multistep_rsghmc")
+    bias_row = BIAS_ROW if s == S else WIDE_BIAS_ROW
     if n_chains % block_chains:
         raise ValueError(
             "fused_bnn_multistep_rsghmc: n_chains ({}) must be divisible "
@@ -2526,7 +2537,7 @@ def fused_bnn_multistep_rsghmc(
     ])
     kernel = _make_multistep_kernel_rsghmc(
         float(batch_size), float(n_data), block_chains,
-        x_win.shape[0], int(k_steps), int(h))
+        x_win.shape[0], int(k_steps), int(h), s, bias_row)
     return _multistep_family_call(
         kernel, theta, v, (x_win, y_win), (jnp.float32, state_dtype),
         int_scalars, float_scalars, block_chains, interpret)
