@@ -717,6 +717,10 @@ def fused_bnn_step(
         if noise is not None:
             raise ValueError(
                 "select_in_kernel does not combine with injected noise")
+        if n_inputs != 1:
+            raise ValueError(
+                "select_in_kernel supports n_inputs=1 only; the "
+                "multi-step kernels cover the multi-input case")
         n_windows = x_sel.shape[0]
         xin = jnp.asarray(x_sel, jnp.float32)
         y_sel = jnp.asarray(y_sel, jnp.float32)
@@ -843,23 +847,31 @@ def fused_bnn_step(
 
 #  Multi-step kernel: k steps per launch, state resident in VMEM -------------
 
-def _select_window_bf(c, n_windows, win_iota, xw_ref, yw_ref):
+def _select_window_bf(c, n_windows, win_iota, xw_ref, yw_ref, n_inputs=1):
     """In-kernel minibatch window selection, shared by every multi-step
     kernel: draw a per-chain window index from the in-kernel PRNG and
-    gather the (x, y) window with one masked dot against the shared
-    tables.  Returns ``(xin_bf, y)`` — the bf16 ``[x, 1]`` input lanes
-    and the f32 targets.  1-input family only."""
+    gather the (x, y) window with one masked dot per feature against the
+    shared tables.  ``xw_ref`` is ``(n_windows, B_PAD)`` for 1 input or
+    feature-major ``(n_inputs, n_windows, B_PAD)`` for multi-input (the
+    drivers transpose :func:`data_windows` output).  Returns
+    ``(xin_bf, y)`` — the bf16 ``[x.., 1]`` input lanes and the f32
+    targets."""
     u = _uniform_3d((c, 8))[:, 0:1]
     widx = jnp.clip((u * n_windows).astype(jnp.int32), 0, n_windows - 1)
     onehot = (win_iota == widx).astype(jnp.float32)
-    x_sel = jax.lax.dot_general(
-        onehot, xw_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    y = jax.lax.dot_general(
-        onehot, yw_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+
+    def gather(table):
+        return jax.lax.dot_general(
+            onehot, table, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    if n_inputs == 1:
+        parts = [gather(xw_ref[:])]
+    else:
+        parts = [gather(xw_ref[i]) for i in range(n_inputs)]
+    y = gather(yw_ref[:])
     xin_bf = jnp.stack(
-        [x_sel, jnp.ones_like(x_sel)], axis=2).astype(jnp.bfloat16)
+        parts + [jnp.ones_like(parts[0])], axis=2).astype(jnp.bfloat16)
     return xin_bf, y
 
 
@@ -880,6 +892,30 @@ def _table_spec(arr):
     """Whole-array VMEM spec for grid-invariant shared window tables."""
     return pl.BlockSpec(tuple(arr.shape), lambda i, *_: (0,) * arr.ndim,
                         memory_space=pltpu.VMEM)
+
+
+def _multistep_tables(x_win, name):
+    """Normalize :func:`data_windows` x output for the multi-step kernels.
+
+    Returns ``(n_windows, n_inputs, xw_op)`` where ``xw_op`` is the
+    kernel operand: the ``(n_windows, B_PAD)`` table itself for 1 input,
+    or the feature-major ``(n_inputs, n_windows, B_PAD)`` transpose for
+    multi-input (so the kernel gathers each feature with one 2-D dot
+    against a leading-dim slice)."""
+    x_win = jnp.asarray(x_win, jnp.float32)
+    if x_win.ndim == 2:
+        return x_win.shape[0], 1, x_win
+    if x_win.ndim == 3:
+        n_inputs = x_win.shape[2]
+        if not 1 <= n_inputs <= MAX_INPUTS:
+            raise ValueError(
+                "{}: supports 1..{} input features; got {}".format(
+                    name, MAX_INPUTS, n_inputs))
+        return x_win.shape[0], n_inputs, jnp.transpose(x_win, (2, 0, 1))
+    raise ValueError(
+        "{}: x_win must be (n_windows, B_PAD) or (n_windows, B_PAD, "
+        "n_inputs) from data_windows; got shape {}".format(
+            name, x_win.shape))
 
 
 def _multistep_slot(tbig, name):
@@ -906,7 +942,7 @@ def _multistep_scratch(block_chains, s=S):
 
 
 def _make_multistep_kernel(batch_size, n_data, block_chains, n_windows,
-                           k_steps, s=S, bias_row=BIAS_ROW):
+                           k_steps, s=S, bias_row=BIAS_ROW, n_inputs=1):
     """flash-SGHMC kernel advancing ``k_steps`` steps per launch.
 
     The round-2 kernel round-trips theta/v through HBM every step (~1 GB
@@ -929,7 +965,7 @@ def _make_multistep_kernel(batch_size, n_data, block_chains, n_windows,
     inv_b = 1.0 / batch_size
     inv_n = 1.0 / n_data
     C = block_chains
-    row_b1, row_w4, row_scal = _vec_rows(1, s)
+    row_b1, row_w4, row_scal = _vec_rows(n_inputs, s)
     big_rows = s + VEC_ROWS
     row_w1 = s
 
@@ -964,7 +1000,7 @@ def _make_multistep_kernel(batch_size, n_data, block_chains, n_windows,
 
             # ---- in-kernel minibatch selection ----
             xin_bf, y = _select_window_bf(
-                C, n_windows, win_iota, xw_ref, yw_ref)
+                C, n_windows, win_iota, xw_ref, yw_ref, n_inputs)
 
             # ---- forward ----
             w1m_bf = big[:, row_w1:row_b1 + 1, :].astype(bf16)
@@ -1020,7 +1056,7 @@ def _make_multistep_kernel(batch_size, n_data, block_chains, n_windows,
                 lane2 == LANE_B4, g_b4,
                 jnp.where(lane2 == LANE_LVB, d_lvb, 0.0),
             ).astype(jnp.float32)
-            s_gvec[:, 0:2, :] = g_w1m
+            s_gvec[:, 0:n_inputs + 1, :] = g_w1m
             s_gvec[:, row_w4 - s, :] = g_w4
             s_gvec[:, row_scal - s, :] = g_scal
             s_gvec[:, row_scal - s + 1:VEC_ROWS, :] = jnp.zeros(
@@ -1093,12 +1129,8 @@ def fused_bnn_multistep(
         raise ValueError(
             "fused_bnn_multistep: n_chains ({}) must be divisible by "
             "block_chains ({})".format(n_chains, block_chains))
-    n_windows = x_win.shape[0]
-    if x_win.ndim != 2:
-        raise ValueError(
-            "fused_bnn_multistep supports the 1-input flagship family "
-            "(x_win of shape (n_windows, B_PAD)); got shape {}".format(
-                x_win.shape))
+    n_windows, n_inputs, xw_op = _multistep_tables(
+        x_win, "fused_bnn_multistep")
 
     eps32 = jnp.asarray(eps, jnp.float32)
     int_scalars = jnp.asarray(seed, jnp.int32).reshape(1)
@@ -1111,10 +1143,10 @@ def fused_bnn_multistep(
     state_specs = [_big_spec(block_chains, s), _mat_spec(block_chains, s)]
     in_specs = (
         state_specs + state_specs + state_specs
-        + [_table_spec(x_win), _table_spec(y_win)]
+        + [_table_spec(xw_op), _table_spec(y_win)]
     )
     operands = list(theta) + list(v) + list(minv) + [
-        jnp.asarray(x_win, jnp.float32), jnp.asarray(y_win, jnp.float32)]
+        xw_op, jnp.asarray(y_win, jnp.float32)]
 
     out_shape = (
         tuple(jax.ShapeDtypeStruct(t.shape, jnp.float32) for t in theta)
@@ -1134,7 +1166,7 @@ def fused_bnn_multistep(
 
     kernel = _make_multistep_kernel(
         float(batch_size), float(n_data), block_chains, n_windows,
-        int(k_steps), s, bias_row)
+        int(k_steps), s, bias_row, n_inputs)
     interpreter = pltpu.InterpretParams() if interpret else False
     outs = pl.pallas_call(
         kernel,
@@ -1912,7 +1944,7 @@ def fused_bnn_step_rsghmc(
 
 def _make_multistep_kernel_sgld(batch_size, n_data, block_chains,
                                 n_windows, k_steps, s=S,
-                                bias_row=BIAS_ROW):
+                                bias_row=BIAS_ROW, n_inputs=1):
     """SGLD variant of :func:`_make_multistep_kernel`.
 
     ``k_steps`` momentum-free SGLD updates per launch with theta resident
@@ -1949,12 +1981,12 @@ def _make_multistep_kernel_sgld(batch_size, n_data, block_chains,
         def body(t, carry):
             # ---- in-kernel minibatch selection ----
             xin_bf, y = _select_window_bf(
-                C, n_windows, win_iota, xw_ref, yw_ref)
+                C, n_windows, win_iota, xw_ref, yw_ref, n_inputs)
 
             cost, g_w2, g_vec, g_w3 = _fwd_bwd(
                 obig[:], ow3[:], xin_bf, y,
                 bmask, lane3, lane2, s_a1, s_a2, s_a3, s_gvec,
-                inv_b, inv_n, 1, C, s, bias_row)
+                inv_b, inv_n, n_inputs, C, s, bias_row)
 
             etas = _block_etas(C, s)
 
@@ -2005,12 +2037,8 @@ def fused_bnn_multistep_sgld(
         raise ValueError(
             "fused_bnn_multistep_sgld: n_chains ({}) must be divisible "
             "by block_chains ({})".format(n_chains, block_chains))
-    n_windows = x_win.shape[0]
-    if x_win.ndim != 2:
-        raise ValueError(
-            "fused_bnn_multistep_sgld supports the 1-input flagship "
-            "family (x_win of shape (n_windows, B_PAD)); got shape "
-            "{}".format(x_win.shape))
+    n_windows, n_inputs, xw_op = _multistep_tables(
+        x_win, "fused_bnn_multistep_sgld")
 
     eps32 = jnp.asarray(eps, jnp.float32)
     int_scalars = jnp.asarray(seed, jnp.int32).reshape(1)
@@ -2024,10 +2052,10 @@ def fused_bnn_multistep_sgld(
     state_specs = [_big_spec(block_chains, s), _mat_spec(block_chains, s)]
     in_specs = (
         state_specs + state_specs
-        + [_table_spec(x_win), _table_spec(y_win)]
+        + [_table_spec(xw_op), _table_spec(y_win)]
     )
     operands = list(theta) + list(minv) + [
-        jnp.asarray(x_win, jnp.float32), jnp.asarray(y_win, jnp.float32)]
+        xw_op, jnp.asarray(y_win, jnp.float32)]
 
     out_shape = tuple(
         jax.ShapeDtypeStruct(t.shape, jnp.float32) for t in theta)
@@ -2041,7 +2069,7 @@ def fused_bnn_multistep_sgld(
     )
     kernel = _make_multistep_kernel_sgld(
         float(batch_size), float(n_data), block_chains, n_windows,
-        int(k_steps), s, bias_row)
+        int(k_steps), s, bias_row, n_inputs)
     interpreter = pltpu.InterpretParams() if interpret else False
     outs = pl.pallas_call(
         kernel,
@@ -2058,7 +2086,8 @@ def fused_bnn_multistep_sgld(
 
 
 def _make_multistep_kernel_sgnht(batch_size, n_data, block_chains,
-                                 n_windows, k_steps, h, s=S, bias_row=BIAS_ROW):
+                                 n_windows, k_steps, h, s=S, bias_row=BIAS_ROW,
+                                  n_inputs=1):
     """SGNHT variant of :func:`_make_multistep_kernel`.
 
     The thermostat rides the aliased ``(C, 128)`` xi output ref for the
@@ -2095,16 +2124,16 @@ def _make_multistep_kernel_sgnht(batch_size, n_data, block_chains,
         lane3 = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD, s), 2)
         lane2 = jax.lax.broadcasted_iota(jnp.int32, (C, s), 1)
         win_iota = jax.lax.broadcasted_iota(jnp.int32, (C, n_windows), 1)
-        mat_valid, vec_valid = _psgld_valid_masks(C, 1, h, s, bias_row)
+        mat_valid, vec_valid = _psgld_valid_masks(C, n_inputs, h, s, bias_row)
 
         def body(t, carry):
             xin_bf, y = _select_window_bf(
-                C, n_windows, win_iota, xw_ref, yw_ref)
+                C, n_windows, win_iota, xw_ref, yw_ref, n_inputs)
 
             cost, g_w2, g_vec, g_w3 = _fwd_bwd(
                 obig[:], ow3[:], xin_bf, y,
                 bmask, lane3, lane2, s_a1, s_a2, s_a3, s_gvec,
-                inv_b, inv_n, 1, C, s, bias_row)
+                inv_b, inv_n, n_inputs, C, s, bias_row)
 
             etas = _block_etas(C, s)
             xi3 = xi_out[:, 0:1][:, :, None]
@@ -2174,13 +2203,9 @@ def fused_bnn_multistep_sgnht(
         raise ValueError(
             "fused_bnn_multistep_sgnht: xi must be a replicated "
             "({}, 128) row; got {}".format(n_chains, xi.shape))
-    n_windows = x_win.shape[0]
-    if x_win.ndim != 2:
-        raise ValueError(
-            "fused_bnn_multistep_sgnht supports the 1-input flagship "
-            "family (x_win of shape (n_windows, B_PAD)); got shape "
-            "{}".format(x_win.shape))
-    n_dim = 2 * (h + 1) * h + 3 * h + 2
+    n_windows, n_inputs, xw_op = _multistep_tables(
+        x_win, "fused_bnn_multistep_sgnht")
+    n_dim = 2 * (h + 1) * h + (n_inputs + 2) * h + 2
 
     eps32 = jnp.asarray(eps, jnp.float32)
     int_scalars = jnp.asarray(seed, jnp.int32).reshape(1)
@@ -2199,10 +2224,10 @@ def fused_bnn_multistep_sgnht(
     state_specs = [_big_spec(block_chains, s), _mat_spec(block_chains, s)]
     in_specs = (
         state_specs + state_specs + [xi_spec]
-        + [_table_spec(x_win), _table_spec(y_win)]
+        + [_table_spec(xw_op), _table_spec(y_win)]
     )
     operands = list(theta) + list(v) + [xi] + [
-        jnp.asarray(x_win, jnp.float32), jnp.asarray(y_win, jnp.float32)]
+        xw_op, jnp.asarray(y_win, jnp.float32)]
 
     out_shape = (
         tuple(jax.ShapeDtypeStruct(t.shape, jnp.float32) for t in theta)
@@ -2221,7 +2246,7 @@ def fused_bnn_multistep_sgnht(
     aliases = {2: 0, 3: 1, 4: 2, 5: 3, 6: 4}
     kernel = _make_multistep_kernel_sgnht(
         float(batch_size), float(n_data), block_chains, n_windows,
-        int(k_steps), int(h), s, bias_row)
+        int(k_steps), int(h), s, bias_row, n_inputs)
     interpreter = pltpu.InterpretParams() if interpret else False
     outs = pl.pallas_call(
         kernel,
@@ -2240,7 +2265,8 @@ def fused_bnn_multistep_sgnht(
 
 
 def _make_multistep_kernel_psgld(batch_size, n_data, block_chains,
-                                 n_windows, k_steps, h, s=S, bias_row=BIAS_ROW):
+                                 n_windows, k_steps, h, s=S, bias_row=BIAS_ROW,
+                                  n_inputs=1):
     """pSGLD variant of :func:`_make_multistep_kernel`.
 
     The RMSprop preconditioner accumulator rides the aliased f32 output
@@ -2274,16 +2300,16 @@ def _make_multistep_kernel_psgld(batch_size, n_data, block_chains,
         lane3 = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD, s), 2)
         lane2 = jax.lax.broadcasted_iota(jnp.int32, (C, s), 1)
         win_iota = jax.lax.broadcasted_iota(jnp.int32, (C, n_windows), 1)
-        mat_valid, vec_valid = _psgld_valid_masks(C, 1, h, s, bias_row)
+        mat_valid, vec_valid = _psgld_valid_masks(C, n_inputs, h, s, bias_row)
 
         def body(t, carry):
             xin_bf, y = _select_window_bf(
-                C, n_windows, win_iota, xw_ref, yw_ref)
+                C, n_windows, win_iota, xw_ref, yw_ref, n_inputs)
 
             cost, g_w2, g_vec, g_w3 = _fwd_bwd(
                 obig[:], ow3[:], xin_bf, y,
                 bmask, lane3, lane2, s_a1, s_a2, s_a3, s_gvec,
-                inv_b, inv_n, 1, C, s, bias_row)
+                inv_b, inv_n, n_inputs, C, s, bias_row)
 
             etas = _block_etas(C, s)
 
@@ -2318,7 +2344,8 @@ def _make_multistep_kernel_psgld(batch_size, n_data, block_chains,
 
 
 def _make_multistep_kernel_rsghmc(batch_size, n_data, block_chains,
-                                  n_windows, k_steps, h, s=S, bias_row=BIAS_ROW):
+                                  n_windows, k_steps, h, s=S, bias_row=BIAS_ROW,
+                                  n_inputs=1):
     """Relativistic-SGHMC variant of :func:`_make_multistep_kernel`.
 
     Momentum rides the aliased output refs; the relativistic velocity
@@ -2352,16 +2379,16 @@ def _make_multistep_kernel_rsghmc(batch_size, n_data, block_chains,
         lane3 = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD, s), 2)
         lane2 = jax.lax.broadcasted_iota(jnp.int32, (C, s), 1)
         win_iota = jax.lax.broadcasted_iota(jnp.int32, (C, n_windows), 1)
-        mat_valid, vec_valid = _psgld_valid_masks(C, 1, h, s, bias_row)
+        mat_valid, vec_valid = _psgld_valid_masks(C, n_inputs, h, s, bias_row)
 
         def body(t, carry):
             xin_bf, y = _select_window_bf(
-                C, n_windows, win_iota, xw_ref, yw_ref)
+                C, n_windows, win_iota, xw_ref, yw_ref, n_inputs)
 
             cost, g_w2, g_vec, g_w3 = _fwd_bwd(
                 obig[:], ow3[:], xin_bf, y,
                 bmask, lane3, lane2, s_a1, s_a2, s_a3, s_gvec,
-                inv_b, inv_n, 1, C, s, bias_row)
+                inv_b, inv_n, n_inputs, C, s, bias_row)
 
             etas = _block_etas(C, s)
 
@@ -2469,11 +2496,8 @@ def fused_bnn_multistep_psgld(
         raise ValueError(
             "fused_bnn_multistep_psgld: n_chains ({}) must be divisible "
             "by block_chains ({})".format(n_chains, block_chains))
-    if x_win.ndim != 2:
-        raise ValueError(
-            "fused_bnn_multistep_psgld supports the 1-input flagship "
-            "family (x_win of shape (n_windows, B_PAD)); got shape "
-            "{}".format(x_win.shape))
+    n_windows, n_inputs, xw_op = _multistep_tables(
+        x_win, "fused_bnn_multistep_psgld")
 
     int_scalars = jnp.asarray(seed, jnp.int32).reshape(1)
     float_scalars = jnp.stack([
@@ -2485,9 +2509,9 @@ def fused_bnn_multistep_psgld(
     ])
     kernel = _make_multistep_kernel_psgld(
         float(batch_size), float(n_data), block_chains,
-        x_win.shape[0], int(k_steps), int(h), s, bias_row)
+        n_windows, int(k_steps), int(h), s, bias_row, n_inputs)
     return _multistep_family_call(
-        kernel, theta, v, (x_win, y_win), (jnp.float32, jnp.float32),
+        kernel, theta, v, (xw_op, y_win), (jnp.float32, jnp.float32),
         int_scalars, float_scalars, block_chains, interpret)
 
 
@@ -2517,11 +2541,8 @@ def fused_bnn_multistep_rsghmc(
         raise ValueError(
             "fused_bnn_multistep_rsghmc: n_chains ({}) must be divisible "
             "by block_chains ({})".format(n_chains, block_chains))
-    if x_win.ndim != 2:
-        raise ValueError(
-            "fused_bnn_multistep_rsghmc supports the 1-input flagship "
-            "family (x_win of shape (n_windows, B_PAD)); got shape "
-            "{}".format(x_win.shape))
+    n_windows, n_inputs, xw_op = _multistep_tables(
+        x_win, "fused_bnn_multistep_rsghmc")
 
     eps32 = jnp.asarray(eps, jnp.float32)
     int_scalars = jnp.asarray(seed, jnp.int32).reshape(1)
@@ -2537,7 +2558,7 @@ def fused_bnn_multistep_rsghmc(
     ])
     kernel = _make_multistep_kernel_rsghmc(
         float(batch_size), float(n_data), block_chains,
-        x_win.shape[0], int(k_steps), int(h), s, bias_row)
+        n_windows, int(k_steps), int(h), s, bias_row, n_inputs)
     return _multistep_family_call(
-        kernel, theta, v, (x_win, y_win), (jnp.float32, state_dtype),
+        kernel, theta, v, (xw_op, y_win), (jnp.float32, state_dtype),
         int_scalars, float_scalars, block_chains, interpret)

@@ -766,10 +766,6 @@ def sample_chain_fused(
     schedule_state0 = _shared_schedule_state(states, "sample_chain_fused")
     step0 = jnp.max(states.step) if jnp.ndim(states.step) else states.step
 
-    if multistep and n_inputs != 1:
-        raise ValueError(
-            "multistep supports the 1-input flagship family only")
-
     def one_step(carry, _):
         theta, v, xi, key, step = carry
         key, key_batch = jax.random.split(key)

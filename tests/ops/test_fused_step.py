@@ -757,3 +757,76 @@ def test_wide_slot_multistep():
         name = type(smp).__name__
         assert np.isfinite(np.asarray(costs)).all(), name
         assert pos["w2"].shape == (n, 2, h, h), name
+
+
+@pytest.mark.slow
+def test_multi_input_multistep():
+    """n_inputs=3 through the multi-step kernels: the drivers transpose
+    the window tables feature-major and the kernel gathers each feature
+    with one dot; dead padding rows stay zero on the raw entry point."""
+    from pysgmcmc_tpu.data_batches import batch_fn as make_batch_fn
+    from pysgmcmc_tpu.models.architectures import dense_network
+    from pysgmcmc_tpu.models.bayesian_neural_network import (
+        log_variance_prior_log_like,
+    )
+    from pysgmcmc_tpu.ops.fused_step import fused_bnn_multistep
+    from pysgmcmc_tpu.parallel.packed import sample_chain_fused
+    from pysgmcmc_tpu.samplers.psgld import PSGLDSampler
+    from pysgmcmc_tpu.samplers.sghmc import SGHMCSampler
+
+    k, h, n = 3, 50, 2
+    rng = np.random.RandomState(0)
+    x = rng.uniform(0.0, 1.0, (100, k)).astype(np.float32)
+    y = np.sin(x.sum(axis=1, keepdims=True)).astype(np.float32)
+    init_fn, apply_fn = dense_network(k, units=(h, h, h))
+    params = jax.vmap(init_fn)(jax.random.split(jax.random.PRNGKey(0), n))
+
+    # raw entry point: vec rows shift by n_inputs; cost row stays dead
+    theta = pack_fused(params)
+    v = tuple(jnp.zeros_like(t) for t in theta)
+    minv = tuple((jnp.abs(t) > 0).astype(jnp.float32) for t in theta)
+    x_win, y_win = data_windows(x, y, 20)
+    assert x_win.shape == (81, B_PAD, k)
+    theta2, v2, cost_out = fused_bnn_multistep(
+        theta, v, minv, x_win, y_win, 1e-3, 7,
+        scale_grad=100.0, batch_size=20, n_data=100, block_chains=n,
+        state_dtype=jnp.float32, k_steps=3, interpret=True)
+    assert np.isfinite(np.asarray(cost_out)).all()
+    moved = np.asarray(theta2[0]) - np.asarray(theta[0])
+    assert np.any(moved[:, 64:64 + k + 1, 0:h] != 0)  # w1/b1 rows moved
+    # rows between scal (64+k+2) and the cost row stay dead
+    assert np.all(np.asarray(theta2[0])[:, 64 + k + 3:71, :] == 0)
+
+    def cost(p, batch):
+        xb, yb = batch
+        net = apply_fn(p, xb)
+        mse = jnp.square(yb - net[:, 0:1])
+        flv = net[:, 1:2]
+        ll = jnp.sum(jnp.sum(
+            -mse * 0.5 / (jnp.exp(flv) + 1e-16) - 0.5 * flv,
+            axis=1)) / 20.0
+        ll += log_variance_prior_log_like(flv) / 100.0
+        return -ll
+
+    select = make_batch_fn(jnp.asarray(x), jnp.asarray(y), 20)
+    for smp in (
+        SGHMCSampler(cost, stepsize_schedule=1e-2, burn_in_steps=10,
+                     scale_grad=100.0, gaussian_prior_scale=1e-5),
+        PSGLDSampler(cost, stepsize_schedule=1e-4, scale_grad=100.0,
+                     gaussian_prior_scale=1e-5),
+    ):
+        def one(p, ck):
+            k1, k2 = jax.random.split(ck)
+            st = smp.init(p, k1)
+            st, _ = sample_chain(smp, st, k2, 1, batch_fn=select,
+                                 keep_every=12, collect_costs=False)
+            return st
+        states = jax.vmap(one)(
+            params, jax.random.split(jax.random.PRNGKey(1), n))
+        out_states, pos, costs = sample_chain_fused(
+            smp, states, jax.random.PRNGKey(2), 2, jnp.asarray(x),
+            jnp.asarray(y), batch_size=20, keep_every=2, block_chains=n,
+            state_dtype=jnp.float32, multistep=True, interpret=True)
+        name = type(smp).__name__
+        assert np.isfinite(np.asarray(costs)).all(), name
+        assert pos["w1"].shape == (n, 2, k, h), name
