@@ -665,11 +665,14 @@ class BayesianNeuralNetwork(BaseModel):
     ):
         """Training with the flash-SGHMC whole-step kernel.
 
-        Burn-in runs on the (vmapped) pytree path — the adaptation
-        statistics live there — and the sampling phase runs one fused
-        Pallas kernel per step (:func:`pysgmcmc_tpu.parallel.packed.
-        sample_chain_fused`; measured 2.58M vs 1.48M steps/sec/chip on the
-        8192-chain flagship).  The L2 weight prior is folded analytically
+        Burn-in runs on the fused EMA lanes kernels and the sampling
+        phase runs the multi-step VMEM-resident kernel — ``sample_steps``
+        updates per launch with in-kernel minibatch selection
+        (:func:`pysgmcmc_tpu.parallel.packed.sample_chain_fused` with
+        ``multistep=True``; measured 3.19 ms/step = 2.56M steps/sec/chip
+        on the 8192-chain flagship, vs 1.48M for the pytree path).
+        Non-constant stepsize schedules fall back to the single-step
+        kernel, which re-evaluates the schedule every step.  The L2 weight prior is folded analytically
         into the update (``gaussian_prior_scale`` — identical dynamics,
         pinned by ``tests/test_bench_smoke.py``'s fold-parity test), so
         the cost function here carries only the likelihood and the
@@ -792,12 +795,21 @@ class BayesianNeuralNetwork(BaseModel):
                 mesh=self.mesh,
             )[0])
 
+        # multi-step kernel (k steps per launch, state VMEM-resident)
+        # whenever the stepsize is constant over a thinning segment — the
+        # kernel evaluates the schedule once per segment, exact only for
+        # constant schedules (parallel/packed.thinned_multistep)
+        from pysgmcmc_tpu.stepsize_schedules import ConstantStepsizeSchedule
+
+        use_multistep = isinstance(
+            sampler.stepsize_schedule, ConstantStepsizeSchedule)
+
         def sample_seg(states, key, n_keep):
             return sample_chain_fused(
                 sampler, states, key, n_keep, x_dev, y_dev,
                 batch_size=self.batch_size, keep_every=self.sample_steps,
                 block_chains=block, state_dtype=state_dtype,
-                mesh=self.mesh,
+                mesh=self.mesh, multistep=use_multistep,
                 # CPU has no TPU PRNG: interpret mode checks the plumbing
                 # (tests); real noise requires the chip
                 interpret=interpret,
