@@ -770,17 +770,26 @@ class BayesianNeuralNetwork(BaseModel):
             )
 
         def make_burn(n_steps):
-            # burn-in on the fused EMA-adaptation lanes kernels
-            # (parallel/packed.burnin_chain_lanes) — the whole training
-            # run stays on the kernel path; mesh-composable.  PSGLD and
-            # SGNHT have no burn-in machinery: early lanes-kernel steps
-            # are simply discarded.
+            # burn-in on the multi-step VMEM-resident fused kernel when
+            # the schedule is constant (parallel/packed.
+            # burnin_chain_fused — the whole adaptive phase in one
+            # launch), the single-step EMA lanes kernels otherwise.
+            # PSGLD and SGNHT have no burn-in machinery: early
+            # lanes-kernel steps are simply discarded.
             from pysgmcmc_tpu.parallel.packed import (
+                burnin_chain_fused,
                 burnin_chain_lanes,
                 sample_chain_lanes,
             )
 
             if Sampler.is_burn_in_mcmc(self.sampling_method):
+                if use_multistep:
+                    return jax.jit(lambda s, k: burnin_chain_fused(
+                        sampler, s, k, n_steps, x_dev, y_dev,
+                        batch_size=self.batch_size, block_chains=block,
+                        state_dtype=jnp.float32, mesh=self.mesh,
+                        interpret=interpret,
+                    ))
                 return jax.jit(lambda s, k: burnin_chain_lanes(
                     sampler, s, k, n_steps, batch_fn=select_batch,
                     compute_dtype=self.compute_dtype,

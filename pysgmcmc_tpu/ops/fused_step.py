@@ -2562,3 +2562,344 @@ def fused_bnn_multistep_rsghmc(
     return _multistep_family_call(
         kernel, theta, v, (xw_op, y_win), (jnp.float32, state_dtype),
         int_scalars, float_scalars, block_chains, interpret)
+
+
+#  Multi-step burn-in: the adaptive phase VMEM-resident too ------------------
+
+def _sghmc_burnin_step_math(theta, v, tau, g, v_hat, grad, valid, eta,
+                            eps, eps_scaled, mdecay, prior_scale):
+    """One Springenberg et al. scale-adapted SGHMC burn-in update.
+
+    Identical term ordering to
+    :func:`pysgmcmc_tpu.ops.slim_update._sghmc_burnin_math` (the lanes
+    burn-in kernel pinned bitwise against the pytree path): minv and the
+    tau/g/v_hat EMAs all read OLD values, matching the reference's
+    control-dependency chain
+    (``/root/reference/pysgmcmc/samplers/sghmc.py:126-196``).  ``valid``
+    masks theta/v/minv so padding cells never move (tau/g/v_hat padding
+    decays from its all-ones init but is discarded at unpack)."""
+    small = 1e-16
+    v32 = v.astype(jnp.float32)
+    gg = grad + prior_scale * theta
+    sqrt_vhat = jnp.sqrt(jnp.maximum(v_hat, 0.0))
+    minv = 1.0 / (sqrt_vhat + 2.0 * jnp.sign(sqrt_vhat) * small + small)
+    denom = v_hat + 2.0 * jnp.sign(v_hat) * small + small
+    tau_new = tau + (-g * g * tau) / denom + 1.0
+    r = 1.0 / (tau + 1.0)
+    g_new = g - r * g + r * gg
+    v_hat_new = v_hat - r * v_hat + r * gg * gg
+    sigma = jnp.sqrt(jnp.maximum(
+        2.0 * eps_scaled ** 2 * mdecay * minv - eps_scaled ** 4, 1e-16))
+    v_new = (v32 - eps ** 2 * minv * gg - mdecay * v32 + sigma * eta) * valid
+    return theta + v_new, v_new, tau_new, g_new, v_hat_new, minv * valid
+
+
+def _sgld_burnin_step_math(theta, tau, g, v_hat, grad, valid, eta,
+                           eps, a_coef, sg_safe, prior_scale):
+    """One SGLD burn-in update; term ordering of
+    :func:`pysgmcmc_tpu.ops.slim_update._sgld_burnin_math`."""
+    small = 1e-16
+    gg = grad + prior_scale * theta
+    sqrt_vhat = jnp.sqrt(jnp.maximum(v_hat, 0.0))
+    minv = 1.0 / (sqrt_vhat + 2.0 * jnp.sign(sqrt_vhat) * small + small)
+    denom = v_hat + 2.0 * jnp.sign(v_hat) * small + small
+    tau_new = tau + (-g * g * tau) / denom + 1.0
+    r = 1.0 / (tau + 1.0)
+    g_new = g - r * g + r * gg
+    v_hat_new = v_hat - r * v_hat + r * gg * gg
+    sigma = jnp.sqrt(jnp.maximum(
+        2.0 * eps * ((minv * a_coef) / sg_safe), 0.0))
+    theta_new = theta + (-eps * minv * a_coef * gg + sigma * eta) * valid
+    return theta_new, tau_new, g_new, v_hat_new, minv * valid
+
+
+def _make_multistep_kernel_burnin(batch_size, n_data, block_chains,
+                                  n_windows, k_steps, h, s=S,
+                                  bias_row=BIAS_ROW, n_inputs=1,
+                                  with_momentum=True):
+    """Burn-in variant of :func:`_make_multistep_kernel`: ``k_steps``
+    self-tuning updates per launch with theta, momentum AND the
+    tau/g/v_hat adaptation statistics all resident in the aliased output
+    refs — the whole adaptive phase never round-trips HBM between steps.
+    ``with_momentum=True`` is SGHMC, ``False`` is SGLD.  The mass-matrix
+    inverse the FINAL step used is written to a separate (non-aliased)
+    output pair — the value the sampling phase freezes, matching
+    :func:`pysgmcmc_tpu.parallel.packed.burnin_chain_lanes` semantics.
+    """
+    inv_b = 1.0 / batch_size
+    inv_n = 1.0 / n_data
+    C = block_chains
+    big_rows = s + VEC_ROWS
+
+    def kernel(int_ref, float_ref, *refs):
+        if with_momentum:
+            (tbig, tw3, vbig, vw3, taubig, tauw3, gbig, gw3,
+             vhbig, vhw3, xw_ref, yw_ref,
+             obig, ow3, pbig, pw3, otaubig, otauw3, ogbig, ogw3,
+             ovhbig, ovhw3, minvbig, minvw3,
+             s_a1, s_a2, s_a3, s_gvec) = refs
+        else:
+            (tbig, tw3, taubig, tauw3, gbig, gw3,
+             vhbig, vhw3, xw_ref, yw_ref,
+             obig, ow3, otaubig, otauw3, ogbig, ogw3,
+             ovhbig, ovhw3, minvbig, minvw3,
+             s_a1, s_a2, s_a3, s_gvec) = refs
+            vbig = vw3 = pbig = pw3 = None
+        pltpu.prng_seed(int_ref[0], pl.program_id(0))
+        eps = float_ref[0]
+        c1 = float_ref[1]   # eps_scaled (sghmc) / a_coef (sgld)
+        c2 = float_ref[2]   # mdecay (sghmc) / sg_safe (sgld)
+        prior_scale = float_ref[3]
+
+        obig[:] = tbig[:]
+        ow3[:] = tw3[:]
+        otaubig[:] = taubig[:]
+        otauw3[:] = tauw3[:]
+        ogbig[:] = gbig[:]
+        ogw3[:] = gw3[:]
+        ovhbig[:] = vhbig[:]
+        ovhw3[:] = vhw3[:]
+        if with_momentum:
+            pbig[:] = vbig[:]
+            pw3[:] = vw3[:]
+
+        brow = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD), 1)
+        bmask = (brow < batch_size).astype(jnp.float32)
+        lane3 = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD, s), 2)
+        lane2 = jax.lax.broadcasted_iota(jnp.int32, (C, s), 1)
+        win_iota = jax.lax.broadcasted_iota(jnp.int32, (C, n_windows), 1)
+        mat_valid, vec_valid = _psgld_valid_masks(
+            C, n_inputs, h, s, bias_row)
+
+        def body(t, carry):
+            xin_bf, y = _select_window_bf(
+                C, n_windows, win_iota, xw_ref, yw_ref, n_inputs)
+
+            cost, g_w2, g_vec, g_w3 = _fwd_bwd(
+                obig[:], ow3[:], xin_bf, y,
+                bmask, lane3, lane2, s_a1, s_a2, s_a3, s_gvec,
+                inv_b, inv_n, n_inputs, C, s, bias_row)
+
+            etas = _block_etas(C, s)
+
+            def upd(sl_t, sl_v, sl_tau, sl_g, sl_vh, grad, eta, valid):
+                if with_momentum:
+                    return _sghmc_burnin_step_math(
+                        sl_t, sl_v, sl_tau, sl_g, sl_vh, grad, valid,
+                        eta, eps, c1, c2, prior_scale)
+                t_new, tau_n, g_n, vh_n, minv = _sgld_burnin_step_math(
+                    sl_t, sl_tau, sl_g, sl_vh, grad, valid, eta,
+                    eps, c1, c2, prior_scale)
+                return t_new, None, tau_n, g_n, vh_n, minv
+
+            # w2 slab
+            t_new, v_new, tau_n, g_n, vh_n, minv = upd(
+                obig[:, 0:s, :],
+                pbig[:, 0:s, :] if with_momentum else None,
+                otaubig[:, 0:s, :], ogbig[:, 0:s, :], ovhbig[:, 0:s, :],
+                g_w2, etas[0], mat_valid)
+            obig[:, 0:s, :] = t_new
+            otaubig[:, 0:s, :] = tau_n
+            ogbig[:, 0:s, :] = g_n
+            ovhbig[:, 0:s, :] = vh_n
+            minvbig[:, 0:s, :] = minv
+            if with_momentum:
+                pbig[:, 0:s, :] = v_new.astype(pbig.dtype)
+
+            # vector rows
+            t_new, v_new, tau_n, g_n, vh_n, minv = upd(
+                obig[:, s:big_rows, :],
+                pbig[:, s:big_rows, :] if with_momentum else None,
+                otaubig[:, s:big_rows, :], ogbig[:, s:big_rows, :],
+                ovhbig[:, s:big_rows, :], g_vec, etas[1], vec_valid)
+            obig[:, s:big_rows, :] = t_new
+            otaubig[:, s:big_rows, :] = tau_n
+            ogbig[:, s:big_rows, :] = g_n
+            ovhbig[:, s:big_rows, :] = vh_n
+            minvbig[:, s:big_rows, :] = minv
+            if with_momentum:
+                pbig[:, s:big_rows, :] = v_new.astype(pbig.dtype)
+
+            # w3 slab
+            t_new, v_new, tau_n, g_n, vh_n, minv = upd(
+                ow3[:], pw3[:] if with_momentum else None,
+                otauw3[:], ogw3[:], ovhw3[:], g_w3, etas[2], mat_valid)
+            ow3[:] = t_new
+            otauw3[:] = tau_n
+            ogw3[:] = g_n
+            ovhw3[:] = vh_n
+            minvw3[:] = minv
+            if with_momentum:
+                pw3[:] = v_new.astype(pw3.dtype)
+
+            obig[:, big_rows - 1, LANE_B4:LANE_B4 + 1] = cost
+            return carry
+
+        jax.lax.fori_loop(0, k_steps, body, 0)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mdecay", "scale_grad", "prior_scale", "batch_size",
+                     "n_data", "block_chains", "state_dtype", "k_steps",
+                     "h", "interpret"),
+)
+def fused_bnn_multistep_burnin(
+    theta, v, tau, g, v_hat, x_win, y_win, eps, seed,
+    mdecay=0.05, scale_grad=1.0, prior_scale=0.0,
+    batch_size=20, n_data=100, block_chains=32,
+    state_dtype=jnp.bfloat16, k_steps=1, h=50, interpret=False,
+):
+    """``k_steps`` fused SGHMC BURN-IN steps in ONE kernel launch.
+
+    The whole Springenberg et al. self-tuning update — forward,
+    likelihood, backward, tau/g/v_hat EMAs, mass-matrix inverse, noise,
+    momentum and parameter update — runs in-kernel with every piece of
+    state VMEM-resident across the loop.  Returns
+    ``(theta', v', tau', g', v_hat', minv, cost)`` where ``minv`` is the
+    mass-matrix inverse the final step USED (the value the sampling
+    phase freezes; reference semantics
+    ``/root/reference/pysgmcmc/samplers/base_classes.py:432-454``).
+    """
+    tbig, tw3 = theta
+    n_chains = tbig.shape[0]
+    s = _multistep_slot(tbig, "fused_bnn_multistep_burnin")
+    bias_row = BIAS_ROW if s == S else WIDE_BIAS_ROW
+    if n_chains % block_chains:
+        raise ValueError(
+            "fused_bnn_multistep_burnin: n_chains ({}) must be divisible "
+            "by block_chains ({})".format(n_chains, block_chains))
+    n_windows, n_inputs, xw_op = _multistep_tables(
+        x_win, "fused_bnn_multistep_burnin")
+
+    eps32 = jnp.asarray(eps, jnp.float32)
+    int_scalars = jnp.asarray(seed, jnp.int32).reshape(1)
+    float_scalars = jnp.stack([
+        eps32, eps32 / jnp.sqrt(jnp.asarray(scale_grad, jnp.float32)),
+        jnp.asarray(mdecay, jnp.float32),
+        jnp.asarray(prior_scale, jnp.float32),
+    ])
+
+    state_specs = [_big_spec(block_chains, s), _mat_spec(block_chains, s)]
+    in_specs = (
+        state_specs * 5 + [_table_spec(xw_op), _table_spec(y_win)]
+    )
+    operands = (list(theta) + list(v) + list(tau) + list(g)
+                + list(v_hat)
+                + [xw_op, jnp.asarray(y_win, jnp.float32)])
+    out_shape = (
+        tuple(jax.ShapeDtypeStruct(t.shape, jnp.float32) for t in theta)
+        + tuple(jax.ShapeDtypeStruct(t.shape, state_dtype) for t in theta)
+        + tuple(jax.ShapeDtypeStruct(t.shape, jnp.float32)
+                for t in theta) * 4
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_chains // block_chains,),
+        in_specs=in_specs,
+        out_specs=tuple(state_specs) * 6,
+        scratch_shapes=_multistep_scratch(block_chains, s),
+    )
+    # theta/v/tau/g/v_hat alias their outputs; minv outputs are fresh
+    aliases = {i + 2: i for i in range(10)}
+    kernel = _make_multistep_kernel_burnin(
+        float(batch_size), float(n_data), block_chains, n_windows,
+        int(k_steps), int(h), s, bias_row, n_inputs, with_momentum=True)
+    interpreter = pltpu.InterpretParams() if interpret else False
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpreter,
+    )(int_scalars, float_scalars, *operands)
+    theta_new = tuple(outs[0:2])
+    v_new = tuple(outs[2:4])
+    tau_new = tuple(outs[4:6])
+    g_new = tuple(outs[6:8])
+    vh_new = tuple(outs[8:10])
+    minv_new = tuple(outs[10:12])
+    cost = theta_new[0][:, s + VEC_ROWS - 1, 0:1]
+    return theta_new, v_new, tau_new, g_new, vh_new, minv_new, cost
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("a_coef", "scale_grad", "prior_scale", "batch_size",
+                     "n_data", "block_chains", "k_steps", "h",
+                     "interpret"),
+)
+def fused_bnn_multistep_burnin_sgld(
+    theta, tau, g, v_hat, x_win, y_win, eps, seed,
+    a_coef=1.0, scale_grad=1.0, prior_scale=0.0,
+    batch_size=20, n_data=100, block_chains=32,
+    k_steps=1, h=50, interpret=False,
+):
+    """``k_steps`` fused SGLD BURN-IN steps in ONE kernel launch.
+
+    As :func:`fused_bnn_multistep_burnin` but momentum-free.  Returns
+    ``(theta', tau', g', v_hat', minv, cost)``.
+    """
+    tbig, tw3 = theta
+    n_chains = tbig.shape[0]
+    s = _multistep_slot(tbig, "fused_bnn_multistep_burnin_sgld")
+    bias_row = BIAS_ROW if s == S else WIDE_BIAS_ROW
+    if n_chains % block_chains:
+        raise ValueError(
+            "fused_bnn_multistep_burnin_sgld: n_chains ({}) must be "
+            "divisible by block_chains ({})".format(
+                n_chains, block_chains))
+    n_windows, n_inputs, xw_op = _multistep_tables(
+        x_win, "fused_bnn_multistep_burnin_sgld")
+
+    sg = jnp.asarray(scale_grad, jnp.float32)
+    small = 1e-16
+    sg_safe = sg + 2.0 * jnp.sign(sg) * small + small
+    int_scalars = jnp.asarray(seed, jnp.int32).reshape(1)
+    float_scalars = jnp.stack([
+        jnp.asarray(eps, jnp.float32),
+        jnp.asarray(a_coef, jnp.float32),
+        sg_safe,
+        jnp.asarray(prior_scale, jnp.float32),
+    ])
+
+    state_specs = [_big_spec(block_chains, s), _mat_spec(block_chains, s)]
+    in_specs = (
+        state_specs * 4 + [_table_spec(xw_op), _table_spec(y_win)]
+    )
+    operands = (list(theta) + list(tau) + list(g) + list(v_hat)
+                + [xw_op, jnp.asarray(y_win, jnp.float32)])
+    out_shape = tuple(
+        jax.ShapeDtypeStruct(t.shape, jnp.float32) for t in theta) * 5
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_chains // block_chains,),
+        in_specs=in_specs,
+        out_specs=tuple(state_specs) * 5,
+        scratch_shapes=_multistep_scratch(block_chains, s),
+    )
+    aliases = {i + 2: i for i in range(8)}
+    kernel = _make_multistep_kernel_burnin(
+        float(batch_size), float(n_data), block_chains, n_windows,
+        int(k_steps), int(h), s, bias_row, n_inputs, with_momentum=False)
+    interpreter = pltpu.InterpretParams() if interpret else False
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpreter,
+    )(int_scalars, float_scalars, *operands)
+    theta_new = tuple(outs[0:2])
+    tau_new = tuple(outs[2:4])
+    g_new = tuple(outs[4:6])
+    vh_new = tuple(outs[6:8])
+    minv_new = tuple(outs[8:10])
+    cost = theta_new[0][:, s + VEC_ROWS - 1, 0:1]
+    return theta_new, tau_new, g_new, vh_new, minv_new, cost

@@ -1438,3 +1438,133 @@ def burnin_chain_lanes(
         step=states.step + n_steps,
         schedule_state=states.schedule_state,
     )
+
+
+def burnin_chain_fused(
+    sampler,
+    states,
+    key,
+    n_steps,
+    x,
+    y,
+    batch_size=20,
+    block_chains=32,
+    state_dtype=jnp.bfloat16,
+    mesh=None,
+    axis_name=None,
+    interpret=False,
+):
+    """Burn-in driver on the multi-step VMEM-resident fused kernel.
+
+    The whole adaptive phase — forward, likelihood, backward, the
+    Springenberg et al. tau/g/v_hat EMAs, mass-matrix inverse, noise and
+    update — runs as ONE kernel launch advancing ``n_steps`` steps with
+    every piece of state resident in VMEM
+    (:func:`pysgmcmc_tpu.ops.fused_step.fused_bnn_multistep_burnin` /
+    ``fused_bnn_multistep_burnin_sgld``); the minibatch window is drawn
+    from the in-kernel PRNG each step.  SGHMC and SGLD (the adaptive
+    samplers).  The stepsize is evaluated ONCE for the launch — exact
+    for constant schedules; step-varying schedules should use
+    :func:`burnin_chain_lanes`.  ``mesh`` shards the chain axis via
+    :func:`_run_sharded`.  Returns the advanced states with
+    ``stats.minv`` holding the mass-matrix inverse the final step used
+    (the value the sampling phase freezes), matching
+    :func:`burnin_chain_lanes`.
+    """
+    if mesh is not None:
+        from pysgmcmc_tpu.parallel.mesh import CHAIN_AXIS
+
+        def body(local_states, local_key):
+            return burnin_chain_fused(
+                sampler, local_states, local_key, n_steps, x, y,
+                batch_size=batch_size, block_chains=block_chains,
+                state_dtype=state_dtype, interpret=interpret,
+            )
+
+        return _run_sharded(
+            body, states, key, mesh, axis_name or CHAIN_AXIS)
+
+    from pysgmcmc_tpu.ops.fused_step import (
+        data_windows,
+        fused_bnn_multistep_burnin,
+        fused_bnn_multistep_burnin_sgld,
+        pack_fused,
+        unpack_fused,
+    )
+    from pysgmcmc_tpu.samplers._adaptive import AdaptiveStats
+
+    if isinstance(sampler, SGHMCSampler):
+        is_sghmc = True
+    elif isinstance(sampler, SGLDSampler):
+        is_sghmc = False
+    else:
+        raise NotImplementedError(
+            "burnin_chain_fused supports the adaptive (burn-in) samplers "
+            "SGHMC and SGLD; got {!r}".format(type(sampler).__name__)
+        )
+
+    h = states.position["w2"].shape[-1]
+    n_chains = states.position["w2"].shape[0]
+    w1 = states.position["w1"]
+    n_inputs = 1 if w1.ndim == 2 else w1.shape[1]
+    n_data = jnp.asarray(x).shape[0]
+    x_win, y_win = data_windows(x, y, batch_size)
+    block = min(block_chains, n_chains)
+    while n_chains % block:
+        block //= 2
+
+    theta = pack_fused(states.position)
+    tau = pack_fused(states.stats.tau)
+    g = pack_fused(states.stats.g)
+    v_hat = pack_fused(states.stats.v_hat)
+
+    key, key_seed = jax.random.split(key)
+    base_seed = _base_seed(key_seed)
+    schedule_state0 = _shared_schedule_state(states, "burnin_chain_fused")
+    step0 = jnp.max(states.step) if jnp.ndim(states.step) else states.step
+    eps = _schedule_eps(sampler, schedule_state0, step0)
+    seed = base_seed + step0.astype(jnp.int32)
+    prior_scale = getattr(sampler, "gaussian_prior_scale", 0.0)
+
+    if is_sghmc:
+        v = tuple(
+            a.astype(state_dtype) for a in pack_fused(states.momentum))
+        theta, v, tau, g, v_hat, minv, _ = fused_bnn_multistep_burnin(
+            theta, v, tau, g, v_hat, x_win, y_win, eps, seed,
+            mdecay=sampler.mdecay, scale_grad=sampler.scale_grad,
+            prior_scale=prior_scale, batch_size=batch_size,
+            n_data=int(n_data), block_chains=block,
+            state_dtype=state_dtype, k_steps=int(n_steps), h=int(h),
+            interpret=interpret,
+        )
+    else:
+        theta, tau, g, v_hat, minv, _ = fused_bnn_multistep_burnin_sgld(
+            theta, tau, g, v_hat, x_win, y_win, eps, seed,
+            a_coef=float(sampler.A), scale_grad=sampler.scale_grad,
+            prior_scale=prior_scale, batch_size=batch_size,
+            n_data=int(n_data), block_chains=block,
+            k_steps=int(n_steps), h=int(h), interpret=interpret,
+        )
+
+    stats = AdaptiveStats(
+        tau=unpack_fused(tau, h, n_inputs),
+        g=unpack_fused(g, h, n_inputs),
+        v_hat=unpack_fused(v_hat, h, n_inputs),
+        minv=unpack_fused(minv, h, n_inputs),
+    )
+    if is_sghmc:
+        return SGHMCState(
+            position=unpack_fused(theta, h, n_inputs),
+            momentum=jax.tree_util.tree_map(
+                lambda l: l.astype(jnp.float32),
+                unpack_fused(v, h, n_inputs)),
+            stats=stats,
+            step=states.step + n_steps,
+            schedule_state=states.schedule_state,
+        )
+    return SGLDState(
+        position=unpack_fused(theta, h, n_inputs),
+        stats=stats,
+        step=states.step + n_steps,
+        schedule_state=states.schedule_state,
+    )

@@ -830,3 +830,235 @@ def test_multi_input_multistep():
         name = type(smp).__name__
         assert np.isfinite(np.asarray(costs)).all(), name
         assert pos["w1"].shape == (n, 2, k, h), name
+
+
+@pytest.mark.slow
+def test_multistep_burnin_matches_pytree():
+    """k fused burn-in steps == k pytree burn-in steps (interpret mode).
+
+    Interpret mode's in-kernel PRNG returns zero bits, so the noise is
+    exactly zero and the window draw always picks window 0 — making the
+    whole k-step adaptive phase deterministic and directly comparable to
+    the pytree sampler iterated on batch ``x[0:20]`` with injected zero
+    noise.  Pins theta, momentum AND the tau/g/v_hat/minv adaptation
+    statistics of ops/fused_step.fused_bnn_multistep_burnin against
+    samplers/sghmc.py's burn-in step (reference semantics
+    /root/reference/pysgmcmc/samplers/sghmc.py:126-196)."""
+    from bench import build_workload
+    from pysgmcmc_tpu.ops.fused_step import fused_bnn_multistep_burnin
+
+    n, k_steps = 4, 3
+    sampler, positions, _ = build_workload(n_chains=n, network="dense")
+    rng = np.random.RandomState(0)
+    x = rng.uniform(0.0, 1.0, (100, 1)).astype(np.float32)
+    from pysgmcmc_tpu.diagnostics.objective_functions import sinc
+
+    y = np.asarray(sinc(x), np.float32)
+
+    states = jax.vmap(sampler.init)(
+        positions, jax.random.split(jax.random.PRNGKey(0), n))
+
+    # pytree reference: k burn-in steps on window 0 with zero noise
+    xb = jnp.asarray(x[0:20])
+    yb = jnp.asarray(y[0:20]).reshape(-1, 1)
+
+    def ref_steps(state):
+        zero = jax.tree_util.tree_map(jnp.zeros_like, state.position)
+        for _ in range(k_steps):
+            state = sampler.step(
+                state, jax.random.PRNGKey(0), (xb, yb), noise=zero,
+                phase="burn_in")[0]
+        return state
+
+    ref = jax.vmap(ref_steps)(states)
+
+    theta = pack_fused(states.position)
+    v = pack_fused(states.momentum)
+    tau = pack_fused(states.stats.tau)
+    g = pack_fused(states.stats.g)
+    v_hat = pack_fused(states.stats.v_hat)
+    x_win, y_win = data_windows(x, y, 20)
+    theta2, v2, tau2, g2, vh2, minv2, cost = fused_bnn_multistep_burnin(
+        theta, v, tau, g, v_hat, x_win, y_win,
+        float(np.sqrt(1e-4)), 0,
+        mdecay=sampler.mdecay, scale_grad=sampler.scale_grad,
+        prior_scale=sampler.gaussian_prior_scale,
+        batch_size=20, n_data=100, block_chains=n,
+        state_dtype=jnp.float32, k_steps=k_steps, interpret=True,
+    )
+    assert np.isfinite(np.asarray(cost)).all()
+
+    got = {
+        "position": unpack_fused(theta2, 50),
+        "momentum": unpack_fused(v2, 50),
+        "tau": unpack_fused(tau2, 50),
+        "g": unpack_fused(g2, 50),
+        "v_hat": unpack_fused(vh2, 50),
+        "minv": unpack_fused(minv2, 50),
+    }
+    want = {
+        "position": ref.position,
+        "momentum": ref.momentum,
+        "tau": ref.stats.tau,
+        "g": ref.stats.g,
+        "v_hat": ref.stats.v_hat,
+        "minv": ref.stats.minv,
+    }
+    # Tolerances: the in-kernel forward/backward runs bf16 matmuls whose
+    # few-percent gradient deltas (amplified by exp(log_var) in the
+    # heteroscedastic likelihood) feed the g/v_hat EMAs directly — the
+    # EMA *math* itself is pinned exactly by
+    # test_burnin_step_math_matches_pytree; this end-to-end check guards
+    # the structural path (row mapping, output aliasing, the in-kernel
+    # k-step loop and window select).  Bounds are ~2x the measured k=3
+    # interpret-mode deltas.
+    tols = {
+        "position": dict(rtol=0.0, atol=1.5e-3),
+        "momentum": dict(rtol=0.0, atol=1.5e-3),
+        "tau": dict(rtol=1e-1, atol=1e-3),
+        "g": dict(rtol=0.5, atol=7.0),
+        "v_hat": dict(rtol=0.5, atol=7e3),
+        "minv": dict(rtol=1.5e-1, atol=1e-4),
+    }
+    for name in want:
+        for key in want[name]:
+            np.testing.assert_allclose(
+                np.asarray(want[name][key]), np.asarray(got[name][key]),
+                err_msg=name + " " + key, **tols[name])
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("kind", ["sghmc", "sgld"])
+def test_burnin_chain_fused_driver(kind):
+    """The multi-step burn-in driver adapts the EMAs and hands off to the
+    fused sampling phase (frozen minv) with correct step bookkeeping."""
+    from bench import build_workload
+    from pysgmcmc_tpu.parallel.packed import (
+        burnin_chain_fused,
+        sample_chain_fused,
+    )
+    from pysgmcmc_tpu.samplers.sgld import SGLDSampler
+
+    n = 4
+    sampler, positions, _ = build_workload(n_chains=n, network="dense")
+    rng = np.random.RandomState(0)
+    x = rng.uniform(0.0, 1.0, (100, 1)).astype(np.float32)
+    from pysgmcmc_tpu.diagnostics.objective_functions import sinc
+
+    y = np.asarray(sinc(x), np.float32)
+    if kind == "sgld":
+        sampler = SGLDSampler(
+            sampler.cost_fn, stepsize_schedule=1e-5, burn_in_steps=10,
+            scale_grad=sampler.scale_grad,
+            gaussian_prior_scale=sampler.gaussian_prior_scale)
+
+    states = jax.vmap(sampler.init)(
+        positions, jax.random.split(jax.random.PRNGKey(0), n))
+    out = burnin_chain_fused(
+        sampler, states, jax.random.PRNGKey(1), 10, x, y,
+        batch_size=20, block_chains=n, state_dtype=jnp.float32,
+        interpret=True)
+    assert int(np.asarray(out.step)[0]) == 10
+    tau = np.concatenate([
+        np.asarray(l).ravel()
+        for l in jax.tree_util.tree_leaves(out.stats.tau)])
+    assert (tau > 1.0).all()
+    minv = np.concatenate([
+        np.asarray(l).ravel()
+        for l in jax.tree_util.tree_leaves(out.stats.minv)])
+    assert np.isfinite(minv).all() and (minv > 0).all()
+
+    # handoff: the sampling phase freezes the adapted minv
+    out2, pos, costs = sample_chain_fused(
+        sampler, out, jax.random.PRNGKey(2), 2, x, y,
+        batch_size=20, keep_every=2, block_chains=n,
+        state_dtype=jnp.float32, multistep=True, interpret=True)
+    assert np.isfinite(np.asarray(costs)).all()
+    assert int(np.asarray(out2.step)[0]) == 14
+    for leaf in jax.tree_util.tree_leaves(out2.position):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+@pytest.mark.parametrize("kind", ["sghmc", "sgld"])
+def test_burnin_step_math_matches_pytree(kind):
+    """The kernels' burn-in math == the pytree sampler, exactly.
+
+    ops/fused_step._sghmc_burnin_step_math / _sgld_burnin_step_math are
+    the literal code the multi-step burn-in kernels execute per step;
+    calling them with a controlled gradient and noise against
+    sampler.step (linear cost => exact injected gradient, random
+    adaptation stats) pins the Springenberg et al. EMA ordering
+    (reference /root/reference/pysgmcmc/samplers/sghmc.py:126-196)
+    without any bf16 forward-pass slack."""
+    from pysgmcmc_tpu.ops.fused_step import (
+        _sghmc_burnin_step_math,
+        _sgld_burnin_step_math,
+    )
+    from pysgmcmc_tpu.samplers._adaptive import AdaptiveStats
+    from pysgmcmc_tpu.samplers.sghmc import SGHMCSampler
+    from pysgmcmc_tpu.samplers.sgld import SGLDSampler
+
+    rng = np.random.RandomState(3)
+    shape = (6, 7)
+    gc = jnp.asarray(rng.standard_normal(shape) * 5.0, jnp.float32)
+
+    def cost(p, batch):
+        return jnp.sum(gc * p["x"])
+
+    eps, scale_grad = 0.05, 10.0
+    if kind == "sghmc":
+        sampler = SGHMCSampler(
+            cost, stepsize_schedule=eps, burn_in_steps=100,
+            scale_grad=scale_grad)
+    else:
+        sampler = SGLDSampler(
+            cost, stepsize_schedule=eps, burn_in_steps=100,
+            scale_grad=scale_grad, A=1.3)
+
+    pos = {"x": jnp.asarray(rng.standard_normal(shape), jnp.float32)}
+    state = sampler.init(pos, jax.random.PRNGKey(0))
+    stats = AdaptiveStats(
+        tau={"x": jnp.asarray(rng.uniform(1.0, 9.0, shape), jnp.float32)},
+        g={"x": jnp.asarray(rng.standard_normal(shape), jnp.float32)},
+        v_hat={"x": jnp.asarray(
+            rng.uniform(0.1, 4.0, shape), jnp.float32)},
+        minv={"x": jnp.ones(shape, jnp.float32)},
+    )
+    state = state._replace(stats=stats)
+    eta = {"x": jnp.asarray(rng.standard_normal(shape), jnp.float32)}
+
+    ref = sampler.step(
+        state, jax.random.PRNGKey(1), jnp.zeros(()), noise=eta,
+        phase="burn_in")[0]
+
+    valid = jnp.ones(shape, jnp.float32)
+    if kind == "sghmc":
+        t2, v2, tau2, g2, vh2, minv2 = _sghmc_burnin_step_math(
+            state.position["x"], state.momentum["x"],
+            stats.tau["x"], stats.g["x"], stats.v_hat["x"],
+            gc, valid, eta["x"], eps,
+            eps / np.sqrt(scale_grad), sampler.mdecay, 0.0)
+        got = {"position": t2, "momentum": v2, "tau": tau2, "g": g2,
+               "v_hat": vh2, "minv": minv2}
+        want = {"position": ref.position["x"],
+                "momentum": ref.momentum["x"],
+                "tau": ref.stats.tau["x"], "g": ref.stats.g["x"],
+                "v_hat": ref.stats.v_hat["x"],
+                "minv": ref.stats.minv["x"]}
+    else:
+        small = 1e-16
+        sg_safe = scale_grad + 2.0 * np.sign(scale_grad) * small + small
+        t2, tau2, g2, vh2, minv2 = _sgld_burnin_step_math(
+            state.position["x"], stats.tau["x"], stats.g["x"],
+            stats.v_hat["x"], gc, valid, eta["x"], eps,
+            sampler.A, sg_safe, 0.0)
+        got = {"position": t2, "tau": tau2, "g": g2, "v_hat": vh2,
+               "minv": minv2}
+        want = {"position": ref.position["x"],
+                "tau": ref.stats.tau["x"], "g": ref.stats.g["x"],
+                "v_hat": ref.stats.v_hat["x"],
+                "minv": ref.stats.minv["x"]}
+    for name in want:
+        np.testing.assert_allclose(
+            np.asarray(want[name]), np.asarray(got[name]),
+            rtol=1e-6, atol=1e-7, err_msg=kind + " " + name)
