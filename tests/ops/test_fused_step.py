@@ -1062,3 +1062,56 @@ def test_burnin_step_math_matches_pytree(kind):
         np.testing.assert_allclose(
             np.asarray(want[name]), np.asarray(got[name]),
             rtol=1e-6, atol=1e-7, err_msg=kind + " " + name)
+
+
+@pytest.mark.slow
+def test_burnin_chain_fused_wide_slot():
+    """H=100 (128-slot layout) through the multi-step burn-in driver:
+    the adaptive phase adapts and hands off to wide-slot sampling."""
+    from pysgmcmc_tpu.models.architectures import dense_network
+    from pysgmcmc_tpu.models.bayesian_neural_network import (
+        log_variance_prior_log_like,
+    )
+    from pysgmcmc_tpu.parallel.packed import (
+        burnin_chain_fused,
+        sample_chain_fused,
+    )
+    from pysgmcmc_tpu.samplers.sghmc import SGHMCSampler
+
+    h, n = 100, 2
+    x, y = _bnn_data()
+    init_fn, apply_fn = dense_network(1, units=(h, h, h))
+    params = jax.vmap(init_fn)(jax.random.split(jax.random.PRNGKey(0), n))
+
+    def cost(p, batch):
+        xb, yb = batch
+        net = apply_fn(p, xb)
+        mse = jnp.square(yb - net[:, 0:1])
+        flv = net[:, 1:2]
+        ll = jnp.sum(jnp.sum(
+            -mse * 0.5 / (jnp.exp(flv) + 1e-16) - 0.5 * flv,
+            axis=1)) / 20.0
+        ll += log_variance_prior_log_like(flv) / 100.0
+        return -ll
+
+    sampler = SGHMCSampler(cost, stepsize_schedule=1e-2, burn_in_steps=10,
+                           scale_grad=100.0, gaussian_prior_scale=1e-5)
+    states = jax.vmap(sampler.init)(
+        params, jax.random.split(jax.random.PRNGKey(1), n))
+    out = burnin_chain_fused(
+        sampler, states, jax.random.PRNGKey(2), 5, x, y,
+        batch_size=20, block_chains=n, state_dtype=jnp.float32,
+        interpret=True)
+    assert int(np.asarray(out.step)[0]) == 5
+    assert out.position["w2"].shape == (n, h, h)
+    tau = np.concatenate([
+        np.asarray(l).ravel()
+        for l in jax.tree_util.tree_leaves(out.stats.tau)])
+    assert np.isfinite(tau).all() and (tau >= 1.0).all()
+    assert tau.mean() > 1.1
+    out2, pos, costs = sample_chain_fused(
+        sampler, out, jax.random.PRNGKey(3), 1, x, y,
+        batch_size=20, keep_every=2, block_chains=n,
+        state_dtype=jnp.float32, multistep=True, interpret=True)
+    assert np.isfinite(np.asarray(costs)).all()
+    assert pos["w2"].shape == (n, 1, h, h)
