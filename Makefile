@@ -20,6 +20,8 @@ examples:
 	PYTHONPATH=. JAX_PLATFORMS=cpu python examples/relativistic_sghmc_banana.py
 	PYTHONPATH=. JAX_PLATFORMS=cpu python examples/bnn_sinc.py
 	PYTHONPATH=. JAX_PLATFORMS=cpu python examples/flash_sghmc.py
+	PYTHONPATH=. JAX_PLATFORMS=cpu python examples/bayesian_optimization.py
+	PYTHONPATH=. JAX_PLATFORMS=cpu python examples/checkpoint_resume.py
 	PYTHONPATH=. JAX_PLATFORMS=cpu python examples/checkpoint_resume.py
 	PYTHONPATH=. JAX_PLATFORMS=cpu python examples/bayesian_optimization.py
 	PYTHONPATH=. JAX_PLATFORMS=cpu python examples/compute_ess.py banana \
