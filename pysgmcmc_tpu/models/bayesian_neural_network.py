@@ -235,6 +235,12 @@ class BayesianNeuralNetwork(BaseModel):
         if step_impl == "fused":
             if network != "dense":
                 raise ValueError("step_impl='fused' requires network='dense'")
+            if len(units) != 3:
+                # the fused kernels hard-code the flagship w1..w4 slab
+                # layout (ops/fused_step.pack_fused)
+                raise ValueError(
+                    "step_impl='fused' requires exactly 3 hidden layers; "
+                    "got units={!r}".format(tuple(units)))
             if len(set(units)) != 1:
                 raise ValueError(
                     "step_impl='fused' requires equal hidden widths")

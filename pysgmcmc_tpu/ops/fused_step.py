@@ -790,18 +790,13 @@ def fused_bnn_step(
     )
     out_specs = tuple(state_specs) + tuple(state_specs)
 
-    bbs = (block_chains, B_PAD, s)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_chains // block_chains,),
         in_specs=in_specs,
         out_specs=out_specs,
-        scratch_shapes=[
-            pltpu.VMEM(bbs, jnp.bfloat16),  # a1 (ones-lane applied)
-            pltpu.VMEM(bbs, jnp.bfloat16),  # a2 (ones-lane applied)
-            pltpu.VMEM(bbs, jnp.bfloat16),  # a3
-            pltpu.VMEM((block_chains, VEC_ROWS, s), jnp.float32),  # g_vec
-        ],
+        # a1/a2 (ones-lane applied), a3, g_vec
+        scratch_shapes=_multistep_scratch(block_chains, s),
     )
     # alias theta (operands 2..3 incl. scalar-prefetch args) and v (4..5)
     aliases = {i + 2: i for i in range(2)}
@@ -1408,7 +1403,7 @@ def _make_kernel_psgld(batch_size, n_data, with_noise, block_chains,
     return kernel
 
 
-def _fused_family_specs(block_chains, n_inputs, xin, y_sel, s=S):
+def _fused_family_specs(block_chains, n_inputs, s=S):
     def mat_spec():
         return pl.BlockSpec((block_chains, s, s), lambda i, *_: (i, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -1440,14 +1435,13 @@ def _fused_xin(x_sel, n_inputs):
 @functools.partial(
     jax.jit,
     static_argnames=("a_coef", "scale_grad", "prior_scale", "batch_size",
-                     "n_data", "block_chains", "state_dtype", "n_inputs",
-                     "interpret"),
+                     "n_data", "block_chains", "n_inputs", "interpret"),
 )
 def fused_bnn_step_sgld(
     theta, minv, x_sel, y_sel, eps, seed,
     a_coef=1.0, scale_grad=1.0, prior_scale=0.0,
     batch_size=20, n_data=100, block_chains=64,
-    state_dtype=jnp.bfloat16, n_inputs=1, noise=None, interpret=False,
+    n_inputs=1, noise=None, interpret=False,
 ):
     """One fused forward+backward+update SGLD step (flagship BNN family).
 
@@ -1460,8 +1454,8 @@ def fused_bnn_step_sgld(
         raise ValueError(
             "fused_bnn_step_sgld: n_chains ({}) must be divisible by "
             "block_chains ({})".format(n_chains, block_chains))
-    s = tbig.shape[2]
-    bias_row = BIAS_ROW if s == 64 else WIDE_BIAS_ROW
+    s = _multistep_slot(tbig, "fused family step")
+    bias_row = BIAS_ROW if s == S else WIDE_BIAS_ROW
 
     xin = _fused_xin(x_sel, n_inputs)
     int_scalars = jnp.asarray(seed, jnp.int32).reshape(1)
@@ -1473,7 +1467,7 @@ def fused_bnn_step_sgld(
     ])
 
     big_spec, mat_spec, xin_spec, y_spec = _fused_family_specs(
-        block_chains, n_inputs, xin, y_sel, s)
+        block_chains, n_inputs, s)
     state_specs = [big_spec(), mat_spec()]
     in_specs = state_specs + state_specs + [xin_spec, y_spec]
     operands = list(theta) + list(minv) + [xin, y_sel]
@@ -1484,18 +1478,12 @@ def fused_bnn_step_sgld(
 
     out_shape = tuple(
         jax.ShapeDtypeStruct(t.shape, jnp.float32) for t in theta)
-    bbs = (block_chains, B_PAD, s)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_chains // block_chains,),
         in_specs=in_specs,
         out_specs=tuple(state_specs),
-        scratch_shapes=[
-            pltpu.VMEM(bbs, jnp.bfloat16),
-            pltpu.VMEM(bbs, jnp.bfloat16),
-            pltpu.VMEM(bbs, jnp.bfloat16),
-            pltpu.VMEM((block_chains, VEC_ROWS, s), jnp.float32),
-        ],
+        scratch_shapes=_multistep_scratch(block_chains, s),
     )
     kernel = _make_kernel_sgld(
         float(batch_size), float(n_data), with_noise, block_chains,
@@ -1541,8 +1529,8 @@ def fused_bnn_step_psgld(
         raise ValueError(
             "fused_bnn_step_psgld: n_chains ({}) must be divisible by "
             "block_chains ({})".format(n_chains, block_chains))
-    s = tbig.shape[2]
-    bias_row = BIAS_ROW if s == 64 else WIDE_BIAS_ROW
+    s = _multistep_slot(tbig, "fused family step")
+    bias_row = BIAS_ROW if s == S else WIDE_BIAS_ROW
 
     xin = _fused_xin(x_sel, n_inputs)
     int_scalars = jnp.asarray(seed, jnp.int32).reshape(1)
@@ -1555,7 +1543,7 @@ def fused_bnn_step_psgld(
     ])
 
     big_spec, mat_spec, xin_spec, y_spec = _fused_family_specs(
-        block_chains, n_inputs, xin, y_sel, s)
+        block_chains, n_inputs, s)
     state_specs = [big_spec(), mat_spec()]
     in_specs = state_specs + state_specs + [xin_spec, y_spec]
     operands = list(theta) + list(v) + [xin, y_sel]
@@ -1568,18 +1556,12 @@ def fused_bnn_step_psgld(
         tuple(jax.ShapeDtypeStruct(t.shape, jnp.float32) for t in theta)
         + tuple(jax.ShapeDtypeStruct(t.shape, state_dtype) for t in theta)
     )
-    bbs = (block_chains, B_PAD, s)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_chains // block_chains,),
         in_specs=in_specs,
         out_specs=tuple(state_specs) + tuple(state_specs),
-        scratch_shapes=[
-            pltpu.VMEM(bbs, jnp.bfloat16),
-            pltpu.VMEM(bbs, jnp.bfloat16),
-            pltpu.VMEM(bbs, jnp.bfloat16),
-            pltpu.VMEM((block_chains, VEC_ROWS, s), jnp.float32),
-        ],
+        scratch_shapes=_multistep_scratch(block_chains, s),
     )
     aliases = {i + 2: i for i in range(2)}
     aliases.update({i + 4: i + 2 for i in range(2)})
@@ -1711,8 +1693,8 @@ def fused_bnn_step_sgnht(
         raise ValueError(
             "fused_bnn_step_sgnht: xi must be a replicated ({}, 128) "
             "row; got {}".format(n_chains, xi.shape))
-    s = tbig.shape[2]
-    bias_row = BIAS_ROW if s == 64 else WIDE_BIAS_ROW
+    s = _multistep_slot(tbig, "fused family step")
+    bias_row = BIAS_ROW if s == S else WIDE_BIAS_ROW
     # real (unpadded) parameter count: two (h+1) x h weight slabs (biases
     # ride the ones-lane bias row) + w1/b1/w4 vector rows + (b4, lvb)
     n_dim = 2 * (h + 1) * h + (n_inputs + 2) * h + 2
@@ -1730,7 +1712,7 @@ def fused_bnn_step_sgnht(
     ])
 
     big_spec, mat_spec, xin_spec, y_spec = _fused_family_specs(
-        block_chains, n_inputs, xin, y_sel, s)
+        block_chains, n_inputs, s)
     xi_spec = pl.BlockSpec(
         (block_chains, 128), lambda i, *_: (i, 0),
         memory_space=pltpu.VMEM)
@@ -1747,18 +1729,12 @@ def fused_bnn_step_sgnht(
         + tuple(jax.ShapeDtypeStruct(t.shape, state_dtype) for t in theta)
         + (jax.ShapeDtypeStruct((n_chains, 128), jnp.float32),)
     )
-    bbs = (block_chains, B_PAD, s)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_chains // block_chains,),
         in_specs=in_specs,
         out_specs=tuple(state_specs) + tuple(state_specs) + (xi_spec,),
-        scratch_shapes=[
-            pltpu.VMEM(bbs, jnp.bfloat16),
-            pltpu.VMEM(bbs, jnp.bfloat16),
-            pltpu.VMEM(bbs, jnp.bfloat16),
-            pltpu.VMEM((block_chains, VEC_ROWS, s), jnp.float32),
-        ],
+        scratch_shapes=_multistep_scratch(block_chains, s),
     )
     aliases = {2: 0, 3: 1, 4: 2, 5: 3, 6: 4}
     kernel = _make_kernel_sgnht(
@@ -1878,8 +1854,8 @@ def fused_bnn_step_rsghmc(
         raise ValueError(
             "fused_bnn_step_rsghmc: n_chains ({}) must be divisible by "
             "block_chains ({})".format(n_chains, block_chains))
-    s = tbig.shape[2]
-    bias_row = BIAS_ROW if s == 64 else WIDE_BIAS_ROW
+    s = _multistep_slot(tbig, "fused family step")
+    bias_row = BIAS_ROW if s == S else WIDE_BIAS_ROW
 
     xin = _fused_xin(x_sel, n_inputs)
     int_scalars = jnp.asarray(seed, jnp.int32).reshape(1)
@@ -1896,7 +1872,7 @@ def fused_bnn_step_rsghmc(
     ])
 
     big_spec, mat_spec, xin_spec, y_spec = _fused_family_specs(
-        block_chains, n_inputs, xin, y_sel, s)
+        block_chains, n_inputs, s)
     state_specs = [big_spec(), mat_spec()]
     in_specs = state_specs + state_specs + [xin_spec, y_spec]
     operands = list(theta) + list(v) + [xin, y_sel]
@@ -1909,18 +1885,12 @@ def fused_bnn_step_rsghmc(
         tuple(jax.ShapeDtypeStruct(t.shape, jnp.float32) for t in theta)
         + tuple(jax.ShapeDtypeStruct(t.shape, state_dtype) for t in theta)
     )
-    bbs = (block_chains, B_PAD, s)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_chains // block_chains,),
         in_specs=in_specs,
         out_specs=tuple(state_specs) + tuple(state_specs),
-        scratch_shapes=[
-            pltpu.VMEM(bbs, jnp.bfloat16),
-            pltpu.VMEM(bbs, jnp.bfloat16),
-            pltpu.VMEM(bbs, jnp.bfloat16),
-            pltpu.VMEM((block_chains, VEC_ROWS, s), jnp.float32),
-        ],
+        scratch_shapes=_multistep_scratch(block_chains, s),
     )
     aliases = {2: 0, 3: 1, 4: 2, 5: 3}
     kernel = _make_kernel_rsghmc(
@@ -2765,6 +2735,11 @@ def fused_bnn_multistep_burnin(
     """
     tbig, tw3 = theta
     n_chains = tbig.shape[0]
+    if k_steps < 1:
+        raise ValueError(
+            "fused_bnn_multistep_burnin: k_steps must be >= 1 (the "
+            "non-aliased minv outputs are only written inside the "
+            "step loop); got {}".format(k_steps))
     s = _multistep_slot(tbig, "fused_bnn_multistep_burnin")
     bias_row = BIAS_ROW if s == S else WIDE_BIAS_ROW
     if n_chains % block_chains:
@@ -2846,6 +2821,11 @@ def fused_bnn_multistep_burnin_sgld(
     """
     tbig, tw3 = theta
     n_chains = tbig.shape[0]
+    if k_steps < 1:
+        raise ValueError(
+            "fused_bnn_multistep_burnin_sgld: k_steps must be >= 1 (the "
+            "non-aliased minv outputs are only written inside the "
+            "step loop); got {}".format(k_steps))
     s = _multistep_slot(tbig, "fused_bnn_multistep_burnin_sgld")
     bias_row = BIAS_ROW if s == S else WIDE_BIAS_ROW
     if n_chains % block_chains:

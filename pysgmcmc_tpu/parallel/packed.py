@@ -788,7 +788,7 @@ def sample_chain_fused(
                 a_coef=float(sampler.A), scale_grad=sampler.scale_grad,
                 prior_scale=sampler.gaussian_prior_scale,
                 batch_size=batch_size, n_data=n_data,
-                block_chains=block_chains, state_dtype=state_dtype,
+                block_chains=block_chains,
                 n_inputs=n_inputs, interpret=interpret,
             )
         elif fkind == "sgnht":
@@ -1471,6 +1471,8 @@ def burnin_chain_fused(
     (the value the sampling phase freezes), matching
     :func:`burnin_chain_lanes`.
     """
+    if int(n_steps) < 1:
+        return states
     if mesh is not None:
         from pysgmcmc_tpu.parallel.mesh import CHAIN_AXIS
 

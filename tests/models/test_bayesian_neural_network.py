@@ -284,6 +284,13 @@ def test_fused_step_impl_trains_and_validates():
 def test_fused_step_impl_ctor_validation():
     with pytest.raises(ValueError, match="requires network='dense'"):
         BayesianNeuralNetwork(step_impl="fused")
+    # the fused kernels hard-code the 3-hidden-layer w1..w4 slab family
+    with pytest.raises(ValueError, match="exactly 3 hidden layers"):
+        BayesianNeuralNetwork(
+            step_impl="fused", network="dense", units=(50, 50))
+    with pytest.raises(ValueError, match="exactly 3 hidden layers"):
+        BayesianNeuralNetwork(
+            step_impl="fused", network="dense", units=(50, 50, 50, 50))
     with pytest.raises(ValueError, match="step_impl='fused' supports"):
         from pysgmcmc_tpu.sampling import Sampler
 

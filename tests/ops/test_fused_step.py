@@ -309,7 +309,7 @@ def test_fused_sgld_step_matches_pytree_step():
         a_coef=float(sampler.A), scale_grad=sampler.scale_grad,
         prior_scale=sampler.gaussian_prior_scale,
         batch_size=20, n_data=100, block_chains=n,
-        state_dtype=jnp.float32, noise=pack_fused(eta), interpret=True,
+        noise=pack_fused(eta), interpret=True,
     )
     got_pos = unpack_fused(theta2, 50)
     # SGLD's position update moves at eps * minv (not SGHMC's eps^2 *
@@ -1115,3 +1115,110 @@ def test_burnin_chain_fused_wide_slot():
         state_dtype=jnp.float32, multistep=True, interpret=True)
     assert np.isfinite(np.asarray(costs)).all()
     assert pos["w2"].shape == (n, 1, h, h)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "kind", ["sghmc", "sgld", "psgld", "sgnht", "rsghmc"])
+def test_multistep_sampling_matches_pytree(kind):
+    """k multi-step-kernel sampling steps == k pytree steps, per sampler.
+
+    Interpret mode's in-kernel PRNG returns zero bits (zero noise,
+    window 0 every step), so the k-step sampling launch is deterministic
+    and directly comparable to the pytree sampler iterated on batch
+    ``x[0:20]`` with injected zero noise — pinning the whole family's
+    multi-step kernels (ops/fused_step.fused_bnn_multistep*) against
+    samplers/{sghmc,sgld,psgld,sgnht,relativistic_sghmc}.py, not just
+    finiteness.  Tolerances absorb the bf16 forward-pass deltas (the
+    update math itself is exact; see the burn-in math test)."""
+    from pysgmcmc_tpu.data_batches import batch_fn as make_batch_fn
+    from pysgmcmc_tpu.parallel.packed import sample_chain_fused
+    from pysgmcmc_tpu.samplers.psgld import PSGLDSampler
+    from pysgmcmc_tpu.samplers.relativistic_sghmc import (
+        RelativisticSGHMCSampler,
+    )
+    from pysgmcmc_tpu.samplers.sgld import SGLDSampler
+    from pysgmcmc_tpu.samplers.sgnht import SGNHTSampler
+
+    n, k_steps = 2, 3
+    base, positions, _ = _workload(n)
+    rng = np.random.RandomState(0)
+    x = rng.uniform(0.0, 1.0, (100, 1)).astype(np.float32)
+    from pysgmcmc_tpu.diagnostics.objective_functions import sinc
+
+    y = np.asarray(sinc(x), np.float32)
+    prior = base.gaussian_prior_scale
+
+    if kind == "sghmc":
+        sampler = base
+    elif kind == "sgld":
+        sampler = SGLDSampler(
+            base.cost_fn, stepsize_schedule=1e-5, burn_in_steps=50,
+            scale_grad=100.0, gaussian_prior_scale=prior)
+    elif kind == "psgld":
+        sampler = PSGLDSampler(
+            base.cost_fn, stepsize_schedule=1e-4, scale_grad=100.0,
+            gaussian_prior_scale=prior)
+    elif kind == "sgnht":
+        sampler = SGNHTSampler(
+            base.cost_fn, stepsize_schedule=1e-3, scale_grad=100.0,
+            gaussian_prior_scale=prior)
+    else:
+        sampler = RelativisticSGHMCSampler(
+            base.cost_fn, stepsize_schedule=1e-3,
+            gaussian_prior_scale=prior)
+
+    # warm the state on the pytree path (adapts + freezes minv for the
+    # burn-in family; spins the accumulator/thermostat for the rest)
+    select = make_batch_fn(jnp.asarray(x), jnp.asarray(y), 20)
+    warm = getattr(sampler, "burn_in_steps", 0) or 10
+
+    def one(p, ck):
+        k1, k2 = jax.random.split(ck)
+        st = sampler.init(p, k1)
+        st, _ = sample_chain(
+            sampler, st, k2, 1, batch_fn=select, keep_every=warm,
+            collect_costs=False)
+        return st
+
+    states = jax.vmap(one)(
+        positions, jax.random.split(jax.random.PRNGKey(1), n))
+
+    # pytree reference: k sampling steps on window 0 with zero noise
+    xb = jnp.asarray(x[0:20])
+    yb = jnp.asarray(y[0:20]).reshape(-1, 1)
+
+    def ref_steps(state):
+        zero = jax.tree_util.tree_map(jnp.zeros_like, state.position)
+        for _ in range(k_steps):
+            state = sampler.step(
+                state, jax.random.PRNGKey(0), (xb, yb), noise=zero,
+                phase="sampling")[0]
+        return state
+
+    ref = jax.vmap(ref_steps)(states)
+
+    out, pos, costs = sample_chain_fused(
+        sampler, states, jax.random.PRNGKey(2), 1, x, y,
+        batch_size=20, keep_every=k_steps, block_chains=n,
+        state_dtype=jnp.float32, multistep=True, interpret=True)
+
+    assert np.isfinite(np.asarray(costs)).all()
+    for key in ref.position:
+        np.testing.assert_allclose(
+            np.asarray(ref.position[key]),
+            np.asarray(out.position[key]),
+            rtol=0, atol=2e-3, err_msg=kind + " position " + key)
+        np.testing.assert_allclose(
+            np.asarray(out.position[key]),
+            np.asarray(pos[key][:, 0]),
+            rtol=0, atol=0, err_msg=kind + " collected sample " + key)
+    if hasattr(ref, "momentum"):
+        for key in ref.momentum:
+            np.testing.assert_allclose(
+                np.asarray(ref.momentum[key]),
+                np.asarray(out.momentum[key]),
+                # SGNHT/RSGHMC momenta integrate the raw gradient at
+                # eps (not eps^2), so the bf16 forward deltas show up
+                # at ~0.3% relative — hence the rtol term
+                rtol=1e-2, atol=2e-3, err_msg=kind + " momentum " + key)
