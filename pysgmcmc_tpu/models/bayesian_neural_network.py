@@ -745,9 +745,20 @@ class BayesianNeuralNetwork(BaseModel):
 
         select_batch = make_batch_fn(x_dev, y_dev, self.batch_size)
         positions = jax.vmap(init_fn)(jax.random.split(key_net, n_chains))
-        block = n_chains
+        # the kernel grid blocks over each device's LOCAL chains: under a
+        # mesh the drivers shard_map the chain axis, so block_chains must
+        # divide n_chains / mesh_size, not n_chains
+        local_chains = n_chains
+        if self.mesh is not None:
+            mesh_size = int(self.mesh.devices.size)
+            if n_chains % mesh_size:
+                raise ValueError(
+                    "n_chains ({}) must be divisible by the mesh size "
+                    "({})".format(n_chains, mesh_size))
+            local_chains = n_chains // mesh_size
+        block = local_chains
         for cand in (32, 16, 8, 4, 2, 1):
-            if n_chains % cand == 0 and cand <= n_chains:
+            if local_chains % cand == 0 and cand <= local_chains:
                 block = cand
                 break
 

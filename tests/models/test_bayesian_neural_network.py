@@ -387,3 +387,33 @@ def test_lanes_step_impl_fast_smoke():
     bnn.train(x, y)
     mean, _ = bnn.predict(x)
     assert np.all(np.isfinite(mean))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("impl", ["fused", "lanes"])
+def test_kernel_step_impls_train_under_mesh(impl):
+    """Model-level kernel fast paths compose with the chain mesh.
+
+    Regression: the model used to pick ``block_chains`` from the TOTAL
+    chain count, but under a mesh the packed drivers shard_map the chain
+    axis, so the kernel grid blocks over each device's LOCAL chains —
+    n_chains=8 on an 8-device mesh left one chain per shard and the
+    kernel rejected the 8-chain block.  Train end to end on the 8-device
+    virtual mesh through both kernel paths (the multi-step fused burn-in
+    and sampling drivers, and the lanes drivers)."""
+    from pysgmcmc_tpu.parallel.mesh import chain_mesh
+
+    x, y = _sinc_data()[:2]
+    bnn = BayesianNeuralNetwork(
+        network="dense", step_impl=impl, mesh=chain_mesh(8), n_chains=8,
+        n_nets=8, n_iters=60, burn_in_steps=20, sample_steps=20,
+        log_every=None, seed=0)
+    bnn.train(x, y)
+    mean, variance = bnn.predict(x)
+    assert np.all(np.isfinite(mean))
+    assert np.all(variance >= 0)
+
+    with pytest.raises(ValueError, match="divisible by the mesh size"):
+        BayesianNeuralNetwork(
+            network="dense", step_impl="fused", mesh=chain_mesh(8),
+            n_chains=12, n_nets=12, log_every=None).train(x, y)
