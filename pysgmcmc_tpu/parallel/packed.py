@@ -736,6 +736,12 @@ def sample_chain_fused(
     n_data = jnp.asarray(x).shape[0]
     x_win, y_win = data_windows(x, y, batch_size)
     n_windows = x_win.shape[0]
+    # clamp the grid block to a divisor of the (local) chain count, like
+    # burnin_chain_fused: under a mesh this body sees only the shard's
+    # chains, which can be smaller than the caller's block_chains
+    block_chains = min(block_chains, n_chains)
+    while n_chains % block_chains:
+        block_chains //= 2
 
     theta = pack_fused(states.position)
     if fkind == "sghmc":
