@@ -1093,17 +1093,280 @@ def _make_multistep_kernel(batch_size, n_data, block_chains, n_windows,
     return kernel
 
 
+def _paired_scratch(block_chains, s=S):
+    """Scratch set for the paired multi-step kernel: three PAIRED bf16
+    activation slabs, the f32 gradient-vector slab, and six persistent
+    paired (Cp, 2s, 2s) f32 state slabs (theta/v/minv for W2 and W3)."""
+    cp = block_chains // 2
+    pbs = (cp, B_PAD, 2 * s)
+    pms = (cp, 2 * s, 2 * s)
+    return [
+        pltpu.VMEM(pbs, jnp.bfloat16),
+        pltpu.VMEM(pbs, jnp.bfloat16),
+        pltpu.VMEM(pbs, jnp.bfloat16),
+        pltpu.VMEM((block_chains, VEC_ROWS, s), jnp.float32),
+        pltpu.VMEM(pms, jnp.float32),   # theta W2 (paired)
+        pltpu.VMEM(pms, jnp.float32),   # theta W3 (paired)
+        pltpu.VMEM(pms, jnp.float32),   # v W2 (paired)
+        pltpu.VMEM(pms, jnp.float32),   # v W3 (paired)
+        pltpu.VMEM(pms, jnp.float32),   # minv W2 (paired)
+        pltpu.VMEM(pms, jnp.float32),   # minv W3 (paired)
+    ]
+
+
+def _make_multistep_kernel_paired(batch_size, n_data, block_chains,
+                                  n_windows, k_steps):
+    """flash-SGHMC multi-step kernel with 2-chain PAIRED MXU dots.
+
+    The multi-step kernel is dot-instance-overhead bound (~83% of the
+    12.5 us block-step goes to 6 batched ``dot_general``s x C instances
+    x ~54 ns of per-instance issue overhead; see docs/performance.md).
+    The round-2 per-step paired kernel (:func:`_make_kernel_paired`)
+    halved the instance count but paid a pack/unpack of the full W2/W3
+    slabs EVERY step, which cost more than it saved (measured negative).
+    Here the pairing composes with multi-step VMEM residency: the
+    block-diagonal (Cp, 2s, 2s) W2/W3 state (theta, v, minv) is packed
+    ONCE per launch into persistent scratch, the k-step loop runs every
+    dot at the full 128-lane MXU depth with activations kept in paired
+    lanes end-to-end, and the state is unpacked once at the end.
+
+    Off-diagonal blocks stay EXACTLY zero without extra masking: the
+    paired ``minv`` is zero there, so the update's
+    ``where(minv > 0, v_new, 0)`` freeze (the same mechanism that keeps
+    the dead padding rows dead) zeroes the off-diagonal velocity and
+    therefore the off-diagonal theta every step, no matter what the
+    paired gradient dots or the full-slab noise draw put there.
+
+    SGHMC / 1-input / 64-slot layout only (the flagship configuration);
+    semantics otherwise identical to :func:`_make_multistep_kernel`.
+    """
+    bf16 = jnp.bfloat16
+    inv_b = 1.0 / batch_size
+    inv_n = 1.0 / n_data
+    C = block_chains
+    Cp = C // 2
+    s = S
+    row_b1, row_w4, row_scal = _vec_rows(1, s)
+    big_rows = s + VEC_ROWS
+    row_w1 = s
+
+    def pair_mats(m):
+        # (C, s, s) -> block-diag (Cp, 2s, 2s)
+        r = m.reshape(Cp, 2, s, s)
+        a, b = r[:, 0], r[:, 1]
+        zero = jnp.zeros_like(a)
+        top = jnp.concatenate([a, zero], axis=2)
+        bot = jnp.concatenate([zero, b], axis=2)
+        return jnp.concatenate([top, bot], axis=1)
+
+    def unpair_mats(m):
+        # block-diag (Cp, 2s, 2s) -> (C, s, s), discarding cross blocks
+        return jnp.stack([m[:, 0:s, 0:s], m[:, s:2 * s, s:2 * s]],
+                         axis=1).reshape(C, s, s)
+
+    def pair_lanes(m):
+        # (C, B, k) -> (Cp, B, 2k): chain pair side by side on lanes
+        rows, k = m.shape[1], m.shape[2]
+        r = m.reshape(Cp, 2, rows, k)
+        return jnp.concatenate([r[:, 0], r[:, 1]], axis=2)
+
+    def kernel(int_ref, float_ref,
+               tbig, tw3, vbig, vw3, mbig, mw3, xw_ref, yw_ref,
+               obig, ow3, pbig, pw3,
+               s_a1, s_a2, s_a3, s_gvec,
+               p_w2, p_w3, p_v2, p_v3, p_m2, p_m3):
+        pltpu.prng_seed(int_ref[0], pl.program_id(0))
+        eps = float_ref[0]
+        eps_scaled = float_ref[1]
+        mdecay = float_ref[2]
+        prior_scale = float_ref[3]
+
+        # vector-row state lives in the output refs for the whole loop;
+        # W2/W3 state lives in the persistent PAIRED scratch slabs
+        obig[:] = tbig[:]
+        ow3[:] = tw3[:]
+        pbig[:] = vbig[:]
+        pw3[:] = vw3[:]
+        p_w2[:] = pair_mats(tbig[:, 0:s, :])
+        p_w3[:] = pair_mats(tw3[:])
+        p_v2[:] = pair_mats(vbig[:, 0:s, :].astype(jnp.float32))
+        p_v3[:] = pair_mats(vw3[:].astype(jnp.float32))
+        p_m2[:] = pair_mats(mbig[:, 0:s, :].astype(jnp.float32))
+        p_m3[:] = pair_mats(mw3[:].astype(jnp.float32))
+
+        brow = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD), 1)
+        bmask = (brow < batch_size).astype(jnp.float32)
+        lane2 = jax.lax.broadcasted_iota(jnp.int32, (C, s), 1)
+        lane3p = jax.lax.broadcasted_iota(jnp.int32, (Cp, B_PAD, 2 * s), 2)
+        bias_lane_p = (lane3p % s) == BIAS_ROW
+        first_half = lane3p < s
+        win_iota = jax.lax.broadcasted_iota(jnp.int32, (C, n_windows), 1)
+
+        def pair_rows(r2):
+            # (C, 1) per-chain scalars -> (Cp, B, 2s) half-broadcast
+            rr = r2.reshape(Cp, 2, 1)
+            return jnp.where(
+                first_half, rr[:, 0:1, :], rr[:, 1:2, :])
+
+        def pair_batch(r2):
+            # (C, B) per-batch rows -> (Cp, B, 2s) half-broadcast
+            rr = r2.reshape(Cp, 2, B_PAD)
+            return jnp.where(
+                first_half, rr[:, 0, :, None], rr[:, 1, :, None])
+
+        def body(t, carry):
+            big = obig[:]
+            w4 = big[:, row_w4, :]
+            scal = big[:, row_scal, :]
+            b4 = scal[:, LANE_B4:LANE_B4 + 1]
+            lvb = scal[:, LANE_LVB:LANE_LVB + 1]
+
+            # ---- in-kernel minibatch selection (then paired lanes) ----
+            xin_bf, y = _select_window_bf(
+                C, n_windows, win_iota, xw_ref, yw_ref, 1)
+            xinp = pair_lanes(xin_bf)                    # (Cp, B, 4)
+
+            # paired layer-1 weights from the (unpaired) vector rows
+            w1m = big[:, row_w1:row_b1 + 1, :]           # (C, 2, s)
+            w1r = w1m.reshape(Cp, 2, 2, s)
+            z14 = jnp.zeros((Cp, 2, s), jnp.float32)
+            w1p = jnp.concatenate([
+                jnp.concatenate([w1r[:, 0], z14], axis=2),
+                jnp.concatenate([z14, w1r[:, 1]], axis=2),
+            ], axis=1).astype(bf16)                      # (Cp, 4, 2s)
+
+            # ---- forward: every dot at full 128-lane depth ----
+            w2_bf = p_w2[:].astype(bf16)
+            w3_bf = p_w3[:].astype(bf16)
+            z1 = _bdot(xinp, w1p, (((2,), (1,))))        # (Cp, B, 2s)
+            s_a1[:] = jnp.where(
+                bias_lane_p, 1.0, jnp.tanh(z1)).astype(bf16)
+            a1 = s_a1[:]
+            a1f = a1.astype(jnp.float32)
+            z2 = _bdot(a1, w2_bf, (((2,), (1,))))
+            s_a2[:] = jnp.where(
+                bias_lane_p, 1.0, jnp.tanh(z2)).astype(bf16)
+            a2 = s_a2[:]
+            a2f = a2.astype(jnp.float32)
+            z3 = _bdot(a2, w3_bf, (((2,), (1,))))
+            s_a3[:] = jnp.tanh(z3).astype(bf16)
+            a3f = s_a3[:].astype(jnp.float32)            # (Cp, B, 2s)
+
+            # per-half lane sums -> unpaired (C, B) network mean
+            w4p = pair_lanes(w4[:, None, :])             # (Cp, 1, 2s)
+            prod = a3f * w4p
+            f_a = jnp.sum(prod[:, :, 0:s], axis=2)       # (Cp, B)
+            f_b = jnp.sum(prod[:, :, s:2 * s], axis=2)
+            f_mean = jnp.stack([f_a, f_b], axis=1).reshape(C, B_PAD) + b4
+
+            # ---- likelihood + head gradients (2-D, as the unpaired
+            # kernel -- per-chain rows are cheap VPU work) ----
+            e_lv = jnp.exp(lvb)
+            var_inv = 1.0 / (e_lv + 1e-16)
+            diff = (f_mean - y) * bmask
+            mse = diff * diff
+            ll = jnp.sum(
+                -mse * (0.5 * var_inv) - 0.5 * lvb * bmask,
+                axis=1, keepdims=True) * inv_b
+            p_term = -jnp.square(lvb - LOG_MP) / (2.0 * VAR_P) \
+                - 0.5 * float(np.log(VAR_P))
+            cost = -(ll + p_term * inv_n)
+            d_mean = diff * var_inv * inv_b
+            d_lvb = -jnp.sum(
+                mse * (0.5 * e_lv) * jnp.square(var_inv) - 0.5 * bmask,
+                axis=1, keepdims=True) * inv_b
+            d_lvb = d_lvb + (lvb - LOG_MP) / VAR_P * inv_n
+            g_b4 = jnp.sum(d_mean, axis=1, keepdims=True)
+
+            # ---- backward (paired dots; off-diag garbage in g_w2p /
+            # g_w3p is killed by the paired minv freeze in _update) ----
+            d_mean_p = pair_batch(d_mean)                # (Cp, B, 2s)
+            g_w4p = jnp.sum(a3f * d_mean_p, axis=1)      # (Cp, 2s)
+            g_w4 = jnp.stack(
+                [g_w4p[:, 0:s], g_w4p[:, s:2 * s]], axis=1).reshape(C, s)
+            dz3_bf = (d_mean_p * w4p * (1.0 - a3f * a3f)).astype(bf16)
+            g_w3p = _bdot(a2, dz3_bf, (((1,), (1,))))
+            da2 = _bdot(dz3_bf, w3_bf, (((2,), (2,))))
+            dz2_bf = (da2 * (1.0 - a2f * a2f)).astype(bf16)
+            g_w2p = _bdot(a1, dz2_bf, (((1,), (1,))))
+            da1 = _bdot(dz2_bf, w2_bf, (((2,), (2,))))
+            dz1_bf = (da1 * (1.0 - a1f * a1f)).astype(bf16)
+            g_w1p = _bdot(xinp, dz1_bf, (((1,), (1,))))  # (Cp, 4, 2s)
+            g_w1m = jnp.stack(
+                [g_w1p[:, 0:2, 0:s], g_w1p[:, 2:4, s:2 * s]],
+                axis=1).reshape(C, 2, s)
+
+            g_scal = jnp.where(
+                lane2 == LANE_B4, g_b4,
+                jnp.where(lane2 == LANE_LVB, d_lvb, 0.0),
+            ).astype(jnp.float32)
+            s_gvec[:, 0:2, :] = g_w1m
+            s_gvec[:, row_w4 - s, :] = g_w4
+            s_gvec[:, row_scal - s, :] = g_scal
+            s_gvec[:, row_scal - s + 1:VEC_ROWS, :] = jnp.zeros(
+                (C, VEC_ROWS - (row_scal - s) - 1, s), jnp.float32)
+            g_vec = s_gvec[:]
+
+            # one full-width draw covers both paired slabs (rows are
+            # even, so Box-Muller runs dual-output), plus the small
+            # unpaired vector-rows draw
+            eta_p = _normal_3d((Cp, 4 * s, 2 * s))
+            eta_w2 = eta_p[:, 0:2 * s, :]
+            eta_w3 = eta_p[:, 2 * s:4 * s, :]
+            eta_vec = _normal_3d((C, VEC_ROWS, s))
+
+            def _update(theta, v, minv, grad, eta):
+                v32 = v.astype(jnp.float32)
+                minv = minv.astype(jnp.float32)
+                g = grad + prior_scale * theta
+                sigma = jnp.sqrt(jnp.maximum(
+                    2.0 * eps_scaled**2 * mdecay * minv - eps_scaled**4,
+                    1e-16))
+                v_new = v32 - eps**2 * minv * g - mdecay * v32 + sigma * eta
+                v_new = jnp.where(minv > 0.0, v_new, 0.0)
+                return theta + v_new, v_new
+
+            t_new, v_new = _update(
+                p_w2[:], p_v2[:], p_m2[:], g_w2p, eta_w2)
+            p_w2[:] = t_new
+            p_v2[:] = v_new
+            t_new, v_new = _update(
+                p_w3[:], p_v3[:], p_m3[:], g_w3p, eta_w3)
+            p_w3[:] = t_new
+            p_v3[:] = v_new
+            t_new, v_new = _update(
+                obig[:, s:big_rows, :], pbig[:, s:big_rows, :],
+                mbig[:, s:big_rows, :], g_vec, eta_vec)
+            obig[:, s:big_rows, :] = t_new
+            pbig[:, s:big_rows, :] = v_new.astype(pbig.dtype)
+
+            obig[:, big_rows - 1, LANE_B4:LANE_B4 + 1] = cost
+            return carry
+
+        jax.lax.fori_loop(0, k_steps, body, 0)
+
+        # unpack the paired state back into the (aliased) output slabs;
+        # the cost row write above targets the vector-rows region, which
+        # the W2 unpack below does not touch
+        obig[:, 0:s, :] = unpair_mats(p_w2[:])
+        ow3[:] = unpair_mats(p_w3[:])
+        pbig[:, 0:s, :] = unpair_mats(p_v2[:]).astype(pbig.dtype)
+        pw3[:] = unpair_mats(p_v3[:]).astype(pw3.dtype)
+
+    return kernel
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("mdecay", "scale_grad", "prior_scale", "batch_size",
                      "n_data", "block_chains", "state_dtype", "k_steps",
-                     "interpret"),
+                     "pair_dots", "interpret"),
 )
 def fused_bnn_multistep(
     theta, v, minv, x_win, y_win, eps, seed,
     mdecay=0.05, scale_grad=1.0, prior_scale=0.0,
     batch_size=20, n_data=100, block_chains=32,
-    state_dtype=jnp.bfloat16, k_steps=1, interpret=False,
+    state_dtype=jnp.bfloat16, k_steps=1, pair_dots=False, interpret=False,
 ):
     """``k_steps`` fused SGHMC steps in ONE kernel launch, VMEM-resident.
 
@@ -1113,6 +1376,15 @@ def fused_bnn_multistep(
     in-kernel PRNG every step).  The per-chain cost of the final step is
     returned; intermediate states never leave VMEM.  1-input family,
     both slot layouts (64-slot H <= 50, 128-slot H <= 114).
+
+    ``pair_dots=True`` runs the 2-chain paired-dot variant
+    (:func:`_make_multistep_kernel_paired`): block-diagonal W2/W3 state
+    packed once per launch so every MXU dot contracts the full 128-lane
+    depth with half the instance count.  Same update semantics; the
+    noise DRAW ORDER differs (one paired full-slab draw), so trajectories
+    match the unpaired kernel only when the noise is degenerate (e.g.
+    interpret mode's zero-bit PRNG).  64-slot / 1-input / even
+    ``block_chains`` only.
 
     Returns ``(theta', v', cost)``.
     """
@@ -1126,6 +1398,14 @@ def fused_bnn_multistep(
             "block_chains ({})".format(n_chains, block_chains))
     n_windows, n_inputs, xw_op = _multistep_tables(
         x_win, "fused_bnn_multistep")
+    if pair_dots:
+        if s != S:
+            raise ValueError(
+                "pair_dots supports the 64-slot layout only")
+        if n_inputs != 1:
+            raise ValueError("pair_dots supports n_inputs=1 only")
+        if block_chains % 2:
+            raise ValueError("pair_dots requires an even block_chains")
 
     eps32 = jnp.asarray(eps, jnp.float32)
     int_scalars = jnp.asarray(seed, jnp.int32).reshape(1)
@@ -1154,14 +1434,20 @@ def fused_bnn_multistep(
         grid=(n_chains // block_chains,),
         in_specs=in_specs,
         out_specs=out_specs,
-        scratch_shapes=_multistep_scratch(block_chains, s),
+        scratch_shapes=(_paired_scratch(block_chains, s) if pair_dots
+                        else _multistep_scratch(block_chains, s)),
     )
     aliases = {i + 2: i for i in range(2)}
     aliases.update({i + 4: i + 2 for i in range(2)})
 
-    kernel = _make_multistep_kernel(
-        float(batch_size), float(n_data), block_chains, n_windows,
-        int(k_steps), s, bias_row, n_inputs)
+    if pair_dots:
+        kernel = _make_multistep_kernel_paired(
+            float(batch_size), float(n_data), block_chains, n_windows,
+            int(k_steps))
+    else:
+        kernel = _make_multistep_kernel(
+            float(batch_size), float(n_data), block_chains, n_windows,
+            int(k_steps), s, bias_row, n_inputs)
     interpreter = pltpu.InterpretParams() if interpret else False
     outs = pl.pallas_call(
         kernel,

@@ -660,6 +660,7 @@ def sample_chain_fused(
     mesh=None,
     axis_name=None,
     multistep=False,
+    pair_dots=False,
     interpret=False,
 ):
     """Sampling-phase driver over the flash-SGHMC fused step.
@@ -695,7 +696,7 @@ def sample_chain_fused(
                 batch_size=batch_size, keep_every=keep_every,
                 block_chains=block_chains, state_dtype=state_dtype,
                 collect_positions=collect_positions, multistep=multistep,
-                interpret=interpret,
+                pair_dots=pair_dots, interpret=interpret,
             )
 
         return _run_sharded(
@@ -712,6 +713,13 @@ def sample_chain_fused(
         pack_fused,
         unpack_fused,
     )
+
+    if pair_dots and not multistep:
+        raise ValueError(
+            "pair_dots is a multi-step kernel variant; pass "
+            "multistep=True")
+    if pair_dots and not isinstance(sampler, SGHMCSampler):
+        raise ValueError("pair_dots supports the SGHMC kernel only")
 
     if isinstance(sampler, SGHMCSampler):
         fkind = "sghmc"
@@ -859,7 +867,8 @@ def sample_chain_fused(
                 prior_scale=sampler.gaussian_prior_scale,
                 batch_size=batch_size, n_data=n_data,
                 block_chains=block_chains, state_dtype=state_dtype,
-                k_steps=keep_every, interpret=interpret,
+                k_steps=keep_every, pair_dots=pair_dots,
+                interpret=interpret,
             )
         elif fkind == "sgnht":
             theta, v, xi, cost = fused_bnn_multistep_sgnht(

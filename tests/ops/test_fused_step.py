@@ -1222,3 +1222,111 @@ def test_multistep_sampling_matches_pytree(kind):
                 # eps (not eps^2), so the bf16 forward deltas show up
                 # at ~0.3% relative — hence the rtol term
                 rtol=1e-2, atol=2e-3, err_msg=kind + " momentum " + key)
+
+
+@pytest.mark.slow
+def test_multistep_paired_matches_unpaired():
+    """pair_dots=True == pair_dots=False through the multi-step driver.
+
+    Interpret mode's in-kernel PRNG returns zero bits (zero noise,
+    window 0 every step), so the only difference between the paired and
+    the standard multi-step kernel is the dot formulation: block-diagonal
+    (Cp, 2s, 2s) operands whose off-diagonal blocks are exact zeros.
+    Adding exact zeros is exact in floating point, so positions, momenta
+    and costs must agree bitwise — including that the off-diagonal
+    blocks never leak into the unpacked state (the paired minv freeze).
+    """
+    from pysgmcmc_tpu.data_batches import batch_fn as make_batch_fn
+    from pysgmcmc_tpu.parallel.packed import sample_chain_fused
+
+    n, k_steps = 4, 3
+    sampler, positions, _ = _workload(n)
+    rng = np.random.RandomState(0)
+    x = rng.uniform(0.0, 1.0, (100, 1)).astype(np.float32)
+    from pysgmcmc_tpu.diagnostics.objective_functions import sinc
+
+    y = np.asarray(sinc(x), np.float32)
+
+    # warm past burn-in on the pytree path so minv is frozen
+    select = make_batch_fn(jnp.asarray(x), jnp.asarray(y), 20)
+
+    def one(p, ck):
+        k1, k2 = jax.random.split(ck)
+        st = sampler.init(p, k1)
+        st, _ = sample_chain(
+            sampler, st, k2, 1, batch_fn=select,
+            keep_every=sampler.burn_in_steps, collect_costs=False)
+        return st
+
+    states = jax.vmap(one)(
+        positions, jax.random.split(jax.random.PRNGKey(1), n))
+
+    runs = {}
+    for paired in (False, True):
+        out, pos, costs = sample_chain_fused(
+            sampler, states, jax.random.PRNGKey(2), 2, x, y,
+            batch_size=20, keep_every=k_steps, block_chains=n,
+            state_dtype=jnp.float32, multistep=True, pair_dots=paired,
+            interpret=True)
+        runs[paired] = (out, pos, costs)
+
+    out_u, pos_u, costs_u = runs[False]
+    out_p, pos_p, costs_p = runs[True]
+    assert np.isfinite(np.asarray(costs_p)).all()
+    np.testing.assert_array_equal(
+        np.asarray(costs_u), np.asarray(costs_p), err_msg="costs")
+    for key in out_u.position:
+        np.testing.assert_array_equal(
+            np.asarray(out_u.position[key]),
+            np.asarray(out_p.position[key]), err_msg="position " + key)
+        np.testing.assert_array_equal(
+            np.asarray(out_u.momentum[key]),
+            np.asarray(out_p.momentum[key]), err_msg="momentum " + key)
+        np.testing.assert_array_equal(
+            np.asarray(pos_u[key]), np.asarray(pos_p[key]),
+            err_msg="collected " + key)
+
+
+def test_multistep_paired_guards():
+    """pair_dots validates its configuration loudly."""
+    from pysgmcmc_tpu.parallel.packed import sample_chain_fused
+    from pysgmcmc_tpu.samplers.sgld import SGLDSampler
+
+    n = 2
+    sampler, positions, _ = _workload(n)
+    rng = np.random.RandomState(0)
+    x = rng.uniform(0.0, 1.0, (100, 1)).astype(np.float32)
+    from pysgmcmc_tpu.diagnostics.objective_functions import sinc
+
+    y = np.asarray(sinc(x), np.float32)
+    states = jax.vmap(
+        lambda p, k: sampler.init(p, k))(
+        positions, jax.random.split(jax.random.PRNGKey(1), n))
+
+    with pytest.raises(ValueError, match="multistep"):
+        sample_chain_fused(
+            sampler, states, jax.random.PRNGKey(2), 1, x, y,
+            batch_size=20, block_chains=n, pair_dots=True,
+            interpret=True)
+
+    sgld = SGLDSampler(
+        sampler.cost_fn, stepsize_schedule=1e-5, burn_in_steps=50,
+        scale_grad=100.0,
+        gaussian_prior_scale=sampler.gaussian_prior_scale)
+    with pytest.raises(ValueError, match="SGHMC"):
+        sample_chain_fused(
+            sgld, states, jax.random.PRNGKey(2), 1, x, y,
+            batch_size=20, block_chains=n, multistep=True,
+            pair_dots=True, interpret=True)
+
+    from pysgmcmc_tpu.ops.fused_step import fused_bnn_multistep, pack_fused
+
+    theta = pack_fused(states.position)
+    v = jax.tree_util.tree_map(jnp.zeros_like, theta)
+    minv = jax.tree_util.tree_map(jnp.ones_like, theta)
+    x_win = jnp.zeros((81, 24), jnp.float32)
+    y_win = jnp.zeros((81, 24), jnp.float32)
+    with pytest.raises(ValueError, match="even"):
+        fused_bnn_multistep(
+            theta, v, minv, x_win, y_win, 1e-3, 0,
+            block_chains=1, k_steps=2, pair_dots=True, interpret=True)
