@@ -1202,12 +1202,6 @@ def _make_multistep_kernel_paired(batch_size, n_data, block_chains,
         first_half = lane3p < s
         win_iota = jax.lax.broadcasted_iota(jnp.int32, (C, n_windows), 1)
 
-        def pair_rows(r2):
-            # (C, 1) per-chain scalars -> (Cp, B, 2s) half-broadcast
-            rr = r2.reshape(Cp, 2, 1)
-            return jnp.where(
-                first_half, rr[:, 0:1, :], rr[:, 1:2, :])
-
         def pair_batch(r2):
             # (C, B) per-batch rows -> (Cp, B, 2s) half-broadcast
             rr = r2.reshape(Cp, 2, B_PAD)
