@@ -1114,6 +1114,139 @@ def _paired_scratch(block_chains, s=S):
     ]
 
 
+def _pair_mats(m, cp, s):
+    """(C, s, s) -> block-diagonal (Cp, 2s, 2s) chain-pair packing."""
+    r = m.reshape(cp, 2, s, s)
+    a, b = r[:, 0], r[:, 1]
+    zero = jnp.zeros_like(a)
+    top = jnp.concatenate([a, zero], axis=2)
+    bot = jnp.concatenate([zero, b], axis=2)
+    return jnp.concatenate([top, bot], axis=1)
+
+
+def _unpair_mats(m, c, s):
+    """Block-diagonal (Cp, 2s, 2s) -> (C, s, s), dropping cross blocks."""
+    return jnp.stack([m[:, 0:s, 0:s], m[:, s:2 * s, s:2 * s]],
+                     axis=1).reshape(c, s, s)
+
+
+def _pair_lanes(m, cp):
+    """(C, rows, k) -> (Cp, rows, 2k): chain pairs side by side on lanes."""
+    rows, k = m.shape[1], m.shape[2]
+    r = m.reshape(cp, 2, rows, k)
+    return jnp.concatenate([r[:, 0], r[:, 1]], axis=2)
+
+
+def _fwd_bwd_paired(big, w2_bf, w3_bf, xin_bf, y, bmask,
+                    lane2, lane3p, bias_lane_p, first_half,
+                    s_a1, s_a2, s_a3, s_gvec, inv_b, inv_n, C, s):
+    """Forward + heteroscedastic likelihood + backward with 2-chain
+    PAIRED MXU dots — the paired-layout counterpart of :func:`_fwd_bwd`.
+
+    ``big`` is the UNPAIRED (C, s+VEC_ROWS, s) slab (only its vector
+    rows are read); ``w2_bf``/``w3_bf`` are the paired block-diagonal
+    bf16 (Cp, 2s, 2s) weights; scratch activations are paired
+    (Cp, B_PAD, 2s).  Every dot contracts the full 128-lane depth at
+    half the instance count.  The likelihood runs 2-D on unpaired
+    per-chain rows (cheap VPU work), exactly as in :func:`_fwd_bwd`.
+    Returns ``(cost, g_w2p, g_vec, g_w3p)`` — the W2/W3 gradients in
+    PAIRED layout (off-diagonal blocks carry cross-chain garbage that
+    the caller's minv freeze must kill), the vector-rows gradient
+    unpaired.  1-input / 64-slot layout only.
+    """
+    bf16 = jnp.bfloat16
+    Cp = C // 2
+    row_b1, row_w4, row_scal = _vec_rows(1, s)
+    row_w1 = s
+    w4 = big[:, row_w4, :]
+    scal = big[:, row_scal, :]
+    b4 = scal[:, LANE_B4:LANE_B4 + 1]
+    lvb = scal[:, LANE_LVB:LANE_LVB + 1]
+
+    def pair_batch(r2):
+        # (C, B) per-batch rows -> (Cp, B, 2s) half-broadcast
+        rr = r2.reshape(Cp, 2, B_PAD)
+        return jnp.where(
+            first_half, rr[:, 0, :, None], rr[:, 1, :, None])
+
+    xinp = _pair_lanes(xin_bf, Cp)                   # (Cp, B, 4)
+
+    # paired layer-1 weights from the (unpaired) vector rows
+    w1m = big[:, row_w1:row_b1 + 1, :]               # (C, 2, s)
+    w1r = w1m.reshape(Cp, 2, 2, s)
+    z14 = jnp.zeros((Cp, 2, s), jnp.float32)
+    w1p = jnp.concatenate([
+        jnp.concatenate([w1r[:, 0], z14], axis=2),
+        jnp.concatenate([z14, w1r[:, 1]], axis=2),
+    ], axis=1).astype(bf16)                          # (Cp, 4, 2s)
+
+    # ---- forward: every dot at full 128-lane depth ----
+    z1 = _bdot(xinp, w1p, (((2,), (1,))))            # (Cp, B, 2s)
+    s_a1[:] = jnp.where(bias_lane_p, 1.0, jnp.tanh(z1)).astype(bf16)
+    a1 = s_a1[:]
+    a1f = a1.astype(jnp.float32)
+    z2 = _bdot(a1, w2_bf, (((2,), (1,))))
+    s_a2[:] = jnp.where(bias_lane_p, 1.0, jnp.tanh(z2)).astype(bf16)
+    a2 = s_a2[:]
+    a2f = a2.astype(jnp.float32)
+    z3 = _bdot(a2, w3_bf, (((2,), (1,))))
+    s_a3[:] = jnp.tanh(z3).astype(bf16)
+    a3f = s_a3[:].astype(jnp.float32)                # (Cp, B, 2s)
+
+    # per-half lane sums -> unpaired (C, B) network mean
+    w4p = _pair_lanes(w4[:, None, :], Cp)            # (Cp, 1, 2s)
+    prod = a3f * w4p
+    f_a = jnp.sum(prod[:, :, 0:s], axis=2)           # (Cp, B)
+    f_b = jnp.sum(prod[:, :, s:2 * s], axis=2)
+    f_mean = jnp.stack([f_a, f_b], axis=1).reshape(C, B_PAD) + b4
+
+    # ---- likelihood + head gradients (2-D per-chain rows) ----
+    e_lv = jnp.exp(lvb)
+    var_inv = 1.0 / (e_lv + 1e-16)
+    diff = (f_mean - y) * bmask
+    mse = diff * diff
+    ll = jnp.sum(
+        -mse * (0.5 * var_inv) - 0.5 * lvb * bmask,
+        axis=1, keepdims=True) * inv_b
+    p_term = -jnp.square(lvb - LOG_MP) / (2.0 * VAR_P) \
+        - 0.5 * float(np.log(VAR_P))
+    cost = -(ll + p_term * inv_n)
+    d_mean = diff * var_inv * inv_b
+    d_lvb = -jnp.sum(
+        mse * (0.5 * e_lv) * jnp.square(var_inv) - 0.5 * bmask,
+        axis=1, keepdims=True) * inv_b
+    d_lvb = d_lvb + (lvb - LOG_MP) / VAR_P * inv_n
+    g_b4 = jnp.sum(d_mean, axis=1, keepdims=True)
+
+    # ---- backward (paired dots) ----
+    d_mean_p = pair_batch(d_mean)                    # (Cp, B, 2s)
+    g_w4p = jnp.sum(a3f * d_mean_p, axis=1)          # (Cp, 2s)
+    g_w4 = jnp.stack(
+        [g_w4p[:, 0:s], g_w4p[:, s:2 * s]], axis=1).reshape(C, s)
+    dz3_bf = (d_mean_p * w4p * (1.0 - a3f * a3f)).astype(bf16)
+    g_w3p = _bdot(a2, dz3_bf, (((1,), (1,))))
+    da2 = _bdot(dz3_bf, w3_bf, (((2,), (2,))))
+    dz2_bf = (da2 * (1.0 - a2f * a2f)).astype(bf16)
+    g_w2p = _bdot(a1, dz2_bf, (((1,), (1,))))
+    da1 = _bdot(dz2_bf, w2_bf, (((2,), (2,))))
+    dz1_bf = (da1 * (1.0 - a1f * a1f)).astype(bf16)
+    g_w1p = _bdot(xinp, dz1_bf, (((1,), (1,))))      # (Cp, 4, 2s)
+    g_w1m = jnp.stack(
+        [g_w1p[:, 0:2, 0:s], g_w1p[:, 2:4, s:2 * s]],
+        axis=1).reshape(C, 2, s)
+
+    g_scal = jnp.where(
+        lane2 == LANE_B4, g_b4,
+        jnp.where(lane2 == LANE_LVB, d_lvb, 0.0),
+    ).astype(jnp.float32)
+    s_gvec[:, 0:2, :] = g_w1m
+    s_gvec[:, row_w4 - s, :] = g_w4
+    s_gvec[:, row_scal - s, :] = g_scal
+    s_gvec[:, row_scal - s + 1:VEC_ROWS, :] = jnp.zeros(
+        (C, VEC_ROWS - (row_scal - s) - 1, s), jnp.float32)
+    return cost, g_w2p, s_gvec[:], g_w3p
+
+
 def _make_multistep_kernel_paired(batch_size, n_data, block_chains,
                                   n_windows, k_steps):
     """flash-SGHMC multi-step kernel with 2-chain PAIRED MXU dots.
@@ -1140,35 +1273,12 @@ def _make_multistep_kernel_paired(batch_size, n_data, block_chains,
     SGHMC / 1-input / 64-slot layout only (the flagship configuration);
     semantics otherwise identical to :func:`_make_multistep_kernel`.
     """
-    bf16 = jnp.bfloat16
     inv_b = 1.0 / batch_size
     inv_n = 1.0 / n_data
     C = block_chains
     Cp = C // 2
     s = S
-    row_b1, row_w4, row_scal = _vec_rows(1, s)
     big_rows = s + VEC_ROWS
-    row_w1 = s
-
-    def pair_mats(m):
-        # (C, s, s) -> block-diag (Cp, 2s, 2s)
-        r = m.reshape(Cp, 2, s, s)
-        a, b = r[:, 0], r[:, 1]
-        zero = jnp.zeros_like(a)
-        top = jnp.concatenate([a, zero], axis=2)
-        bot = jnp.concatenate([zero, b], axis=2)
-        return jnp.concatenate([top, bot], axis=1)
-
-    def unpair_mats(m):
-        # block-diag (Cp, 2s, 2s) -> (C, s, s), discarding cross blocks
-        return jnp.stack([m[:, 0:s, 0:s], m[:, s:2 * s, s:2 * s]],
-                         axis=1).reshape(C, s, s)
-
-    def pair_lanes(m):
-        # (C, B, k) -> (Cp, B, 2k): chain pair side by side on lanes
-        rows, k = m.shape[1], m.shape[2]
-        r = m.reshape(Cp, 2, rows, k)
-        return jnp.concatenate([r[:, 0], r[:, 1]], axis=2)
 
     def kernel(int_ref, float_ref,
                tbig, tw3, vbig, vw3, mbig, mw3, xw_ref, yw_ref,
@@ -1187,12 +1297,12 @@ def _make_multistep_kernel_paired(batch_size, n_data, block_chains,
         ow3[:] = tw3[:]
         pbig[:] = vbig[:]
         pw3[:] = vw3[:]
-        p_w2[:] = pair_mats(tbig[:, 0:s, :])
-        p_w3[:] = pair_mats(tw3[:])
-        p_v2[:] = pair_mats(vbig[:, 0:s, :].astype(jnp.float32))
-        p_v3[:] = pair_mats(vw3[:].astype(jnp.float32))
-        p_m2[:] = pair_mats(mbig[:, 0:s, :].astype(jnp.float32))
-        p_m3[:] = pair_mats(mw3[:].astype(jnp.float32))
+        p_w2[:] = _pair_mats(tbig[:, 0:s, :], Cp, s)
+        p_w3[:] = _pair_mats(tw3[:], Cp, s)
+        p_v2[:] = _pair_mats(vbig[:, 0:s, :].astype(jnp.float32), Cp, s)
+        p_v3[:] = _pair_mats(vw3[:].astype(jnp.float32), Cp, s)
+        p_m2[:] = _pair_mats(mbig[:, 0:s, :].astype(jnp.float32), Cp, s)
+        p_m3[:] = _pair_mats(mw3[:].astype(jnp.float32), Cp, s)
 
         brow = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD), 1)
         bmask = (brow < batch_size).astype(jnp.float32)
@@ -1202,104 +1312,16 @@ def _make_multistep_kernel_paired(batch_size, n_data, block_chains,
         first_half = lane3p < s
         win_iota = jax.lax.broadcasted_iota(jnp.int32, (C, n_windows), 1)
 
-        def pair_batch(r2):
-            # (C, B) per-batch rows -> (Cp, B, 2s) half-broadcast
-            rr = r2.reshape(Cp, 2, B_PAD)
-            return jnp.where(
-                first_half, rr[:, 0, :, None], rr[:, 1, :, None])
-
         def body(t, carry):
-            big = obig[:]
-            w4 = big[:, row_w4, :]
-            scal = big[:, row_scal, :]
-            b4 = scal[:, LANE_B4:LANE_B4 + 1]
-            lvb = scal[:, LANE_LVB:LANE_LVB + 1]
-
-            # ---- in-kernel minibatch selection (then paired lanes) ----
+            # ---- in-kernel minibatch selection ----
             xin_bf, y = _select_window_bf(
                 C, n_windows, win_iota, xw_ref, yw_ref, 1)
-            xinp = pair_lanes(xin_bf)                    # (Cp, B, 4)
 
-            # paired layer-1 weights from the (unpaired) vector rows
-            w1m = big[:, row_w1:row_b1 + 1, :]           # (C, 2, s)
-            w1r = w1m.reshape(Cp, 2, 2, s)
-            z14 = jnp.zeros((Cp, 2, s), jnp.float32)
-            w1p = jnp.concatenate([
-                jnp.concatenate([w1r[:, 0], z14], axis=2),
-                jnp.concatenate([z14, w1r[:, 1]], axis=2),
-            ], axis=1).astype(bf16)                      # (Cp, 4, 2s)
-
-            # ---- forward: every dot at full 128-lane depth ----
-            w2_bf = p_w2[:].astype(bf16)
-            w3_bf = p_w3[:].astype(bf16)
-            z1 = _bdot(xinp, w1p, (((2,), (1,))))        # (Cp, B, 2s)
-            s_a1[:] = jnp.where(
-                bias_lane_p, 1.0, jnp.tanh(z1)).astype(bf16)
-            a1 = s_a1[:]
-            a1f = a1.astype(jnp.float32)
-            z2 = _bdot(a1, w2_bf, (((2,), (1,))))
-            s_a2[:] = jnp.where(
-                bias_lane_p, 1.0, jnp.tanh(z2)).astype(bf16)
-            a2 = s_a2[:]
-            a2f = a2.astype(jnp.float32)
-            z3 = _bdot(a2, w3_bf, (((2,), (1,))))
-            s_a3[:] = jnp.tanh(z3).astype(bf16)
-            a3f = s_a3[:].astype(jnp.float32)            # (Cp, B, 2s)
-
-            # per-half lane sums -> unpaired (C, B) network mean
-            w4p = pair_lanes(w4[:, None, :])             # (Cp, 1, 2s)
-            prod = a3f * w4p
-            f_a = jnp.sum(prod[:, :, 0:s], axis=2)       # (Cp, B)
-            f_b = jnp.sum(prod[:, :, s:2 * s], axis=2)
-            f_mean = jnp.stack([f_a, f_b], axis=1).reshape(C, B_PAD) + b4
-
-            # ---- likelihood + head gradients (2-D, as the unpaired
-            # kernel -- per-chain rows are cheap VPU work) ----
-            e_lv = jnp.exp(lvb)
-            var_inv = 1.0 / (e_lv + 1e-16)
-            diff = (f_mean - y) * bmask
-            mse = diff * diff
-            ll = jnp.sum(
-                -mse * (0.5 * var_inv) - 0.5 * lvb * bmask,
-                axis=1, keepdims=True) * inv_b
-            p_term = -jnp.square(lvb - LOG_MP) / (2.0 * VAR_P) \
-                - 0.5 * float(np.log(VAR_P))
-            cost = -(ll + p_term * inv_n)
-            d_mean = diff * var_inv * inv_b
-            d_lvb = -jnp.sum(
-                mse * (0.5 * e_lv) * jnp.square(var_inv) - 0.5 * bmask,
-                axis=1, keepdims=True) * inv_b
-            d_lvb = d_lvb + (lvb - LOG_MP) / VAR_P * inv_n
-            g_b4 = jnp.sum(d_mean, axis=1, keepdims=True)
-
-            # ---- backward (paired dots; off-diag garbage in g_w2p /
-            # g_w3p is killed by the paired minv freeze in _update) ----
-            d_mean_p = pair_batch(d_mean)                # (Cp, B, 2s)
-            g_w4p = jnp.sum(a3f * d_mean_p, axis=1)      # (Cp, 2s)
-            g_w4 = jnp.stack(
-                [g_w4p[:, 0:s], g_w4p[:, s:2 * s]], axis=1).reshape(C, s)
-            dz3_bf = (d_mean_p * w4p * (1.0 - a3f * a3f)).astype(bf16)
-            g_w3p = _bdot(a2, dz3_bf, (((1,), (1,))))
-            da2 = _bdot(dz3_bf, w3_bf, (((2,), (2,))))
-            dz2_bf = (da2 * (1.0 - a2f * a2f)).astype(bf16)
-            g_w2p = _bdot(a1, dz2_bf, (((1,), (1,))))
-            da1 = _bdot(dz2_bf, w2_bf, (((2,), (2,))))
-            dz1_bf = (da1 * (1.0 - a1f * a1f)).astype(bf16)
-            g_w1p = _bdot(xinp, dz1_bf, (((1,), (1,))))  # (Cp, 4, 2s)
-            g_w1m = jnp.stack(
-                [g_w1p[:, 0:2, 0:s], g_w1p[:, 2:4, s:2 * s]],
-                axis=1).reshape(C, 2, s)
-
-            g_scal = jnp.where(
-                lane2 == LANE_B4, g_b4,
-                jnp.where(lane2 == LANE_LVB, d_lvb, 0.0),
-            ).astype(jnp.float32)
-            s_gvec[:, 0:2, :] = g_w1m
-            s_gvec[:, row_w4 - s, :] = g_w4
-            s_gvec[:, row_scal - s, :] = g_scal
-            s_gvec[:, row_scal - s + 1:VEC_ROWS, :] = jnp.zeros(
-                (C, VEC_ROWS - (row_scal - s) - 1, s), jnp.float32)
-            g_vec = s_gvec[:]
+            cost, g_w2p, g_vec, g_w3p = _fwd_bwd_paired(
+                obig[:], p_w2[:].astype(jnp.bfloat16),
+                p_w3[:].astype(jnp.bfloat16), xin_bf, y, bmask,
+                lane2, lane3p, bias_lane_p, first_half,
+                s_a1, s_a2, s_a3, s_gvec, inv_b, inv_n, C, s)
 
             # one full-width draw covers both paired slabs (rows are
             # even, so Box-Muller runs dual-output), plus the small
@@ -1342,10 +1364,10 @@ def _make_multistep_kernel_paired(batch_size, n_data, block_chains,
         # unpack the paired state back into the (aliased) output slabs;
         # the cost row write above targets the vector-rows region, which
         # the W2 unpack below does not touch
-        obig[:, 0:s, :] = unpair_mats(p_w2[:])
-        ow3[:] = unpair_mats(p_w3[:])
-        pbig[:, 0:s, :] = unpair_mats(p_v2[:]).astype(pbig.dtype)
-        pw3[:] = unpair_mats(p_v3[:]).astype(pw3.dtype)
+        obig[:, 0:s, :] = _unpair_mats(p_w2[:], C, s)
+        ow3[:] = _unpair_mats(p_w3[:], C, s)
+        pbig[:, 0:s, :] = _unpair_mats(p_v2[:], C, s).astype(pbig.dtype)
+        pw3[:] = _unpair_mats(p_v3[:], C, s).astype(pw3.dtype)
 
     return kernel
 
@@ -2192,6 +2214,105 @@ def fused_bnn_step_rsghmc(
     return theta_new, v_new, cost
 
 
+def _sgld_paired_scratch(block_chains, s=S):
+    """Scratch for the paired SGLD multi-step kernel: paired activations,
+    the gradient-vector slab, and four persistent paired state slabs
+    (theta and minv for W2 and W3; SGLD is momentum-free)."""
+    cp = block_chains // 2
+    pbs = (cp, B_PAD, 2 * s)
+    pms = (cp, 2 * s, 2 * s)
+    return [
+        pltpu.VMEM(pbs, jnp.bfloat16),
+        pltpu.VMEM(pbs, jnp.bfloat16),
+        pltpu.VMEM(pbs, jnp.bfloat16),
+        pltpu.VMEM((block_chains, VEC_ROWS, s), jnp.float32),
+        pltpu.VMEM(pms, jnp.float32),   # theta W2 (paired)
+        pltpu.VMEM(pms, jnp.float32),   # theta W3 (paired)
+        pltpu.VMEM(pms, jnp.float32),   # minv W2 (paired)
+        pltpu.VMEM(pms, jnp.float32),   # minv W3 (paired)
+    ]
+
+
+def _make_multistep_kernel_sgld_paired(batch_size, n_data, block_chains,
+                                       n_windows, k_steps):
+    """Paired-dot SGLD multi-step kernel — :func:`_make_multistep_kernel_paired`
+    with the momentum-free SGLD update.  The paired ``minv`` is zero on
+    the off-diagonal blocks, so the update's ``where(minv > 0)`` freeze
+    keeps them exactly zero across the loop, as in the SGHMC variant.
+    SGLD / 1-input / 64-slot layout only.
+    """
+    inv_b = 1.0 / batch_size
+    inv_n = 1.0 / n_data
+    C = block_chains
+    Cp = C // 2
+    s = S
+    big_rows = s + VEC_ROWS
+
+    def kernel(int_ref, float_ref,
+               tbig, tw3, mbig, mw3, xw_ref, yw_ref,
+               obig, ow3,
+               s_a1, s_a2, s_a3, s_gvec,
+               p_w2, p_w3, p_m2, p_m3):
+        pltpu.prng_seed(int_ref[0], pl.program_id(0))
+        eps = float_ref[0]
+        a_coef = float_ref[1]
+        a_over_sg = float_ref[2]
+        prior_scale = float_ref[3]
+
+        obig[:] = tbig[:]
+        ow3[:] = tw3[:]
+        p_w2[:] = _pair_mats(tbig[:, 0:s, :], Cp, s)
+        p_w3[:] = _pair_mats(tw3[:], Cp, s)
+        p_m2[:] = _pair_mats(mbig[:, 0:s, :].astype(jnp.float32), Cp, s)
+        p_m3[:] = _pair_mats(mw3[:].astype(jnp.float32), Cp, s)
+
+        brow = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD), 1)
+        bmask = (brow < batch_size).astype(jnp.float32)
+        lane2 = jax.lax.broadcasted_iota(jnp.int32, (C, s), 1)
+        lane3p = jax.lax.broadcasted_iota(jnp.int32, (Cp, B_PAD, 2 * s), 2)
+        bias_lane_p = (lane3p % s) == BIAS_ROW
+        first_half = lane3p < s
+        win_iota = jax.lax.broadcasted_iota(jnp.int32, (C, n_windows), 1)
+
+        def body(t, carry):
+            xin_bf, y = _select_window_bf(
+                C, n_windows, win_iota, xw_ref, yw_ref, 1)
+
+            cost, g_w2p, g_vec, g_w3p = _fwd_bwd_paired(
+                obig[:], p_w2[:].astype(jnp.bfloat16),
+                p_w3[:].astype(jnp.bfloat16), xin_bf, y, bmask,
+                lane2, lane3p, bias_lane_p, first_half,
+                s_a1, s_a2, s_a3, s_gvec, inv_b, inv_n, C, s)
+
+            eta_p = _normal_3d((Cp, 4 * s, 2 * s))
+            eta_w2 = eta_p[:, 0:2 * s, :]
+            eta_w3 = eta_p[:, 2 * s:4 * s, :]
+            eta_vec = _normal_3d((C, VEC_ROWS, s))
+
+            def _update(theta, minv, grad, eta):
+                minv = minv.astype(jnp.float32)
+                g = grad + prior_scale * theta
+                sigma = jnp.sqrt(jnp.maximum(
+                    2.0 * eps * minv * a_over_sg, 0.0))
+                delta = -eps * minv * a_coef * g + sigma * eta
+                return theta + jnp.where(minv > 0.0, delta, 0.0)
+
+            p_w2[:] = _update(p_w2[:], p_m2[:], g_w2p, eta_w2)
+            p_w3[:] = _update(p_w3[:], p_m3[:], g_w3p, eta_w3)
+            obig[:, s:big_rows, :] = _update(
+                obig[:, s:big_rows, :], mbig[:, s:big_rows, :],
+                g_vec, eta_vec)
+            obig[:, big_rows - 1, LANE_B4:LANE_B4 + 1] = cost
+            return carry
+
+        jax.lax.fori_loop(0, k_steps, body, 0)
+
+        obig[:, 0:s, :] = _unpair_mats(p_w2[:], C, s)
+        ow3[:] = _unpair_mats(p_w3[:], C, s)
+
+    return kernel
+
+
 def _make_multistep_kernel_sgld(batch_size, n_data, block_chains,
                                 n_windows, k_steps, s=S,
                                 bias_row=BIAS_ROW, n_inputs=1):
@@ -2265,19 +2386,21 @@ def _make_multistep_kernel_sgld(batch_size, n_data, block_chains,
 @functools.partial(
     jax.jit,
     static_argnames=("a_coef", "scale_grad", "prior_scale", "batch_size",
-                     "n_data", "block_chains", "k_steps", "interpret"),
+                     "n_data", "block_chains", "k_steps", "pair_dots",
+                     "interpret"),
 )
 def fused_bnn_multistep_sgld(
     theta, minv, x_win, y_win, eps, seed,
     a_coef=1.0, scale_grad=1.0, prior_scale=0.0,
     batch_size=20, n_data=100, block_chains=32,
-    k_steps=1, interpret=False,
+    k_steps=1, pair_dots=False, interpret=False,
 ):
     """``k_steps`` fused SGLD steps in ONE kernel launch, VMEM-resident.
 
     As :func:`fused_bnn_multistep` but with the momentum-free SGLD
     update; returns ``(theta', cost)`` (cost of the final step).
-    1-input family, both slot layouts.
+    1-input family, both slot layouts.  ``pair_dots`` as in
+    :func:`fused_bnn_multistep` (64-slot / 1-input / even blocks).
     """
     tbig, tw3 = theta
     n_chains = tbig.shape[0]
@@ -2289,6 +2412,14 @@ def fused_bnn_multistep_sgld(
             "by block_chains ({})".format(n_chains, block_chains))
     n_windows, n_inputs, xw_op = _multistep_tables(
         x_win, "fused_bnn_multistep_sgld")
+    if pair_dots:
+        if s != S:
+            raise ValueError(
+                "pair_dots supports the 64-slot layout only")
+        if n_inputs != 1:
+            raise ValueError("pair_dots supports n_inputs=1 only")
+        if block_chains % 2:
+            raise ValueError("pair_dots requires an even block_chains")
 
     eps32 = jnp.asarray(eps, jnp.float32)
     int_scalars = jnp.asarray(seed, jnp.int32).reshape(1)
@@ -2315,11 +2446,17 @@ def fused_bnn_multistep_sgld(
         grid=(n_chains // block_chains,),
         in_specs=in_specs,
         out_specs=tuple(state_specs),
-        scratch_shapes=_multistep_scratch(block_chains, s),
+        scratch_shapes=(_sgld_paired_scratch(block_chains, s) if pair_dots
+                        else _multistep_scratch(block_chains, s)),
     )
-    kernel = _make_multistep_kernel_sgld(
-        float(batch_size), float(n_data), block_chains, n_windows,
-        int(k_steps), s, bias_row, n_inputs)
+    if pair_dots:
+        kernel = _make_multistep_kernel_sgld_paired(
+            float(batch_size), float(n_data), block_chains, n_windows,
+            int(k_steps))
+    else:
+        kernel = _make_multistep_kernel_sgld(
+            float(batch_size), float(n_data), block_chains, n_windows,
+            int(k_steps), s, bias_row, n_inputs)
     interpreter = pltpu.InterpretParams() if interpret else False
     outs = pl.pallas_call(
         kernel,

@@ -718,8 +718,10 @@ def sample_chain_fused(
         raise ValueError(
             "pair_dots is a multi-step kernel variant; pass "
             "multistep=True")
-    if pair_dots and not isinstance(sampler, SGHMCSampler):
-        raise ValueError("pair_dots supports the SGHMC kernel only")
+    if pair_dots and not isinstance(
+            sampler, (SGHMCSampler, SGLDSampler)):
+        raise ValueError(
+            "pair_dots supports the SGHMC and SGLD kernels only")
 
     if isinstance(sampler, SGHMCSampler):
         fkind = "sghmc"
@@ -910,7 +912,8 @@ def sample_chain_fused(
                 prior_scale=sampler.gaussian_prior_scale,
                 batch_size=batch_size, n_data=n_data,
                 block_chains=block_chains,
-                k_steps=keep_every, interpret=interpret,
+                k_steps=keep_every, pair_dots=pair_dots,
+                interpret=interpret,
             )
         carry = (theta, v, xi, key, step + keep_every)
         out = unpack_fused(theta, h, n_inputs) if collect_positions else None
