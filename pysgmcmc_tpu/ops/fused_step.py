@@ -1093,10 +1093,12 @@ def _make_multistep_kernel(batch_size, n_data, block_chains, n_windows,
     return kernel
 
 
-def _paired_scratch(block_chains, s=S):
-    """Scratch set for the paired multi-step kernel: three PAIRED bf16
-    activation slabs, the f32 gradient-vector slab, and six persistent
-    paired (Cp, 2s, 2s) f32 state slabs (theta/v/minv for W2 and W3)."""
+def _paired_scratch(block_chains, s=S, n_state_slabs=6):
+    """Scratch set for the paired multi-step kernels: three PAIRED bf16
+    activation slabs, the f32 gradient-vector slab, and
+    ``n_state_slabs`` persistent paired (Cp, 2s, 2s) f32 state slabs
+    (SGHMC: theta/v/minv for W2 and W3 = 6; momentum-free SGLD:
+    theta/minv = 4)."""
     cp = block_chains // 2
     pbs = (cp, B_PAD, 2 * s)
     pms = (cp, 2 * s, 2 * s)
@@ -1105,13 +1107,7 @@ def _paired_scratch(block_chains, s=S):
         pltpu.VMEM(pbs, jnp.bfloat16),
         pltpu.VMEM(pbs, jnp.bfloat16),
         pltpu.VMEM((block_chains, VEC_ROWS, s), jnp.float32),
-        pltpu.VMEM(pms, jnp.float32),   # theta W2 (paired)
-        pltpu.VMEM(pms, jnp.float32),   # theta W3 (paired)
-        pltpu.VMEM(pms, jnp.float32),   # v W2 (paired)
-        pltpu.VMEM(pms, jnp.float32),   # v W3 (paired)
-        pltpu.VMEM(pms, jnp.float32),   # minv W2 (paired)
-        pltpu.VMEM(pms, jnp.float32),   # minv W3 (paired)
-    ]
+    ] + [pltpu.VMEM(pms, jnp.float32) for _ in range(n_state_slabs)]
 
 
 def _pair_mats(m, cp, s):
@@ -2214,25 +2210,6 @@ def fused_bnn_step_rsghmc(
     return theta_new, v_new, cost
 
 
-def _sgld_paired_scratch(block_chains, s=S):
-    """Scratch for the paired SGLD multi-step kernel: paired activations,
-    the gradient-vector slab, and four persistent paired state slabs
-    (theta and minv for W2 and W3; SGLD is momentum-free)."""
-    cp = block_chains // 2
-    pbs = (cp, B_PAD, 2 * s)
-    pms = (cp, 2 * s, 2 * s)
-    return [
-        pltpu.VMEM(pbs, jnp.bfloat16),
-        pltpu.VMEM(pbs, jnp.bfloat16),
-        pltpu.VMEM(pbs, jnp.bfloat16),
-        pltpu.VMEM((block_chains, VEC_ROWS, s), jnp.float32),
-        pltpu.VMEM(pms, jnp.float32),   # theta W2 (paired)
-        pltpu.VMEM(pms, jnp.float32),   # theta W3 (paired)
-        pltpu.VMEM(pms, jnp.float32),   # minv W2 (paired)
-        pltpu.VMEM(pms, jnp.float32),   # minv W3 (paired)
-    ]
-
-
 def _make_multistep_kernel_sgld_paired(batch_size, n_data, block_chains,
                                        n_windows, k_steps):
     """Paired-dot SGLD multi-step kernel — :func:`_make_multistep_kernel_paired`
@@ -2446,7 +2423,7 @@ def fused_bnn_multistep_sgld(
         grid=(n_chains // block_chains,),
         in_specs=in_specs,
         out_specs=tuple(state_specs),
-        scratch_shapes=(_sgld_paired_scratch(block_chains, s) if pair_dots
+        scratch_shapes=(_paired_scratch(block_chains, s, 4) if pair_dots
                         else _multistep_scratch(block_chains, s)),
     )
     if pair_dots:
