@@ -2449,6 +2449,147 @@ def fused_bnn_multistep_sgld(
     return theta_new, cost
 
 
+def _make_multistep_kernel_sgnht_paired(batch_size, n_data, block_chains,
+                                        n_windows, k_steps, h):
+    """Paired-dot SGNHT multi-step kernel.
+
+    As :func:`_make_multistep_kernel_paired` but with the Nosé-Hoover
+    thermostat update.  SGNHT has no ``minv`` freeze, so off-diagonal
+    discipline comes from a PAIRED validity mask built in the paired
+    geometry (diagonal blocks ∩ the usual row/lane validity); the
+    momentum multiply by that mask keeps cross-chain cells exactly zero.
+    The per-chain kinetic-energy reduction sums each chain's own
+    diagonal block (row halves of the paired slab), and the thermostat
+    multiplies the momentum through a row-half broadcast of each
+    chain's xi.  SGNHT / 1-input / 64-slot layout only.
+    """
+    inv_b = 1.0 / batch_size
+    inv_n = 1.0 / n_data
+    C = block_chains
+    Cp = C // 2
+    s = S
+    big_rows = s + VEC_ROWS
+
+    def kernel(int_ref, float_ref,
+               tbig, tw3, vbig, vw3, xi_ref, xw_ref, yw_ref,
+               obig, ow3, pbig, pw3, xi_out,
+               s_a1, s_a2, s_a3, s_gvec,
+               p_w2, p_w3, p_v2, p_v3):
+        pltpu.prng_seed(int_ref[0], pl.program_id(0))
+        eps = float_ref[0]
+        sigma = float_ref[1]
+        prior_scale = float_ref[2]
+        inv_d = float_ref[3]
+
+        obig[:] = tbig[:]
+        ow3[:] = tw3[:]
+        pbig[:] = vbig[:]
+        pw3[:] = vw3[:]
+        xi_out[:] = xi_ref[:]
+        p_w2[:] = _pair_mats(tbig[:, 0:s, :], Cp, s)
+        p_w3[:] = _pair_mats(tw3[:], Cp, s)
+        p_v2[:] = _pair_mats(vbig[:, 0:s, :].astype(jnp.float32), Cp, s)
+        p_v3[:] = _pair_mats(vw3[:].astype(jnp.float32), Cp, s)
+
+        brow = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD), 1)
+        bmask = (brow < batch_size).astype(jnp.float32)
+        lane2 = jax.lax.broadcasted_iota(jnp.int32, (C, s), 1)
+        lane3p = jax.lax.broadcasted_iota(jnp.int32, (Cp, B_PAD, 2 * s), 2)
+        bias_lane_p = (lane3p % s) == BIAS_ROW
+        first_half = lane3p < s
+        win_iota = jax.lax.broadcasted_iota(jnp.int32, (C, n_windows), 1)
+
+        # paired validity: diagonal blocks ∩ (row < h | bias row) ∩
+        # (lane < h), in the PAIRED (Cp, 2s, 2s) geometry
+        rowm = jax.lax.broadcasted_iota(
+            jnp.int32, (Cp, 2 * s, 2 * s), 1)
+        lanem = jax.lax.broadcasted_iota(
+            jnp.int32, (Cp, 2 * s, 2 * s), 2)
+        same_block = (rowm < s) == (lanem < s)
+        rr = rowm % s
+        ll = lanem % s
+        mat_valid_p = (
+            same_block & ((rr < h) | (rr == BIAS_ROW)) & (ll < h)
+        ).astype(jnp.float32)
+        row_first_half = rowm < s
+        _, vec_valid = _psgld_valid_masks(C, 1, h, s, BIAS_ROW)
+
+        def body(t, carry):
+            xin_bf, y = _select_window_bf(
+                C, n_windows, win_iota, xw_ref, yw_ref, 1)
+
+            cost, g_w2p, g_vec, g_w3p = _fwd_bwd_paired(
+                obig[:], p_w2[:].astype(jnp.bfloat16),
+                p_w3[:].astype(jnp.bfloat16), xin_bf, y, bmask,
+                lane2, lane3p, bias_lane_p, first_half,
+                s_a1, s_a2, s_a3, s_gvec, inv_b, inv_n, C, s)
+
+            eta_p = _normal_3d((Cp, 4 * s, 2 * s))
+            eta_w2 = eta_p[:, 0:2 * s, :]
+            eta_w3 = eta_p[:, 2 * s:4 * s, :]
+            eta_vec = _normal_3d((C, VEC_ROWS, s))
+
+            xi_col = xi_out[:, 0:1]                      # (C, 1)
+            xi3 = xi_col[:, :, None]
+            xir = xi_col.reshape(Cp, 2, 1)
+            xi_p = jnp.where(
+                row_first_half, xir[:, 0:1, :], xir[:, 1:2, :])
+
+            def half_sumsq(p_new):
+                # per-chain momentum norms from the diagonal blocks:
+                # rows 0:s belong to the even chain, rows s:2s to the
+                # odd one (off-block cells are zero via mat_valid_p)
+                sq = p_new * p_new
+                s_a = jnp.sum(
+                    jnp.sum(sq[:, 0:s, :], axis=2, keepdims=True),
+                    axis=1, keepdims=True)
+                s_b = jnp.sum(
+                    jnp.sum(sq[:, s:2 * s, :], axis=2, keepdims=True),
+                    axis=1, keepdims=True)
+                return jnp.stack(
+                    [s_a[:, 0, :], s_b[:, 0, :]], axis=1).reshape(C, 1)
+
+            def upd_paired(theta, v, grad, eta):
+                g = grad + prior_scale * theta
+                p_new = (v - xi_p * eps * v - eps * g
+                         + sigma * eta) * mat_valid_p
+                return theta + eps * p_new, p_new, half_sumsq(p_new)
+
+            t_new, p_new, ss_w2 = upd_paired(
+                p_w2[:], p_v2[:], g_w2p, eta_w2)
+            p_w2[:] = t_new
+            p_v2[:] = p_new
+            t_new, p_new, ss_w3 = upd_paired(
+                p_w3[:], p_v3[:], g_w3p, eta_w3)
+            p_w3[:] = t_new
+            p_v3[:] = p_new
+
+            v32 = pbig[:, s:big_rows, :].astype(jnp.float32)
+            g = g_vec + prior_scale * obig[:, s:big_rows, :]
+            p_vec = (v32 - xi3 * eps * v32 - eps * g
+                     + sigma * eta_vec) * vec_valid
+            ss_vec = jnp.sum(
+                jnp.sum(p_vec * p_vec, axis=2, keepdims=True),
+                axis=1, keepdims=True)[:, 0, :]
+            obig[:, s:big_rows, :] = obig[:, s:big_rows, :] + eps * p_vec
+            pbig[:, s:big_rows, :] = p_vec.astype(pbig.dtype)
+
+            kinetic = (ss_w2 + ss_vec + ss_w3) * inv_d
+            xi_new = xi_out[:, 0:1] + eps * (kinetic - 1.0)
+            xi_out[:, :] = xi_new + jnp.zeros((C, 128), jnp.float32)
+            obig[:, big_rows - 1, LANE_B4:LANE_B4 + 1] = cost
+            return carry
+
+        jax.lax.fori_loop(0, k_steps, body, 0)
+
+        obig[:, 0:s, :] = _unpair_mats(p_w2[:], C, s)
+        ow3[:] = _unpair_mats(p_w3[:], C, s)
+        pbig[:, 0:s, :] = _unpair_mats(p_v2[:], C, s).astype(pbig.dtype)
+        pw3[:] = _unpair_mats(p_v3[:], C, s).astype(pw3.dtype)
+
+    return kernel
+
+
 def _make_multistep_kernel_sgnht(batch_size, n_data, block_chains,
                                  n_windows, k_steps, h, s=S, bias_row=BIAS_ROW,
                                   n_inputs=1):
@@ -2541,19 +2682,22 @@ def _make_multistep_kernel_sgnht(batch_size, n_data, block_chains,
     jax.jit,
     static_argnames=("a_diff", "scale_grad", "prior_scale", "batch_size",
                      "n_data", "block_chains", "state_dtype", "k_steps",
-                     "h", "interpret"),
+                     "h", "pair_dots", "interpret"),
 )
 def fused_bnn_multistep_sgnht(
     theta, v, xi, x_win, y_win, eps, seed,
     a_diff=1.0, scale_grad=1.0, prior_scale=0.0,
     batch_size=20, n_data=100, block_chains=32,
-    state_dtype=jnp.bfloat16, k_steps=1, h=50, interpret=False,
+    state_dtype=jnp.bfloat16, k_steps=1, h=50, pair_dots=False,
+    interpret=False,
 ):
     """``k_steps`` fused SGNHT steps in ONE kernel launch, VMEM-resident.
 
     As :func:`fused_bnn_multistep` but with the Nosé-Hoover thermostat
     update; ``xi`` as in :func:`fused_bnn_step_sgnht`.  Returns
     ``(theta', v', xi', cost)``.  1-input family, both slot layouts.
+    ``pair_dots`` as in :func:`fused_bnn_multistep` (64-slot / 1-input /
+    even blocks).
     """
     tbig, tw3 = theta
     n_chains = tbig.shape[0]
@@ -2569,6 +2713,14 @@ def fused_bnn_multistep_sgnht(
             "({}, 128) row; got {}".format(n_chains, xi.shape))
     n_windows, n_inputs, xw_op = _multistep_tables(
         x_win, "fused_bnn_multistep_sgnht")
+    if pair_dots:
+        if s != S:
+            raise ValueError(
+                "pair_dots supports the 64-slot layout only")
+        if n_inputs != 1:
+            raise ValueError("pair_dots supports n_inputs=1 only")
+        if block_chains % 2:
+            raise ValueError("pair_dots requires an even block_chains")
     n_dim = 2 * (h + 1) * h + (n_inputs + 2) * h + 2
 
     eps32 = jnp.asarray(eps, jnp.float32)
@@ -2605,12 +2757,18 @@ def fused_bnn_multistep_sgnht(
         grid=(n_chains // block_chains,),
         in_specs=in_specs,
         out_specs=out_specs,
-        scratch_shapes=_multistep_scratch(block_chains, s),
+        scratch_shapes=(_paired_scratch(block_chains, s, 4) if pair_dots
+                        else _multistep_scratch(block_chains, s)),
     )
     aliases = {2: 0, 3: 1, 4: 2, 5: 3, 6: 4}
-    kernel = _make_multistep_kernel_sgnht(
-        float(batch_size), float(n_data), block_chains, n_windows,
-        int(k_steps), int(h), s, bias_row, n_inputs)
+    if pair_dots:
+        kernel = _make_multistep_kernel_sgnht_paired(
+            float(batch_size), float(n_data), block_chains, n_windows,
+            int(k_steps), int(h))
+    else:
+        kernel = _make_multistep_kernel_sgnht(
+            float(batch_size), float(n_data), block_chains, n_windows,
+            int(k_steps), int(h), s, bias_row, n_inputs)
     interpreter = pltpu.InterpretParams() if interpret else False
     outs = pl.pallas_call(
         kernel,

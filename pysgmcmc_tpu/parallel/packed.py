@@ -719,9 +719,9 @@ def sample_chain_fused(
             "pair_dots is a multi-step kernel variant; pass "
             "multistep=True")
     if pair_dots and not isinstance(
-            sampler, (SGHMCSampler, SGLDSampler)):
+            sampler, (SGHMCSampler, SGLDSampler, SGNHTSampler)):
         raise ValueError(
-            "pair_dots supports the SGHMC and SGLD kernels only")
+            "pair_dots supports the SGHMC, SGLD and SGNHT kernels only")
 
     if isinstance(sampler, SGHMCSampler):
         fkind = "sghmc"
@@ -880,7 +880,8 @@ def sample_chain_fused(
                 prior_scale=sampler.gaussian_prior_scale,
                 batch_size=batch_size, n_data=n_data,
                 block_chains=block_chains, state_dtype=state_dtype,
-                k_steps=keep_every, h=h, interpret=interpret,
+                k_steps=keep_every, h=h, pair_dots=pair_dots,
+                interpret=interpret,
             )
         elif fkind == "psgld":
             theta, v, cost = fused_bnn_multistep_psgld(

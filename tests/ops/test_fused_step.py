@@ -1225,7 +1225,7 @@ def test_multistep_sampling_matches_pytree(kind):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("kind", ["sghmc", "sgld"])
+@pytest.mark.parametrize("kind", ["sghmc", "sgld", "sgnht"])
 def test_multistep_paired_matches_unpaired(kind):
     """pair_dots=True == pair_dots=False through the multi-step driver.
 
@@ -1240,6 +1240,7 @@ def test_multistep_paired_matches_unpaired(kind):
     from pysgmcmc_tpu.data_batches import batch_fn as make_batch_fn
     from pysgmcmc_tpu.parallel.packed import sample_chain_fused
     from pysgmcmc_tpu.samplers.sgld import SGLDSampler
+    from pysgmcmc_tpu.samplers.sgnht import SGNHTSampler
 
     n, k_steps = 4, 3
     sampler, positions, _ = _workload(n)
@@ -1247,6 +1248,10 @@ def test_multistep_paired_matches_unpaired(kind):
         sampler = SGLDSampler(
             sampler.cost_fn, stepsize_schedule=1e-5, burn_in_steps=50,
             scale_grad=100.0,
+            gaussian_prior_scale=sampler.gaussian_prior_scale)
+    elif kind == "sgnht":
+        sampler = SGNHTSampler(
+            sampler.cost_fn, stepsize_schedule=1e-3, scale_grad=100.0,
             gaussian_prior_scale=sampler.gaussian_prior_scale)
     rng = np.random.RandomState(0)
     x = rng.uniform(0.0, 1.0, (100, 1)).astype(np.float32)
@@ -1262,7 +1267,8 @@ def test_multistep_paired_matches_unpaired(kind):
         st = sampler.init(p, k1)
         st, _ = sample_chain(
             sampler, st, k2, 1, batch_fn=select,
-            keep_every=sampler.burn_in_steps, collect_costs=False)
+            keep_every=getattr(sampler, "burn_in_steps", 0) or 10,
+            collect_costs=False)
         return st
 
     states = jax.vmap(one)(
@@ -1299,7 +1305,7 @@ def test_multistep_paired_matches_unpaired(kind):
 def test_multistep_paired_guards():
     """pair_dots validates its configuration loudly."""
     from pysgmcmc_tpu.parallel.packed import sample_chain_fused
-    from pysgmcmc_tpu.samplers.sgnht import SGNHTSampler
+    from pysgmcmc_tpu.samplers.psgld import PSGLDSampler
 
     n = 2
     sampler, positions, _ = _workload(n)
@@ -1318,12 +1324,12 @@ def test_multistep_paired_guards():
             batch_size=20, block_chains=n, pair_dots=True,
             interpret=True)
 
-    sgnht = SGNHTSampler(
-        sampler.cost_fn, stepsize_schedule=1e-3, scale_grad=100.0,
+    psgld = PSGLDSampler(
+        sampler.cost_fn, stepsize_schedule=1e-4, scale_grad=100.0,
         gaussian_prior_scale=sampler.gaussian_prior_scale)
-    with pytest.raises(ValueError, match="SGHMC and SGLD"):
+    with pytest.raises(ValueError, match="SGHMC, SGLD and SGNHT"):
         sample_chain_fused(
-            sgnht, states, jax.random.PRNGKey(2), 1, x, y,
+            psgld, states, jax.random.PRNGKey(2), 1, x, y,
             batch_size=20, block_chains=n, multistep=True,
             pair_dots=True, interpret=True)
 
