@@ -1110,6 +1110,18 @@ def _paired_scratch(block_chains, s=S, n_state_slabs=6):
     ] + [pltpu.VMEM(pms, jnp.float32) for _ in range(n_state_slabs)]
 
 
+def _check_pair_dots(pair_dots, s, n_inputs, block_chains):
+    """Validate a multi-step driver's pair_dots configuration."""
+    if not pair_dots:
+        return
+    if s != S:
+        raise ValueError("pair_dots supports the 64-slot layout only")
+    if n_inputs != 1:
+        raise ValueError("pair_dots supports n_inputs=1 only")
+    if block_chains % 2:
+        raise ValueError("pair_dots requires an even block_chains")
+
+
 def _pair_mats(m, cp, s):
     """(C, s, s) -> block-diagonal (Cp, 2s, 2s) chain-pair packing."""
     r = m.reshape(cp, 2, s, s)
@@ -1410,14 +1422,7 @@ def fused_bnn_multistep(
             "block_chains ({})".format(n_chains, block_chains))
     n_windows, n_inputs, xw_op = _multistep_tables(
         x_win, "fused_bnn_multistep")
-    if pair_dots:
-        if s != S:
-            raise ValueError(
-                "pair_dots supports the 64-slot layout only")
-        if n_inputs != 1:
-            raise ValueError("pair_dots supports n_inputs=1 only")
-        if block_chains % 2:
-            raise ValueError("pair_dots requires an even block_chains")
+    _check_pair_dots(pair_dots, s, n_inputs, block_chains)
 
     eps32 = jnp.asarray(eps, jnp.float32)
     int_scalars = jnp.asarray(seed, jnp.int32).reshape(1)
@@ -2389,14 +2394,7 @@ def fused_bnn_multistep_sgld(
             "by block_chains ({})".format(n_chains, block_chains))
     n_windows, n_inputs, xw_op = _multistep_tables(
         x_win, "fused_bnn_multistep_sgld")
-    if pair_dots:
-        if s != S:
-            raise ValueError(
-                "pair_dots supports the 64-slot layout only")
-        if n_inputs != 1:
-            raise ValueError("pair_dots supports n_inputs=1 only")
-        if block_chains % 2:
-            raise ValueError("pair_dots requires an even block_chains")
+    _check_pair_dots(pair_dots, s, n_inputs, block_chains)
 
     eps32 = jnp.asarray(eps, jnp.float32)
     int_scalars = jnp.asarray(seed, jnp.int32).reshape(1)
@@ -2713,14 +2711,7 @@ def fused_bnn_multistep_sgnht(
             "({}, 128) row; got {}".format(n_chains, xi.shape))
     n_windows, n_inputs, xw_op = _multistep_tables(
         x_win, "fused_bnn_multistep_sgnht")
-    if pair_dots:
-        if s != S:
-            raise ValueError(
-                "pair_dots supports the 64-slot layout only")
-        if n_inputs != 1:
-            raise ValueError("pair_dots supports n_inputs=1 only")
-        if block_chains % 2:
-            raise ValueError("pair_dots requires an even block_chains")
+    _check_pair_dots(pair_dots, s, n_inputs, block_chains)
     n_dim = 2 * (h + 1) * h + (n_inputs + 2) * h + 2
 
     eps32 = jnp.asarray(eps, jnp.float32)
@@ -2946,12 +2937,158 @@ def _make_multistep_kernel_rsghmc(batch_size, n_data, block_chains,
     return kernel
 
 
+def _make_multistep_kernel_masked_paired(batch_size, n_data, block_chains,
+                                         n_windows, k_steps, h,
+                                         make_update):
+    """Shared paired-dot multi-step skeleton for the masked family
+    (pSGLD / RSGHMC).
+
+    Paired theta + per-sampler auxiliary state (preconditioner
+    accumulator / momentum) live in persistent (Cp, 2s, 2s) scratch for
+    the whole k-step loop; validity is the paired mask of the SGNHT
+    paired kernel (diagonal blocks ∩ row/lane validity), which both
+    keeps the dead padding dead and freezes cross-chain cells at zero.
+    ``make_update(float_ref)`` unpacks the prefetched scalars and
+    returns the per-slab ``update(theta, v, grad, eta, valid) ->
+    (theta', v')`` rule.  1-input / 64-slot layout only.
+    """
+    inv_b = 1.0 / batch_size
+    inv_n = 1.0 / n_data
+    C = block_chains
+    Cp = C // 2
+    s = S
+    big_rows = s + VEC_ROWS
+
+    def kernel(int_ref, float_ref,
+               tbig, tw3, vbig, vw3, xw_ref, yw_ref,
+               obig, ow3, pbig, pw3,
+               s_a1, s_a2, s_a3, s_gvec,
+               p_w2, p_w3, p_v2, p_v3):
+        pltpu.prng_seed(int_ref[0], pl.program_id(0))
+        update = make_update(float_ref)
+
+        obig[:] = tbig[:]
+        ow3[:] = tw3[:]
+        pbig[:] = vbig[:]
+        pw3[:] = vw3[:]
+        p_w2[:] = _pair_mats(tbig[:, 0:s, :], Cp, s)
+        p_w3[:] = _pair_mats(tw3[:], Cp, s)
+        p_v2[:] = _pair_mats(vbig[:, 0:s, :].astype(jnp.float32), Cp, s)
+        p_v3[:] = _pair_mats(vw3[:].astype(jnp.float32), Cp, s)
+
+        brow = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD), 1)
+        bmask = (brow < batch_size).astype(jnp.float32)
+        lane2 = jax.lax.broadcasted_iota(jnp.int32, (C, s), 1)
+        lane3p = jax.lax.broadcasted_iota(jnp.int32, (Cp, B_PAD, 2 * s), 2)
+        bias_lane_p = (lane3p % s) == BIAS_ROW
+        first_half = lane3p < s
+        win_iota = jax.lax.broadcasted_iota(jnp.int32, (C, n_windows), 1)
+
+        rowm = jax.lax.broadcasted_iota(
+            jnp.int32, (Cp, 2 * s, 2 * s), 1)
+        lanem = jax.lax.broadcasted_iota(
+            jnp.int32, (Cp, 2 * s, 2 * s), 2)
+        same_block = (rowm < s) == (lanem < s)
+        rr = rowm % s
+        ll = lanem % s
+        mat_valid_p = (
+            same_block & ((rr < h) | (rr == BIAS_ROW)) & (ll < h)
+        ).astype(jnp.float32)
+        _, vec_valid = _psgld_valid_masks(C, 1, h, s, BIAS_ROW)
+
+        def body(t, carry):
+            xin_bf, y = _select_window_bf(
+                C, n_windows, win_iota, xw_ref, yw_ref, 1)
+
+            cost, g_w2p, g_vec, g_w3p = _fwd_bwd_paired(
+                obig[:], p_w2[:].astype(jnp.bfloat16),
+                p_w3[:].astype(jnp.bfloat16), xin_bf, y, bmask,
+                lane2, lane3p, bias_lane_p, first_half,
+                s_a1, s_a2, s_a3, s_gvec, inv_b, inv_n, C, s)
+
+            eta_p = _normal_3d((Cp, 4 * s, 2 * s))
+            eta_vec = _normal_3d((C, VEC_ROWS, s))
+
+            t_new, v_new = update(
+                p_w2[:], p_v2[:], g_w2p, eta_p[:, 0:2 * s, :],
+                mat_valid_p)
+            p_w2[:] = t_new
+            p_v2[:] = v_new
+            t_new, v_new = update(
+                p_w3[:], p_v3[:], g_w3p, eta_p[:, 2 * s:4 * s, :],
+                mat_valid_p)
+            p_w3[:] = t_new
+            p_v3[:] = v_new
+            t_new, v_new = update(
+                obig[:, s:big_rows, :], pbig[:, s:big_rows, :],
+                g_vec, eta_vec, vec_valid)
+            obig[:, s:big_rows, :] = t_new
+            pbig[:, s:big_rows, :] = v_new.astype(pbig.dtype)
+            obig[:, big_rows - 1, LANE_B4:LANE_B4 + 1] = cost
+            return carry
+
+        jax.lax.fori_loop(0, k_steps, body, 0)
+
+        obig[:, 0:s, :] = _unpair_mats(p_w2[:], C, s)
+        ow3[:] = _unpair_mats(p_w3[:], C, s)
+        pbig[:, 0:s, :] = _unpair_mats(p_v2[:], C, s).astype(pbig.dtype)
+        pw3[:] = _unpair_mats(p_v3[:], C, s).astype(pw3.dtype)
+
+    return kernel
+
+
+def _psgld_paired_update(float_ref):
+    """pSGLD update rule for :func:`_make_multistep_kernel_masked_paired`
+    (same math as :func:`_make_multistep_kernel_psgld`)."""
+    eps = float_ref[0]
+    alpha = float_ref[1]
+    lam = float_ref[2]
+    inv_sg = float_ref[3]
+    prior_scale = float_ref[4]
+
+    def update(theta, v, grad, eta, valid):
+        v32 = v.astype(jnp.float32)
+        g = grad + prior_scale * theta
+        v_new = alpha * v32 + (1.0 - alpha) * g * g
+        precond = 1.0 / (lam + jnp.sqrt(jnp.maximum(v_new, 0.0)))
+        sigma = jnp.sqrt(jnp.maximum(eps * precond * inv_sg, 0.0))
+        delta = -0.5 * eps * precond * g + sigma * eta
+        return theta + delta * valid, v_new * valid
+
+    return update
+
+
+def _rsghmc_paired_update(float_ref):
+    """Relativistic-SGHMC update rule for
+    :func:`_make_multistep_kernel_masked_paired` (same math as
+    :func:`_make_multistep_kernel_rsghmc`)."""
+    eps = float_ref[0]
+    noise_scale = float_ref[1]
+    prior_scale = float_ref[2]
+    inv_mc2 = float_ref[3]
+    inv_m = float_ref[4]
+    d_coef = float_ref[5]
+
+    def vel(p):
+        return eps * p * inv_m * jax.lax.rsqrt(p * p * inv_mc2 + 1.0)
+
+    def update(theta, v, grad, eta, valid):
+        p = v.astype(jnp.float32)
+        loglik_g = -(grad + prior_scale * theta)
+        p_new = (p + eps * loglik_g + noise_scale * eta
+                 - d_coef * vel(p)) * valid
+        return theta + vel(p_new) * valid, p_new
+
+    return update
+
+
 def _multistep_family_call(kernel, theta, v, tables, out_dtypes,
                            int_scalars, float_scalars, block_chains,
-                           interpret):
+                           interpret, pair_dots=False):
     """Shared pallas_call plumbing for the theta+momentum multi-step
     variants (pSGLD / RSGHMC): 2 aliased theta outputs + 2 aliased
-    momentum outputs, shared window tables, the standard scratch set."""
+    momentum outputs, shared window tables, the standard scratch set
+    (or the paired one when ``pair_dots``)."""
     tbig, _ = theta
     n_chains = tbig.shape[0]
     s = tbig.shape[2]
@@ -2973,7 +3110,8 @@ def _multistep_family_call(kernel, theta, v, tables, out_dtypes,
         grid=(n_chains // block_chains,),
         in_specs=in_specs,
         out_specs=tuple(state_specs) + tuple(state_specs),
-        scratch_shapes=_multistep_scratch(block_chains, s),
+        scratch_shapes=(_paired_scratch(block_chains, s, 4) if pair_dots
+                        else _multistep_scratch(block_chains, s)),
     )
     aliases = {2: 0, 3: 1, 4: 2, 5: 3}
     interpreter = pltpu.InterpretParams() if interpret else False
@@ -2996,19 +3134,20 @@ def _multistep_family_call(kernel, theta, v, tables, out_dtypes,
     jax.jit,
     static_argnames=("alpha", "lambda_reg", "scale_grad", "prior_scale",
                      "batch_size", "n_data", "block_chains", "k_steps",
-                     "h", "interpret"),
+                     "h", "pair_dots", "interpret"),
 )
 def fused_bnn_multistep_psgld(
     theta, v, x_win, y_win, eps, seed,
     alpha=0.99, lambda_reg=1e-5, scale_grad=1.0, prior_scale=0.0,
     batch_size=20, n_data=100, block_chains=32,
-    k_steps=1, h=50, interpret=False,
+    k_steps=1, h=50, pair_dots=False, interpret=False,
 ):
     """``k_steps`` fused pSGLD steps in ONE kernel launch, VMEM-resident.
 
     As :func:`fused_bnn_multistep` but with the RMSprop-preconditioned
     pSGLD update (accumulator ``v`` stays f32 and adapts in-loop).
     Returns ``(theta', v', cost)``.  1-input family, both slot layouts.
+    ``pair_dots`` as in :func:`fused_bnn_multistep`.
     """
     tbig, tw3 = theta
     n_chains = tbig.shape[0]
@@ -3020,6 +3159,7 @@ def fused_bnn_multistep_psgld(
             "by block_chains ({})".format(n_chains, block_chains))
     n_windows, n_inputs, xw_op = _multistep_tables(
         x_win, "fused_bnn_multistep_psgld")
+    _check_pair_dots(pair_dots, s, n_inputs, block_chains)
 
     int_scalars = jnp.asarray(seed, jnp.int32).reshape(1)
     float_scalars = jnp.stack([
@@ -3029,31 +3169,40 @@ def fused_bnn_multistep_psgld(
         jnp.asarray(1.0 / scale_grad, jnp.float32),
         jnp.asarray(prior_scale, jnp.float32),
     ])
-    kernel = _make_multistep_kernel_psgld(
-        float(batch_size), float(n_data), block_chains,
-        n_windows, int(k_steps), int(h), s, bias_row, n_inputs)
+    if pair_dots:
+        kernel = _make_multistep_kernel_masked_paired(
+            float(batch_size), float(n_data), block_chains,
+            n_windows, int(k_steps), int(h), _psgld_paired_update)
+    else:
+        kernel = _make_multistep_kernel_psgld(
+            float(batch_size), float(n_data), block_chains,
+            n_windows, int(k_steps), int(h), s, bias_row, n_inputs)
     return _multistep_family_call(
         kernel, theta, v, (xw_op, y_win), (jnp.float32, jnp.float32),
-        int_scalars, float_scalars, block_chains, interpret)
+        int_scalars, float_scalars, block_chains, interpret,
+        pair_dots=pair_dots)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("mass", "speed_of_light", "d_coef", "b_hat",
                      "prior_scale", "batch_size", "n_data", "block_chains",
-                     "state_dtype", "k_steps", "h", "interpret"),
+                     "state_dtype", "k_steps", "h", "pair_dots",
+                     "interpret"),
 )
 def fused_bnn_multistep_rsghmc(
     theta, v, x_win, y_win, eps, seed,
     mass=1.0, speed_of_light=1.0, d_coef=1.0, b_hat=0.0, prior_scale=0.0,
     batch_size=20, n_data=100, block_chains=32,
-    state_dtype=jnp.bfloat16, k_steps=1, h=50, interpret=False,
+    state_dtype=jnp.bfloat16, k_steps=1, h=50, pair_dots=False,
+    interpret=False,
 ):
     """``k_steps`` fused relativistic-SGHMC steps in ONE kernel launch.
 
     As :func:`fused_bnn_multistep` but with the relativistic momentum
     update of :func:`fused_bnn_step_rsghmc`.  Returns
     ``(theta', p', cost)``.  1-input family, both slot layouts.
+    ``pair_dots`` as in :func:`fused_bnn_multistep`.
     """
     tbig, tw3 = theta
     n_chains = tbig.shape[0]
@@ -3065,6 +3214,7 @@ def fused_bnn_multistep_rsghmc(
             "by block_chains ({})".format(n_chains, block_chains))
     n_windows, n_inputs, xw_op = _multistep_tables(
         x_win, "fused_bnn_multistep_rsghmc")
+    _check_pair_dots(pair_dots, s, n_inputs, block_chains)
 
     eps32 = jnp.asarray(eps, jnp.float32)
     int_scalars = jnp.asarray(seed, jnp.int32).reshape(1)
@@ -3078,12 +3228,18 @@ def fused_bnn_multistep_rsghmc(
         jnp.asarray(1.0 / mass, jnp.float32),
         jnp.asarray(d_coef, jnp.float32),
     ])
-    kernel = _make_multistep_kernel_rsghmc(
-        float(batch_size), float(n_data), block_chains,
-        n_windows, int(k_steps), int(h), s, bias_row, n_inputs)
+    if pair_dots:
+        kernel = _make_multistep_kernel_masked_paired(
+            float(batch_size), float(n_data), block_chains,
+            n_windows, int(k_steps), int(h), _rsghmc_paired_update)
+    else:
+        kernel = _make_multistep_kernel_rsghmc(
+            float(batch_size), float(n_data), block_chains,
+            n_windows, int(k_steps), int(h), s, bias_row, n_inputs)
     return _multistep_family_call(
         kernel, theta, v, (xw_op, y_win), (jnp.float32, state_dtype),
-        int_scalars, float_scalars, block_chains, interpret)
+        int_scalars, float_scalars, block_chains, interpret,
+        pair_dots=pair_dots)
 
 
 #  Multi-step burn-in: the adaptive phase VMEM-resident too ------------------

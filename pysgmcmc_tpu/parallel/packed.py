@@ -718,10 +718,6 @@ def sample_chain_fused(
         raise ValueError(
             "pair_dots is a multi-step kernel variant; pass "
             "multistep=True")
-    if pair_dots and not isinstance(
-            sampler, (SGHMCSampler, SGLDSampler, SGNHTSampler)):
-        raise ValueError(
-            "pair_dots supports the SGHMC, SGLD and SGNHT kernels only")
 
     if isinstance(sampler, SGHMCSampler):
         fkind = "sghmc"
@@ -892,7 +888,8 @@ def sample_chain_fused(
                 prior_scale=getattr(sampler, "gaussian_prior_scale", 0.0),
                 batch_size=batch_size, n_data=n_data,
                 block_chains=block_chains,
-                k_steps=keep_every, h=h, interpret=interpret,
+                k_steps=keep_every, h=h, pair_dots=pair_dots,
+                interpret=interpret,
             )
         elif fkind == "rsghmc":
             theta, v, cost = fused_bnn_multistep_rsghmc(
@@ -903,7 +900,8 @@ def sample_chain_fused(
                 prior_scale=sampler.gaussian_prior_scale,
                 batch_size=batch_size, n_data=n_data,
                 block_chains=block_chains, state_dtype=state_dtype,
-                k_steps=keep_every, h=h, interpret=interpret,
+                k_steps=keep_every, h=h, pair_dots=pair_dots,
+                interpret=interpret,
             )
         else:
             theta, cost = fused_bnn_multistep_sgld(

@@ -1225,7 +1225,8 @@ def test_multistep_sampling_matches_pytree(kind):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("kind", ["sghmc", "sgld", "sgnht"])
+@pytest.mark.parametrize(
+    "kind", ["sghmc", "sgld", "sgnht", "psgld", "rsghmc"])
 def test_multistep_paired_matches_unpaired(kind):
     """pair_dots=True == pair_dots=False through the multi-step driver.
 
@@ -1239,6 +1240,10 @@ def test_multistep_paired_matches_unpaired(kind):
     """
     from pysgmcmc_tpu.data_batches import batch_fn as make_batch_fn
     from pysgmcmc_tpu.parallel.packed import sample_chain_fused
+    from pysgmcmc_tpu.samplers.psgld import PSGLDSampler
+    from pysgmcmc_tpu.samplers.relativistic_sghmc import (
+        RelativisticSGHMCSampler,
+    )
     from pysgmcmc_tpu.samplers.sgld import SGLDSampler
     from pysgmcmc_tpu.samplers.sgnht import SGNHTSampler
 
@@ -1252,6 +1257,14 @@ def test_multistep_paired_matches_unpaired(kind):
     elif kind == "sgnht":
         sampler = SGNHTSampler(
             sampler.cost_fn, stepsize_schedule=1e-3, scale_grad=100.0,
+            gaussian_prior_scale=sampler.gaussian_prior_scale)
+    elif kind == "psgld":
+        sampler = PSGLDSampler(
+            sampler.cost_fn, stepsize_schedule=1e-4, scale_grad=100.0,
+            gaussian_prior_scale=sampler.gaussian_prior_scale)
+    elif kind == "rsghmc":
+        sampler = RelativisticSGHMCSampler(
+            sampler.cost_fn, stepsize_schedule=1e-3,
             gaussian_prior_scale=sampler.gaussian_prior_scale)
     rng = np.random.RandomState(0)
     x = rng.uniform(0.0, 1.0, (100, 1)).astype(np.float32)
@@ -1305,7 +1318,6 @@ def test_multistep_paired_matches_unpaired(kind):
 def test_multistep_paired_guards():
     """pair_dots validates its configuration loudly."""
     from pysgmcmc_tpu.parallel.packed import sample_chain_fused
-    from pysgmcmc_tpu.samplers.psgld import PSGLDSampler
 
     n = 2
     sampler, positions, _ = _workload(n)
@@ -1324,14 +1336,6 @@ def test_multistep_paired_guards():
             batch_size=20, block_chains=n, pair_dots=True,
             interpret=True)
 
-    psgld = PSGLDSampler(
-        sampler.cost_fn, stepsize_schedule=1e-4, scale_grad=100.0,
-        gaussian_prior_scale=sampler.gaussian_prior_scale)
-    with pytest.raises(ValueError, match="SGHMC, SGLD and SGNHT"):
-        sample_chain_fused(
-            psgld, states, jax.random.PRNGKey(2), 1, x, y,
-            batch_size=20, block_chains=n, multistep=True,
-            pair_dots=True, interpret=True)
 
     from pysgmcmc_tpu.ops.fused_step import fused_bnn_multistep, pack_fused
 
