@@ -134,6 +134,7 @@ class BayesianNeuralNetwork(BaseModel):
         network="reference",
         step_impl="pytree",
         units=(50, 50, 50),
+        pair_dots=False,
         **sampler_kwargs,
     ):
         super().__init__()
@@ -260,6 +261,19 @@ class BayesianNeuralNetwork(BaseModel):
                     "family (H <= 114, via units=); pass get_net only with "
                     "step_impl='lanes' or 'pytree'"
                 )
+        # pair_dots: run the sampling phase on the paired-dot multi-step
+        # kernels (block-diagonal 2-chain MXU operands at full 128-lane
+        # depth; ops/fused_step._make_multistep_kernel_paired family).
+        # Multi-step only (constant stepsize schedules), 64-slot layout
+        # (H <= 50), 1 input feature; the drivers validate the rest.
+        if pair_dots:
+            if step_impl != "fused":
+                raise ValueError("pair_dots requires step_impl='fused'")
+            if not isinstance(stepsize_schedule, ConstantStepsizeSchedule):
+                raise ValueError(
+                    "pair_dots runs the multi-step kernels, which need a "
+                    "constant stepsize schedule")
+        self.pair_dots = bool(pair_dots)
         self.network = network
         self.step_impl = step_impl
         # Mixed precision: run the network's matmuls in ``compute_dtype``
@@ -836,6 +850,7 @@ class BayesianNeuralNetwork(BaseModel):
                 batch_size=self.batch_size, keep_every=self.sample_steps,
                 block_chains=block, state_dtype=state_dtype,
                 mesh=self.mesh, multistep=use_multistep,
+                pair_dots=self.pair_dots,
                 # CPU has no TPU PRNG: interpret mode checks the plumbing
                 # (tests); real noise requires the chip
                 interpret=interpret,

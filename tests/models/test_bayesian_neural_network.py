@@ -417,3 +417,26 @@ def test_kernel_step_impls_train_under_mesh(impl):
         BayesianNeuralNetwork(
             network="dense", step_impl="fused", mesh=chain_mesh(8),
             n_chains=12, n_nets=12, log_every=None).train(x, y)
+
+
+def test_fused_pair_dots_model_smoke():
+    """pair_dots=True trains end to end through the model (interpret
+    mode on CPU) and validates its configuration in the constructor."""
+    x, y = _sinc_data()[:2]
+    bnn = BayesianNeuralNetwork(
+        network="dense", step_impl="fused", n_chains=2, n_nets=4,
+        n_iters=400, burn_in_steps=100, sample_steps=20, seed=2,
+        pair_dots=True)
+    bnn.train(x, y)
+    assert bnn.is_trained
+    mean, _ = bnn.predict(x)
+    assert np.all(np.isfinite(mean))
+
+    with pytest.raises(ValueError, match="requires step_impl='fused'"):
+        BayesianNeuralNetwork(pair_dots=True)
+    from pysgmcmc_tpu.stepsize_schedules import PolynomialDecaySchedule
+
+    with pytest.raises(ValueError, match="constant stepsize"):
+        BayesianNeuralNetwork(
+            network="dense", step_impl="fused", pair_dots=True,
+            stepsize_schedule=PolynomialDecaySchedule(1e-2))
