@@ -819,7 +819,7 @@ class BayesianNeuralNetwork(BaseModel):
                         sampler, s, k, n_steps, x_dev, y_dev,
                         batch_size=self.batch_size, block_chains=block,
                         state_dtype=jnp.float32, mesh=self.mesh,
-                        interpret=interpret,
+                        pair_dots=self.pair_dots, interpret=interpret,
                     ))
                 return jax.jit(lambda s, k: burnin_chain_lanes(
                     sampler, s, k, n_steps, batch_fn=select_batch,

@@ -3418,17 +3418,195 @@ def _make_multistep_kernel_burnin(batch_size, n_data, block_chains,
     return kernel
 
 
+def _make_multistep_kernel_burnin_paired(batch_size, n_data, block_chains,
+                                         n_windows, k_steps, h,
+                                         with_momentum=True):
+    """Paired-dot variant of :func:`_make_multistep_kernel_burnin`.
+
+    The W2/W3 slabs of EVERY burn-in state — theta, momentum, the
+    tau/g/v_hat adaptation statistics and the running mass-matrix
+    inverse — live in paired block-diagonal (Cp, 2s, 2s) scratch for the
+    whole k-step loop (12 slabs for SGHMC, 10 for SGLD; ~12 MB per block
+    at C=32, far under the VMEM budget), so the adaptive phase runs its
+    dots at full 128-lane depth too.  Off-diagonal theta stays exactly
+    zero via the masked update; the off-diagonal EMA cells evolve finite
+    garbage exactly like the dead padding cells do in the unpaired
+    kernel ("decays from init, discarded at unpack") — every EMA op is
+    elementwise, so the garbage never touches the diagonal blocks.
+    """
+    inv_b = 1.0 / batch_size
+    inv_n = 1.0 / n_data
+    C = block_chains
+    Cp = C // 2
+    s = S
+    big_rows = s + VEC_ROWS
+
+    def kernel(int_ref, float_ref, *refs):
+        if with_momentum:
+            (tbig, tw3, vbig, vw3, taubig, tauw3, gbig, gw3,
+             vhbig, vhw3, xw_ref, yw_ref,
+             obig, ow3, pbig, pw3, otaubig, otauw3, ogbig, ogw3,
+             ovhbig, ovhw3, minvbig, minvw3,
+             s_a1, s_a2, s_a3, s_gvec,
+             p_w2, p_w3, p_v2, p_v3, p_tau2, p_tau3, p_g2, p_g3,
+             p_vh2, p_vh3, p_m2, p_m3) = refs
+        else:
+            (tbig, tw3, taubig, tauw3, gbig, gw3,
+             vhbig, vhw3, xw_ref, yw_ref,
+             obig, ow3, otaubig, otauw3, ogbig, ogw3,
+             ovhbig, ovhw3, minvbig, minvw3,
+             s_a1, s_a2, s_a3, s_gvec,
+             p_w2, p_w3, p_tau2, p_tau3, p_g2, p_g3,
+             p_vh2, p_vh3, p_m2, p_m3) = refs
+            vbig = vw3 = pbig = pw3 = p_v2 = p_v3 = None
+        pltpu.prng_seed(int_ref[0], pl.program_id(0))
+        eps = float_ref[0]
+        c1 = float_ref[1]   # eps_scaled (sghmc) / a_coef (sgld)
+        c2 = float_ref[2]   # mdecay (sghmc) / sg_safe (sgld)
+        prior_scale = float_ref[3]
+
+        # vec-row state rides the output refs; W2/W3 state is paired
+        obig[:] = tbig[:]
+        ow3[:] = tw3[:]
+        otaubig[:] = taubig[:]
+        otauw3[:] = tauw3[:]
+        ogbig[:] = gbig[:]
+        ogw3[:] = gw3[:]
+        ovhbig[:] = vhbig[:]
+        ovhw3[:] = vhw3[:]
+        p_w2[:] = _pair_mats(tbig[:, 0:s, :], Cp, s)
+        p_w3[:] = _pair_mats(tw3[:], Cp, s)
+        p_tau2[:] = _pair_mats(taubig[:, 0:s, :], Cp, s)
+        p_tau3[:] = _pair_mats(tauw3[:], Cp, s)
+        p_g2[:] = _pair_mats(gbig[:, 0:s, :], Cp, s)
+        p_g3[:] = _pair_mats(gw3[:], Cp, s)
+        p_vh2[:] = _pair_mats(vhbig[:, 0:s, :], Cp, s)
+        p_vh3[:] = _pair_mats(vhw3[:], Cp, s)
+        if with_momentum:
+            pbig[:] = vbig[:]
+            pw3[:] = vw3[:]
+            p_v2[:] = _pair_mats(vbig[:, 0:s, :].astype(jnp.float32),
+                                 Cp, s)
+            p_v3[:] = _pair_mats(vw3[:].astype(jnp.float32), Cp, s)
+
+        brow = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD), 1)
+        bmask = (brow < batch_size).astype(jnp.float32)
+        lane2 = jax.lax.broadcasted_iota(jnp.int32, (C, s), 1)
+        lane3p = jax.lax.broadcasted_iota(jnp.int32, (Cp, B_PAD, 2 * s), 2)
+        bias_lane_p = (lane3p % s) == BIAS_ROW
+        first_half = lane3p < s
+        win_iota = jax.lax.broadcasted_iota(jnp.int32, (C, n_windows), 1)
+
+        rowm = jax.lax.broadcasted_iota(
+            jnp.int32, (Cp, 2 * s, 2 * s), 1)
+        lanem = jax.lax.broadcasted_iota(
+            jnp.int32, (Cp, 2 * s, 2 * s), 2)
+        same_block = (rowm < s) == (lanem < s)
+        rr = rowm % s
+        ll = lanem % s
+        mat_valid_p = (
+            same_block & ((rr < h) | (rr == BIAS_ROW)) & (ll < h)
+        ).astype(jnp.float32)
+        _, vec_valid = _psgld_valid_masks(C, 1, h, s, BIAS_ROW)
+
+        def body(t, carry):
+            xin_bf, y = _select_window_bf(
+                C, n_windows, win_iota, xw_ref, yw_ref, 1)
+
+            cost, g_w2p, g_vec, g_w3p = _fwd_bwd_paired(
+                obig[:], p_w2[:].astype(jnp.bfloat16),
+                p_w3[:].astype(jnp.bfloat16), xin_bf, y, bmask,
+                lane2, lane3p, bias_lane_p, first_half,
+                s_a1, s_a2, s_a3, s_gvec, inv_b, inv_n, C, s)
+
+            eta_p = _normal_3d((Cp, 4 * s, 2 * s))
+            eta_vec = _normal_3d((C, VEC_ROWS, s))
+
+            def upd(sl_t, sl_v, sl_tau, sl_g, sl_vh, grad, eta, valid):
+                if with_momentum:
+                    return _sghmc_burnin_step_math(
+                        sl_t, sl_v, sl_tau, sl_g, sl_vh, grad, valid,
+                        eta, eps, c1, c2, prior_scale)
+                t_new, tau_n, g_n, vh_n, minv = _sgld_burnin_step_math(
+                    sl_t, sl_tau, sl_g, sl_vh, grad, valid, eta,
+                    eps, c1, c2, prior_scale)
+                return t_new, None, tau_n, g_n, vh_n, minv
+
+            # paired W2 slab
+            t_new, v_new, tau_n, g_n, vh_n, minv = upd(
+                p_w2[:], p_v2[:] if with_momentum else None,
+                p_tau2[:], p_g2[:], p_vh2[:],
+                g_w2p, eta_p[:, 0:2 * s, :], mat_valid_p)
+            p_w2[:] = t_new
+            p_tau2[:] = tau_n
+            p_g2[:] = g_n
+            p_vh2[:] = vh_n
+            p_m2[:] = minv
+            if with_momentum:
+                p_v2[:] = v_new
+
+            # vector rows (unpaired, exactly the standard kernel)
+            t_new, v_new, tau_n, g_n, vh_n, minv = upd(
+                obig[:, s:big_rows, :],
+                pbig[:, s:big_rows, :] if with_momentum else None,
+                otaubig[:, s:big_rows, :], ogbig[:, s:big_rows, :],
+                ovhbig[:, s:big_rows, :], g_vec, eta_vec, vec_valid)
+            obig[:, s:big_rows, :] = t_new
+            otaubig[:, s:big_rows, :] = tau_n
+            ogbig[:, s:big_rows, :] = g_n
+            ovhbig[:, s:big_rows, :] = vh_n
+            minvbig[:, s:big_rows, :] = minv
+            if with_momentum:
+                pbig[:, s:big_rows, :] = v_new.astype(pbig.dtype)
+
+            # paired W3 slab
+            t_new, v_new, tau_n, g_n, vh_n, minv = upd(
+                p_w3[:], p_v3[:] if with_momentum else None,
+                p_tau3[:], p_g3[:], p_vh3[:],
+                g_w3p, eta_p[:, 2 * s:4 * s, :], mat_valid_p)
+            p_w3[:] = t_new
+            p_tau3[:] = tau_n
+            p_g3[:] = g_n
+            p_vh3[:] = vh_n
+            p_m3[:] = minv
+            if with_momentum:
+                p_v3[:] = v_new
+
+            obig[:, big_rows - 1, LANE_B4:LANE_B4 + 1] = cost
+            return carry
+
+        jax.lax.fori_loop(0, k_steps, body, 0)
+
+        obig[:, 0:s, :] = _unpair_mats(p_w2[:], C, s)
+        ow3[:] = _unpair_mats(p_w3[:], C, s)
+        otaubig[:, 0:s, :] = _unpair_mats(p_tau2[:], C, s)
+        otauw3[:] = _unpair_mats(p_tau3[:], C, s)
+        ogbig[:, 0:s, :] = _unpair_mats(p_g2[:], C, s)
+        ogw3[:] = _unpair_mats(p_g3[:], C, s)
+        ovhbig[:, 0:s, :] = _unpair_mats(p_vh2[:], C, s)
+        ovhw3[:] = _unpair_mats(p_vh3[:], C, s)
+        minvbig[:, 0:s, :] = _unpair_mats(p_m2[:], C, s)
+        minvw3[:] = _unpair_mats(p_m3[:], C, s)
+        if with_momentum:
+            pbig[:, 0:s, :] = _unpair_mats(p_v2[:], C, s).astype(
+                pbig.dtype)
+            pw3[:] = _unpair_mats(p_v3[:], C, s).astype(pw3.dtype)
+
+    return kernel
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("mdecay", "scale_grad", "prior_scale", "batch_size",
                      "n_data", "block_chains", "state_dtype", "k_steps",
-                     "h", "interpret"),
+                     "h", "pair_dots", "interpret"),
 )
 def fused_bnn_multistep_burnin(
     theta, v, tau, g, v_hat, x_win, y_win, eps, seed,
     mdecay=0.05, scale_grad=1.0, prior_scale=0.0,
     batch_size=20, n_data=100, block_chains=32,
-    state_dtype=jnp.bfloat16, k_steps=1, h=50, interpret=False,
+    state_dtype=jnp.bfloat16, k_steps=1, h=50, pair_dots=False,
+    interpret=False,
 ):
     """``k_steps`` fused SGHMC BURN-IN steps in ONE kernel launch.
 
@@ -3456,6 +3634,7 @@ def fused_bnn_multistep_burnin(
             "by block_chains ({})".format(n_chains, block_chains))
     n_windows, n_inputs, xw_op = _multistep_tables(
         x_win, "fused_bnn_multistep_burnin")
+    _check_pair_dots(pair_dots, s, n_inputs, block_chains)
 
     eps32 = jnp.asarray(eps, jnp.float32)
     int_scalars = jnp.asarray(seed, jnp.int32).reshape(1)
@@ -3483,13 +3662,20 @@ def fused_bnn_multistep_burnin(
         grid=(n_chains // block_chains,),
         in_specs=in_specs,
         out_specs=tuple(state_specs) * 6,
-        scratch_shapes=_multistep_scratch(block_chains, s),
+        scratch_shapes=(_paired_scratch(block_chains, s, 12) if pair_dots
+                        else _multistep_scratch(block_chains, s)),
     )
     # theta/v/tau/g/v_hat alias their outputs; minv outputs are fresh
     aliases = {i + 2: i for i in range(10)}
-    kernel = _make_multistep_kernel_burnin(
-        float(batch_size), float(n_data), block_chains, n_windows,
-        int(k_steps), int(h), s, bias_row, n_inputs, with_momentum=True)
+    if pair_dots:
+        kernel = _make_multistep_kernel_burnin_paired(
+            float(batch_size), float(n_data), block_chains, n_windows,
+            int(k_steps), int(h), with_momentum=True)
+    else:
+        kernel = _make_multistep_kernel_burnin(
+            float(batch_size), float(n_data), block_chains, n_windows,
+            int(k_steps), int(h), s, bias_row, n_inputs,
+            with_momentum=True)
     interpreter = pltpu.InterpretParams() if interpret else False
     outs = pl.pallas_call(
         kernel,
@@ -3514,13 +3700,13 @@ def fused_bnn_multistep_burnin(
     jax.jit,
     static_argnames=("a_coef", "scale_grad", "prior_scale", "batch_size",
                      "n_data", "block_chains", "k_steps", "h",
-                     "interpret"),
+                     "pair_dots", "interpret"),
 )
 def fused_bnn_multistep_burnin_sgld(
     theta, tau, g, v_hat, x_win, y_win, eps, seed,
     a_coef=1.0, scale_grad=1.0, prior_scale=0.0,
     batch_size=20, n_data=100, block_chains=32,
-    k_steps=1, h=50, interpret=False,
+    k_steps=1, h=50, pair_dots=False, interpret=False,
 ):
     """``k_steps`` fused SGLD BURN-IN steps in ONE kernel launch.
 
@@ -3543,6 +3729,7 @@ def fused_bnn_multistep_burnin_sgld(
                 n_chains, block_chains))
     n_windows, n_inputs, xw_op = _multistep_tables(
         x_win, "fused_bnn_multistep_burnin_sgld")
+    _check_pair_dots(pair_dots, s, n_inputs, block_chains)
 
     sg = jnp.asarray(scale_grad, jnp.float32)
     small = 1e-16
@@ -3568,12 +3755,19 @@ def fused_bnn_multistep_burnin_sgld(
         grid=(n_chains // block_chains,),
         in_specs=in_specs,
         out_specs=tuple(state_specs) * 5,
-        scratch_shapes=_multistep_scratch(block_chains, s),
+        scratch_shapes=(_paired_scratch(block_chains, s, 10) if pair_dots
+                        else _multistep_scratch(block_chains, s)),
     )
     aliases = {i + 2: i for i in range(8)}
-    kernel = _make_multistep_kernel_burnin(
-        float(batch_size), float(n_data), block_chains, n_windows,
-        int(k_steps), int(h), s, bias_row, n_inputs, with_momentum=False)
+    if pair_dots:
+        kernel = _make_multistep_kernel_burnin_paired(
+            float(batch_size), float(n_data), block_chains, n_windows,
+            int(k_steps), int(h), with_momentum=False)
+    else:
+        kernel = _make_multistep_kernel_burnin(
+            float(batch_size), float(n_data), block_chains, n_windows,
+            int(k_steps), int(h), s, bias_row, n_inputs,
+            with_momentum=False)
     interpreter = pltpu.InterpretParams() if interpret else False
     outs = pl.pallas_call(
         kernel,

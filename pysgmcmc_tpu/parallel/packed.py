@@ -1469,6 +1469,7 @@ def burnin_chain_fused(
     state_dtype=jnp.bfloat16,
     mesh=None,
     axis_name=None,
+    pair_dots=False,
     interpret=False,
 ):
     """Burn-in driver on the multi-step VMEM-resident fused kernel.
@@ -1497,7 +1498,8 @@ def burnin_chain_fused(
             return burnin_chain_fused(
                 sampler, local_states, local_key, n_steps, x, y,
                 batch_size=batch_size, block_chains=block_chains,
-                state_dtype=state_dtype, interpret=interpret,
+                state_dtype=state_dtype, pair_dots=pair_dots,
+                interpret=interpret,
             )
 
         return _run_sharded(
@@ -1554,7 +1556,7 @@ def burnin_chain_fused(
             prior_scale=prior_scale, batch_size=batch_size,
             n_data=int(n_data), block_chains=block,
             state_dtype=state_dtype, k_steps=int(n_steps), h=int(h),
-            interpret=interpret,
+            pair_dots=pair_dots, interpret=interpret,
         )
     else:
         theta, tau, g, v_hat, minv, _ = fused_bnn_multistep_burnin_sgld(
@@ -1562,7 +1564,8 @@ def burnin_chain_fused(
             a_coef=float(sampler.A), scale_grad=sampler.scale_grad,
             prior_scale=prior_scale, batch_size=batch_size,
             n_data=int(n_data), block_chains=block,
-            k_steps=int(n_steps), h=int(h), interpret=interpret,
+            k_steps=int(n_steps), h=int(h), pair_dots=pair_dots,
+            interpret=interpret,
         )
 
     stats = AdaptiveStats(

@@ -1348,3 +1348,60 @@ def test_multistep_paired_guards():
         fused_bnn_multistep(
             theta, v, minv, x_win, y_win, 1e-3, 0,
             block_chains=1, k_steps=2, pair_dots=True, interpret=True)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("kind", ["sghmc", "sgld"])
+def test_multistep_burnin_paired_matches_unpaired(kind):
+    """Paired-dot burn-in == standard burn-in through the driver.
+
+    Same bitwise argument as the sampling-phase parity test: interpret
+    mode draws zero noise and window 0, so the paired burn-in kernel's
+    only delta is the block-diagonal dot formulation with exact-zero
+    off-diagonal blocks.  theta, momentum, every adaptation statistic
+    (tau/g/v_hat) and the frozen mass-matrix inverse must agree bitwise.
+    """
+    from pysgmcmc_tpu.parallel.packed import burnin_chain_fused
+    from pysgmcmc_tpu.samplers.sgld import SGLDSampler
+
+    n = 4
+    sampler, positions, _ = _workload(n)
+    if kind == "sgld":
+        sampler = SGLDSampler(
+            sampler.cost_fn, stepsize_schedule=1e-5, burn_in_steps=50,
+            scale_grad=100.0,
+            gaussian_prior_scale=sampler.gaussian_prior_scale)
+    rng = np.random.RandomState(0)
+    x = rng.uniform(0.0, 1.0, (100, 1)).astype(np.float32)
+    from pysgmcmc_tpu.diagnostics.objective_functions import sinc
+
+    y = np.asarray(sinc(x), np.float32)
+    states = jax.vmap(sampler.init)(
+        positions, jax.random.split(jax.random.PRNGKey(1), n))
+
+    runs = {}
+    for paired in (False, True):
+        runs[paired] = burnin_chain_fused(
+            sampler, states, jax.random.PRNGKey(2), 3, x, y,
+            batch_size=20, block_chains=n, state_dtype=jnp.float32,
+            pair_dots=paired, interpret=True)
+
+    out_u, out_p = runs[False], runs[True]
+    for key in out_u.position:
+        np.testing.assert_array_equal(
+            np.asarray(out_u.position[key]),
+            np.asarray(out_p.position[key]), err_msg="position " + key)
+        for stat in ("tau", "g", "v_hat", "minv"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(out_u.stats, stat)[key]),
+                np.asarray(getattr(out_p.stats, stat)[key]),
+                err_msg=stat + " " + key)
+        if hasattr(out_u, "momentum"):
+            np.testing.assert_array_equal(
+                np.asarray(out_u.momentum[key]),
+                np.asarray(out_p.momentum[key]),
+                err_msg="momentum " + key)
+    tau = np.concatenate([
+        np.asarray(l).ravel()
+        for l in jax.tree_util.tree_leaves(out_p.stats.tau)])
+    assert np.isfinite(tau).all() and (tau >= 1.0).all()
