@@ -71,6 +71,33 @@ def main():
     jax.block_until_ready(states)
     print("burn-in done in %.1fs" % (time.perf_counter() - t0), flush=True)
 
+    # burn-in A/B: one 200-step adaptive launch, standard vs paired
+    from pysgmcmc_tpu.parallel.packed import burnin_chain_fused
+
+    fresh = jax.jit(jax.vmap(sampler.init))(
+        positions, jax.random.split(jax.random.PRNGKey(9), n_chains))
+    for name, pair_dots in (("burn-in multi-step", False),
+                            ("burn-in multi-step paired", True)):
+        bfn = jax.jit(lambda s, k, p=pair_dots: burnin_chain_fused(
+            sampler, s, k, scan_steps, x_data, y_data,
+            batch_size=20, block_chains=32, state_dtype=jnp.bfloat16,
+            pair_dots=p))
+        st = bfn(fresh, jax.random.PRNGKey(10))
+        jax.block_until_ready(st)
+        elapsed = []
+        for i in range(repeats):
+            t0 = time.perf_counter()
+            st = bfn(fresh, jax.random.PRNGKey(11 + i))
+            jax.block_until_ready(st)
+            elapsed.append(time.perf_counter() - t0)
+        best = min(elapsed)
+        print(json.dumps({
+            "variant": name,
+            "ms_per_step": round(1000.0 * best / scan_steps, 3),
+            "steps_per_sec_per_chip": round(
+                n_chains * scan_steps / best, 1),
+        }), flush=True)
+
     for name, pair_dots in (("multi-step", False),
                             ("multi-step paired", True)):
         scan = make_scan(pair_dots)
