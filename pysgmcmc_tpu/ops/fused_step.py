@@ -1116,8 +1116,6 @@ def _check_pair_dots(pair_dots, s, n_inputs, block_chains):
         return
     if s != S:
         raise ValueError("pair_dots supports the 64-slot layout only")
-    if n_inputs != 1:
-        raise ValueError("pair_dots supports n_inputs=1 only")
     if block_chains % 2:
         raise ValueError("pair_dots requires an even block_chains")
 
@@ -1147,7 +1145,8 @@ def _pair_lanes(m, cp):
 
 def _fwd_bwd_paired(big, w2_bf, w3_bf, xin_bf, y, bmask,
                     lane2, lane3p, bias_lane_p, first_half,
-                    s_a1, s_a2, s_a3, s_gvec, inv_b, inv_n, C, s):
+                    s_a1, s_a2, s_a3, s_gvec, inv_b, inv_n, C, s,
+                    n_inputs=1):
     """Forward + heteroscedastic likelihood + backward with 2-chain
     PAIRED MXU dots — the paired-layout counterpart of :func:`_fwd_bwd`.
 
@@ -1160,12 +1159,13 @@ def _fwd_bwd_paired(big, w2_bf, w3_bf, xin_bf, y, bmask,
     Returns ``(cost, g_w2p, g_vec, g_w3p)`` — the W2/W3 gradients in
     PAIRED layout (off-diagonal blocks carry cross-chain garbage that
     the caller's minv freeze must kill), the vector-rows gradient
-    unpaired.  1-input / 64-slot layout only.
+    unpaired.  64-slot layout; 1..MAX_INPUTS input features.
     """
     bf16 = jnp.bfloat16
     Cp = C // 2
-    row_b1, row_w4, row_scal = _vec_rows(1, s)
+    row_b1, row_w4, row_scal = _vec_rows(n_inputs, s)
     row_w1 = s
+    k1 = n_inputs + 1
     w4 = big[:, row_w4, :]
     scal = big[:, row_scal, :]
     b4 = scal[:, LANE_B4:LANE_B4 + 1]
@@ -1177,16 +1177,16 @@ def _fwd_bwd_paired(big, w2_bf, w3_bf, xin_bf, y, bmask,
         return jnp.where(
             first_half, rr[:, 0, :, None], rr[:, 1, :, None])
 
-    xinp = _pair_lanes(xin_bf, Cp)                   # (Cp, B, 4)
+    xinp = _pair_lanes(xin_bf, Cp)                   # (Cp, B, 2*k1)
 
     # paired layer-1 weights from the (unpaired) vector rows
-    w1m = big[:, row_w1:row_b1 + 1, :]               # (C, 2, s)
-    w1r = w1m.reshape(Cp, 2, 2, s)
-    z14 = jnp.zeros((Cp, 2, s), jnp.float32)
+    w1m = big[:, row_w1:row_b1 + 1, :]               # (C, k1, s)
+    w1r = w1m.reshape(Cp, 2, k1, s)
+    z14 = jnp.zeros((Cp, k1, s), jnp.float32)
     w1p = jnp.concatenate([
         jnp.concatenate([w1r[:, 0], z14], axis=2),
         jnp.concatenate([z14, w1r[:, 1]], axis=2),
-    ], axis=1).astype(bf16)                          # (Cp, 4, 2s)
+    ], axis=1).astype(bf16)                          # (Cp, 2*k1, 2s)
 
     # ---- forward: every dot at full 128-lane depth ----
     z1 = _bdot(xinp, w1p, (((2,), (1,))))            # (Cp, B, 2s)
@@ -1238,16 +1238,16 @@ def _fwd_bwd_paired(big, w2_bf, w3_bf, xin_bf, y, bmask,
     g_w2p = _bdot(a1, dz2_bf, (((1,), (1,))))
     da1 = _bdot(dz2_bf, w2_bf, (((2,), (2,))))
     dz1_bf = (da1 * (1.0 - a1f * a1f)).astype(bf16)
-    g_w1p = _bdot(xinp, dz1_bf, (((1,), (1,))))      # (Cp, 4, 2s)
+    g_w1p = _bdot(xinp, dz1_bf, (((1,), (1,))))      # (Cp, 2*k1, 2s)
     g_w1m = jnp.stack(
-        [g_w1p[:, 0:2, 0:s], g_w1p[:, 2:4, s:2 * s]],
-        axis=1).reshape(C, 2, s)
+        [g_w1p[:, 0:k1, 0:s], g_w1p[:, k1:2 * k1, s:2 * s]],
+        axis=1).reshape(C, k1, s)
 
     g_scal = jnp.where(
         lane2 == LANE_B4, g_b4,
         jnp.where(lane2 == LANE_LVB, d_lvb, 0.0),
     ).astype(jnp.float32)
-    s_gvec[:, 0:2, :] = g_w1m
+    s_gvec[:, 0:k1, :] = g_w1m
     s_gvec[:, row_w4 - s, :] = g_w4
     s_gvec[:, row_scal - s, :] = g_scal
     s_gvec[:, row_scal - s + 1:VEC_ROWS, :] = jnp.zeros(
@@ -1256,7 +1256,7 @@ def _fwd_bwd_paired(big, w2_bf, w3_bf, xin_bf, y, bmask,
 
 
 def _make_multistep_kernel_paired(batch_size, n_data, block_chains,
-                                  n_windows, k_steps):
+                                  n_windows, k_steps, n_inputs=1):
     """flash-SGHMC multi-step kernel with 2-chain PAIRED MXU dots.
 
     The multi-step kernel is dot-instance-overhead bound (~83% of the
@@ -1278,7 +1278,7 @@ def _make_multistep_kernel_paired(batch_size, n_data, block_chains,
     therefore the off-diagonal theta every step, no matter what the
     paired gradient dots or the full-slab noise draw put there.
 
-    SGHMC / 1-input / 64-slot layout only (the flagship configuration);
+    SGHMC / 64-slot layout (1..MAX_INPUTS input features);
     semantics otherwise identical to :func:`_make_multistep_kernel`.
     """
     inv_b = 1.0 / batch_size
@@ -1323,13 +1323,14 @@ def _make_multistep_kernel_paired(batch_size, n_data, block_chains,
         def body(t, carry):
             # ---- in-kernel minibatch selection ----
             xin_bf, y = _select_window_bf(
-                C, n_windows, win_iota, xw_ref, yw_ref, 1)
+                C, n_windows, win_iota, xw_ref, yw_ref, n_inputs)
 
             cost, g_w2p, g_vec, g_w3p = _fwd_bwd_paired(
                 obig[:], p_w2[:].astype(jnp.bfloat16),
                 p_w3[:].astype(jnp.bfloat16), xin_bf, y, bmask,
                 lane2, lane3p, bias_lane_p, first_half,
-                s_a1, s_a2, s_a3, s_gvec, inv_b, inv_n, C, s)
+                s_a1, s_a2, s_a3, s_gvec, inv_b, inv_n, C, s,
+                n_inputs)
 
             # one full-width draw covers both paired slabs (rows are
             # even, so Box-Muller runs dual-output), plus the small
@@ -1407,7 +1408,7 @@ def fused_bnn_multistep(
     depth with half the instance count.  Same update semantics; the
     noise DRAW ORDER differs (one paired full-slab draw), so trajectories
     match the unpaired kernel only when the noise is degenerate (e.g.
-    interpret mode's zero-bit PRNG).  64-slot / 1-input / even
+    interpret mode's zero-bit PRNG).  64-slot layout / even
     ``block_chains`` only.
 
     Returns ``(theta', v', cost)``.
@@ -1460,7 +1461,7 @@ def fused_bnn_multistep(
     if pair_dots:
         kernel = _make_multistep_kernel_paired(
             float(batch_size), float(n_data), block_chains, n_windows,
-            int(k_steps))
+            int(k_steps), n_inputs)
     else:
         kernel = _make_multistep_kernel(
             float(batch_size), float(n_data), block_chains, n_windows,
@@ -2216,12 +2217,12 @@ def fused_bnn_step_rsghmc(
 
 
 def _make_multistep_kernel_sgld_paired(batch_size, n_data, block_chains,
-                                       n_windows, k_steps):
+                                       n_windows, k_steps, n_inputs=1):
     """Paired-dot SGLD multi-step kernel — :func:`_make_multistep_kernel_paired`
     with the momentum-free SGLD update.  The paired ``minv`` is zero on
     the off-diagonal blocks, so the update's ``where(minv > 0)`` freeze
     keeps them exactly zero across the loop, as in the SGHMC variant.
-    SGLD / 1-input / 64-slot layout only.
+    SGLD / 64-slot layout.
     """
     inv_b = 1.0 / batch_size
     inv_n = 1.0 / n_data
@@ -2258,13 +2259,14 @@ def _make_multistep_kernel_sgld_paired(batch_size, n_data, block_chains,
 
         def body(t, carry):
             xin_bf, y = _select_window_bf(
-                C, n_windows, win_iota, xw_ref, yw_ref, 1)
+                C, n_windows, win_iota, xw_ref, yw_ref, n_inputs)
 
             cost, g_w2p, g_vec, g_w3p = _fwd_bwd_paired(
                 obig[:], p_w2[:].astype(jnp.bfloat16),
                 p_w3[:].astype(jnp.bfloat16), xin_bf, y, bmask,
                 lane2, lane3p, bias_lane_p, first_half,
-                s_a1, s_a2, s_a3, s_gvec, inv_b, inv_n, C, s)
+                s_a1, s_a2, s_a3, s_gvec, inv_b, inv_n, C, s,
+                n_inputs)
 
             eta_p = _normal_3d((Cp, 4 * s, 2 * s))
             eta_w2 = eta_p[:, 0:2 * s, :]
@@ -2382,7 +2384,7 @@ def fused_bnn_multistep_sgld(
     As :func:`fused_bnn_multistep` but with the momentum-free SGLD
     update; returns ``(theta', cost)`` (cost of the final step).
     1-input family, both slot layouts.  ``pair_dots`` as in
-    :func:`fused_bnn_multistep` (64-slot / 1-input / even blocks).
+    :func:`fused_bnn_multistep` (64-slot layout / even blocks).
     """
     tbig, tw3 = theta
     n_chains = tbig.shape[0]
@@ -2427,7 +2429,7 @@ def fused_bnn_multistep_sgld(
     if pair_dots:
         kernel = _make_multistep_kernel_sgld_paired(
             float(batch_size), float(n_data), block_chains, n_windows,
-            int(k_steps))
+            int(k_steps), n_inputs)
     else:
         kernel = _make_multistep_kernel_sgld(
             float(batch_size), float(n_data), block_chains, n_windows,
@@ -2448,7 +2450,8 @@ def fused_bnn_multistep_sgld(
 
 
 def _make_multistep_kernel_sgnht_paired(batch_size, n_data, block_chains,
-                                        n_windows, k_steps, h):
+                                        n_windows, k_steps, h,
+                                        n_inputs=1):
     """Paired-dot SGNHT multi-step kernel.
 
     As :func:`_make_multistep_kernel_paired` but with the Nosé-Hoover
@@ -2459,7 +2462,7 @@ def _make_multistep_kernel_sgnht_paired(batch_size, n_data, block_chains,
     The per-chain kinetic-energy reduction sums each chain's own
     diagonal block (row halves of the paired slab), and the thermostat
     multiplies the momentum through a row-half broadcast of each
-    chain's xi.  SGNHT / 1-input / 64-slot layout only.
+    chain's xi.  SGNHT / 64-slot layout.
     """
     inv_b = 1.0 / batch_size
     inv_n = 1.0 / n_data
@@ -2510,17 +2513,18 @@ def _make_multistep_kernel_sgnht_paired(batch_size, n_data, block_chains,
             same_block & ((rr < h) | (rr == BIAS_ROW)) & (ll < h)
         ).astype(jnp.float32)
         row_first_half = rowm < s
-        _, vec_valid = _psgld_valid_masks(C, 1, h, s, BIAS_ROW)
+        _, vec_valid = _psgld_valid_masks(C, n_inputs, h, s, BIAS_ROW)
 
         def body(t, carry):
             xin_bf, y = _select_window_bf(
-                C, n_windows, win_iota, xw_ref, yw_ref, 1)
+                C, n_windows, win_iota, xw_ref, yw_ref, n_inputs)
 
             cost, g_w2p, g_vec, g_w3p = _fwd_bwd_paired(
                 obig[:], p_w2[:].astype(jnp.bfloat16),
                 p_w3[:].astype(jnp.bfloat16), xin_bf, y, bmask,
                 lane2, lane3p, bias_lane_p, first_half,
-                s_a1, s_a2, s_a3, s_gvec, inv_b, inv_n, C, s)
+                s_a1, s_a2, s_a3, s_gvec, inv_b, inv_n, C, s,
+                n_inputs)
 
             eta_p = _normal_3d((Cp, 4 * s, 2 * s))
             eta_w2 = eta_p[:, 0:2 * s, :]
@@ -2755,7 +2759,7 @@ def fused_bnn_multistep_sgnht(
     if pair_dots:
         kernel = _make_multistep_kernel_sgnht_paired(
             float(batch_size), float(n_data), block_chains, n_windows,
-            int(k_steps), int(h))
+            int(k_steps), int(h), n_inputs)
     else:
         kernel = _make_multistep_kernel_sgnht(
             float(batch_size), float(n_data), block_chains, n_windows,
@@ -2939,7 +2943,7 @@ def _make_multistep_kernel_rsghmc(batch_size, n_data, block_chains,
 
 def _make_multistep_kernel_masked_paired(batch_size, n_data, block_chains,
                                          n_windows, k_steps, h,
-                                         make_update):
+                                         make_update, n_inputs=1):
     """Shared paired-dot multi-step skeleton for the masked family
     (pSGLD / RSGHMC).
 
@@ -2950,7 +2954,7 @@ def _make_multistep_kernel_masked_paired(batch_size, n_data, block_chains,
     keeps the dead padding dead and freezes cross-chain cells at zero.
     ``make_update(float_ref)`` unpacks the prefetched scalars and
     returns the per-slab ``update(theta, v, grad, eta, valid) ->
-    (theta', v')`` rule.  1-input / 64-slot layout only.
+    (theta', v')`` rule.  64-slot layout.
     """
     inv_b = 1.0 / batch_size
     inv_n = 1.0 / n_data
@@ -2994,17 +2998,18 @@ def _make_multistep_kernel_masked_paired(batch_size, n_data, block_chains,
         mat_valid_p = (
             same_block & ((rr < h) | (rr == BIAS_ROW)) & (ll < h)
         ).astype(jnp.float32)
-        _, vec_valid = _psgld_valid_masks(C, 1, h, s, BIAS_ROW)
+        _, vec_valid = _psgld_valid_masks(C, n_inputs, h, s, BIAS_ROW)
 
         def body(t, carry):
             xin_bf, y = _select_window_bf(
-                C, n_windows, win_iota, xw_ref, yw_ref, 1)
+                C, n_windows, win_iota, xw_ref, yw_ref, n_inputs)
 
             cost, g_w2p, g_vec, g_w3p = _fwd_bwd_paired(
                 obig[:], p_w2[:].astype(jnp.bfloat16),
                 p_w3[:].astype(jnp.bfloat16), xin_bf, y, bmask,
                 lane2, lane3p, bias_lane_p, first_half,
-                s_a1, s_a2, s_a3, s_gvec, inv_b, inv_n, C, s)
+                s_a1, s_a2, s_a3, s_gvec, inv_b, inv_n, C, s,
+                n_inputs)
 
             eta_p = _normal_3d((Cp, 4 * s, 2 * s))
             eta_vec = _normal_3d((C, VEC_ROWS, s))
@@ -3172,7 +3177,8 @@ def fused_bnn_multistep_psgld(
     if pair_dots:
         kernel = _make_multistep_kernel_masked_paired(
             float(batch_size), float(n_data), block_chains,
-            n_windows, int(k_steps), int(h), _psgld_paired_update)
+            n_windows, int(k_steps), int(h), _psgld_paired_update,
+            n_inputs)
     else:
         kernel = _make_multistep_kernel_psgld(
             float(batch_size), float(n_data), block_chains,
@@ -3231,7 +3237,8 @@ def fused_bnn_multistep_rsghmc(
     if pair_dots:
         kernel = _make_multistep_kernel_masked_paired(
             float(batch_size), float(n_data), block_chains,
-            n_windows, int(k_steps), int(h), _rsghmc_paired_update)
+            n_windows, int(k_steps), int(h), _rsghmc_paired_update,
+            n_inputs)
     else:
         kernel = _make_multistep_kernel_rsghmc(
             float(batch_size), float(n_data), block_chains,
@@ -3420,7 +3427,7 @@ def _make_multistep_kernel_burnin(batch_size, n_data, block_chains,
 
 def _make_multistep_kernel_burnin_paired(batch_size, n_data, block_chains,
                                          n_windows, k_steps, h,
-                                         with_momentum=True):
+                                         with_momentum=True, n_inputs=1):
     """Paired-dot variant of :func:`_make_multistep_kernel_burnin`.
 
     The W2/W3 slabs of EVERY burn-in state — theta, momentum, the
@@ -3507,17 +3514,18 @@ def _make_multistep_kernel_burnin_paired(batch_size, n_data, block_chains,
         mat_valid_p = (
             same_block & ((rr < h) | (rr == BIAS_ROW)) & (ll < h)
         ).astype(jnp.float32)
-        _, vec_valid = _psgld_valid_masks(C, 1, h, s, BIAS_ROW)
+        _, vec_valid = _psgld_valid_masks(C, n_inputs, h, s, BIAS_ROW)
 
         def body(t, carry):
             xin_bf, y = _select_window_bf(
-                C, n_windows, win_iota, xw_ref, yw_ref, 1)
+                C, n_windows, win_iota, xw_ref, yw_ref, n_inputs)
 
             cost, g_w2p, g_vec, g_w3p = _fwd_bwd_paired(
                 obig[:], p_w2[:].astype(jnp.bfloat16),
                 p_w3[:].astype(jnp.bfloat16), xin_bf, y, bmask,
                 lane2, lane3p, bias_lane_p, first_half,
-                s_a1, s_a2, s_a3, s_gvec, inv_b, inv_n, C, s)
+                s_a1, s_a2, s_a3, s_gvec, inv_b, inv_n, C, s,
+                n_inputs)
 
             eta_p = _normal_3d((Cp, 4 * s, 2 * s))
             eta_vec = _normal_3d((C, VEC_ROWS, s))
@@ -3670,7 +3678,8 @@ def fused_bnn_multistep_burnin(
     if pair_dots:
         kernel = _make_multistep_kernel_burnin_paired(
             float(batch_size), float(n_data), block_chains, n_windows,
-            int(k_steps), int(h), with_momentum=True)
+            int(k_steps), int(h), with_momentum=True,
+            n_inputs=n_inputs)
     else:
         kernel = _make_multistep_kernel_burnin(
             float(batch_size), float(n_data), block_chains, n_windows,
@@ -3762,7 +3771,8 @@ def fused_bnn_multistep_burnin_sgld(
     if pair_dots:
         kernel = _make_multistep_kernel_burnin_paired(
             float(batch_size), float(n_data), block_chains, n_windows,
-            int(k_steps), int(h), with_momentum=False)
+            int(k_steps), int(h), with_momentum=False,
+            n_inputs=n_inputs)
     else:
         kernel = _make_multistep_kernel_burnin(
             float(batch_size), float(n_data), block_chains, n_windows,

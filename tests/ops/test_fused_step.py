@@ -1405,3 +1405,39 @@ def test_multistep_burnin_paired_matches_unpaired(kind):
         np.asarray(l).ravel()
         for l in jax.tree_util.tree_leaves(out_p.stats.tau)])
     assert np.isfinite(tau).all() and (tau >= 1.0).all()
+
+
+def test_multi_input_paired_matches_unpaired():
+    """n_inputs=3 paired == unpaired (bitwise, interpret mode): the
+    paired layer-1 block-diagonal operand widens to 2*(n_inputs+1)
+    lanes and the w1 gradient unpair follows; everything else is the
+    1-input paired path."""
+    from pysgmcmc_tpu.ops.fused_step import fused_bnn_multistep
+
+    k, h, n = 3, 50, 2
+    rng = np.random.RandomState(0)
+    x = rng.uniform(0.0, 1.0, (100, k)).astype(np.float32)
+    y = np.sin(x.sum(axis=1, keepdims=True)).astype(np.float32)
+    from pysgmcmc_tpu.models.architectures import dense_network
+
+    init_fn, _ = dense_network(k, units=(h, h, h))
+    params = jax.vmap(init_fn)(jax.random.split(jax.random.PRNGKey(0), n))
+    theta = pack_fused(params)
+    v = tuple(jnp.zeros_like(t) for t in theta)
+    minv = tuple((jnp.abs(t) > 0).astype(jnp.float32) for t in theta)
+    x_win, y_win = data_windows(x, y, 20)
+
+    outs = {}
+    for paired in (False, True):
+        outs[paired] = fused_bnn_multistep(
+            theta, v, minv, x_win, y_win, 1e-3, 7,
+            scale_grad=100.0, batch_size=20, n_data=100, block_chains=n,
+            state_dtype=jnp.float32, k_steps=3, pair_dots=paired,
+            interpret=True)
+    (t_u, v_u, c_u), (t_p, v_p, c_p) = outs[False], outs[True]
+    np.testing.assert_array_equal(np.asarray(c_u), np.asarray(c_p))
+    for i in range(2):
+        np.testing.assert_array_equal(
+            np.asarray(t_u[i]), np.asarray(t_p[i]), err_msg="theta %d" % i)
+        np.testing.assert_array_equal(
+            np.asarray(v_u[i]), np.asarray(v_p[i]), err_msg="v %d" % i)
