@@ -70,9 +70,31 @@ MUTANTS = [
         "return jnp.sqrt(x)",
         ["tests/test_doctests.py::test_doctests[pysgmcmc_tpu.utils.numeric]"],
     ),
+    (
+        # paired-dot kernels: unpack the WRONG diagonal block for odd
+        # chains (reads the zero off-diagonal block instead) -- the
+        # bitwise paired-vs-unpaired parity pin must catch it
+        "paired-unpair-wrong-block",
+        "pysgmcmc_tpu/ops/fused_step.py",
+        "return jnp.stack([m[:, 0:s, 0:s], m[:, s:2 * s, s:2 * s]],\n"
+        "                     axis=1).reshape(c, s, s)",
+        "return jnp.stack([m[:, 0:s, 0:s], m[:, 0:s, s:2 * s]],\n"
+        "                     axis=1).reshape(c, s, s)",
+        ["tests/ops/test_fused_step.py::"
+         "test_multistep_paired_matches_unpaired[sghmc]"],
+    ),
+    (
+        # paired-dot kernels: swap the two chains' w4 gradient halves
+        "paired-gw4-swapped-halves",
+        "pysgmcmc_tpu/ops/fused_step.py",
+        "[g_w4p[:, 0:s], g_w4p[:, s:2 * s]], axis=1).reshape(C, s)",
+        "[g_w4p[:, s:2 * s], g_w4p[:, 0:s]], axis=1).reshape(C, s)",
+        ["tests/ops/test_fused_step.py::"
+         "test_multistep_paired_matches_unpaired[sghmc]"],
+    ),
 ]
 
-COPY = ["pysgmcmc_tpu", "tests", "pytest.ini"]
+COPY = ["pysgmcmc_tpu", "tests", "pytest.ini", "bench.py"]
 
 
 def run_tests(tree, tests):

@@ -5,6 +5,7 @@ Pallas call) must reproduce the pytree sampler's step on the dense BNN —
 same minibatch, same injected noise — up to bfloat16 matmul rounding.
 """
 
+import os
 import sys
 
 import jax
@@ -12,7 +13,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-sys.path.insert(0, "/root/repo")
+# repo root (for `import bench`) relative to THIS file, so the
+# mutation harness's copied trees test their own package, not
+# the original checkout
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
 
 from pysgmcmc_tpu.ops.fused_step import (  # noqa: E402
     B_PAD,

@@ -5,6 +5,7 @@ tests exercise its workload builder and one tiny measured run on CPU so
 API drift cannot silently break the benchmark (or the graft entry points).
 """
 
+import os
 import sys
 
 import jax
@@ -14,7 +15,10 @@ import pytest
 pytestmark = pytest.mark.slow
 
 
-sys.path.insert(0, "/root/repo")
+# repo root (for `import bench`) relative to THIS file, so the
+# mutation harness's copied trees test their own package, not
+# the original checkout
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def test_bench_workload_tiny_run():
