@@ -40,6 +40,10 @@ if [ "$MODE" = "full" ]; then
     python -m pytest tests/ -q
     make examples
     make figures
+elif [ "$MODE" = "cov" ]; then
+    # fast lane + statement coverage (the reference CI's --cov analog,
+    # pysgmcmc/pytest.ini:2; implemented on sys.monitoring — ci/coverage.py)
+    PYSGMCMC_COVERAGE=1 python -m pytest tests/ -q -m "not slow"
 else
     python -m pytest tests/ -q -m "not slow" --durations=10
 fi

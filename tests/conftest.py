@@ -11,6 +11,27 @@ importing jax, before any backend is initialized.
 """
 
 import os
+import sys
+
+if os.environ.get("PYSGMCMC_COVERAGE"):
+    # Statement coverage via ci/coverage.py (the reference CI's --cov
+    # analog; see that module's docstring).  Started before any
+    # pysgmcmc_tpu import so import-time lines count.
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "ci"))
+    import coverage as _pysgmcmc_coverage
+
+    _pysgmcmc_coverage.start(
+        os.path.join(os.path.dirname(__file__), "..", "pysgmcmc_tpu")
+    )
+
+    def pytest_sessionfinish(session, exitstatus):
+        results = _pysgmcmc_coverage.collect(
+            os.path.join(os.path.dirname(__file__), "..", "pysgmcmc_tpu")
+        )
+        out = os.environ.get("PYSGMCMC_COVERAGE_JSON", ".coverage.json")
+        _pysgmcmc_coverage.write_json(results, out)
+        _pysgmcmc_coverage.report(results)
+
 
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
