@@ -3,13 +3,18 @@
 
 PYTEST ?= python -m pytest
 
-.PHONY: test test-fast examples docs figures bench mutation clean
+.PHONY: test test-fast coverage examples docs figures bench mutation clean
 
 test:
 	$(PYTEST) tests/ -q
 
 test-fast:
 	$(PYTEST) tests/ -q -x -m "not slow"
+
+# Statement coverage (the reference CI's --cov, pysgmcmc/pytest.ini:2),
+# implemented dependency-free on sys.monitoring — see ci/coverage.py.
+coverage:
+	bash ci/run_tests.sh cov
 
 # Executable documentation (the reference runs its notebooks via nbval;
 # ci/run_tests.sh full mode runs this target).
