@@ -1,0 +1,81 @@
+"""The reference-parity *from-sampler* diagnostics entry points
+(``effective_sample_sizes`` / ``gelman_rubin_from_sampler``, mirroring
+``/root/reference/pysgmcmc/diagnostics/sampler_diagnostics.py:47-194``)
+and the pytree dispatch of the direct estimators had no direct tests
+(coverage-lane finding)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pysgmcmc_tpu.diagnostics.sampler_diagnostics import (
+    effective_sample_size,
+    effective_sample_size_bulk,
+    effective_sample_sizes,
+    gelman_rubin,
+    gelman_rubin_from_sampler,
+    gelman_rubin_split,
+)
+from pysgmcmc_tpu.samplers.sgld import SGLDSampler
+
+
+def _quadratic_cost(params):
+    return 0.5 * (
+        jnp.sum(params["x"] ** 2) + jnp.sum(params["b"] ** 2)
+    )
+
+
+def _sampler():
+    return SGLDSampler(
+        _quadratic_cost, stepsize_schedule=0.05, burn_in_steps=10
+    )
+
+
+INITIAL = {"x": jnp.zeros((3,)), "b": jnp.zeros(())}
+
+
+def test_effective_sample_sizes_from_sampler_pytree():
+    ess = effective_sample_sizes(
+        _sampler(), INITIAL, key=0, n_chains=2, samples_per_chain=200,
+        keep_every=2,
+    )
+    assert set(ess) == {"x", "b"}
+    assert ess["x"].shape == (3,)
+    assert ess["b"].shape == ()
+    total = 2 * 200
+    assert bool((np.asarray(ess["x"]) > 0.0).all())
+    assert bool((np.asarray(ess["x"]) <= total).all())
+    assert 0.0 < float(ess["b"]) <= total
+
+
+def test_gelman_rubin_from_sampler_pytree():
+    r_hat = gelman_rubin_from_sampler(
+        _sampler(), INITIAL, key=1, n_chains=4, samples_per_chain=300,
+        keep_every=2,
+    )
+    assert set(r_hat) == {"x", "b"}
+    # stationary well-mixed chains: R_hat near 1
+    assert bool((np.asarray(r_hat["x"]) > 0.8).all())
+    assert bool((np.asarray(r_hat["x"]) < 1.3).all())
+    assert 0.8 < float(r_hat["b"]) < 1.3
+
+
+def test_direct_estimators_dispatch_over_pytrees():
+    key = jax.random.PRNGKey(3)
+    chains = {
+        "x": jax.random.normal(key, (2, 400, 3)),
+        "b": jax.random.normal(jax.random.fold_in(key, 1), (2, 400)),
+    }
+    for fn in (effective_sample_size, effective_sample_size_bulk,
+               gelman_rubin, gelman_rubin_split):
+        out = fn(chains)
+        assert set(out) == {"x", "b"}
+        assert out["x"].shape == (3,)
+        assert out["b"].shape == ()
+
+
+def test_single_chain_ess_runs():
+    # m == 1: the between-chain variance term is zero by definition
+    chains = jax.random.normal(jax.random.PRNGKey(5), (1, 500))
+    ess = effective_sample_size(chains)
+    assert 0.0 < float(ess) <= 500.0

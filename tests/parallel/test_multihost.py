@@ -78,3 +78,94 @@ def test_initialize_multihost_single_process_noop():
     initialize_multihost()
     initialize_multihost()  # idempotent
     assert jax.process_count() == 1
+
+
+#  Cluster-mode branches, simulated by stubbing jax.distributed.initialize
+#  (a real coordinator barrier needs multiple processes).  These pin the
+#  behavior that matters operationally: explicit cluster args NEVER
+#  degrade silently into a single-process run.
+
+
+@pytest.fixture
+def _fresh_multihost_state(monkeypatch):
+    from pysgmcmc_tpu.parallel import mesh as mesh_mod
+
+    monkeypatch.setattr(mesh_mod, "_DISTRIBUTED_INITIALIZED", False)
+    for var in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                "JAX_NUM_PROCESSES", "TPU_WORKER_HOSTNAMES"):
+        monkeypatch.delenv(var, raising=False)
+    return mesh_mod
+
+
+def test_initialize_multihost_explicit_args_forwarded(
+        _fresh_multihost_state, monkeypatch):
+    mesh_mod = _fresh_multihost_state
+    calls = []
+    monkeypatch.setattr(
+        jax.distributed, "initialize",
+        lambda **kw: calls.append(kw))
+    initialize_multihost(
+        coordinator_address="10.0.0.1:1234", num_processes=4, process_id=2)
+    assert calls == [dict(
+        coordinator_address="10.0.0.1:1234", num_processes=4, process_id=2)]
+    assert mesh_mod._DISTRIBUTED_INITIALIZED
+
+
+def test_initialize_multihost_explicit_failure_raises(
+        _fresh_multihost_state, monkeypatch):
+    def boom(**kw):
+        raise RuntimeError(
+            "jax.distributed.initialize() must be called before "
+            "the backend is initialized")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    # an explicit cluster request must NOT silently proceed standalone
+    with pytest.raises(RuntimeError):
+        initialize_multihost(
+            coordinator_address="10.0.0.1:1234", num_processes=4,
+            process_id=0)
+
+
+def test_initialize_multihost_already_initialized_ok(
+        _fresh_multihost_state, monkeypatch):
+    mesh_mod = _fresh_multihost_state
+
+    def already(**kw):
+        raise RuntimeError("distributed runtime already initialized")
+
+    monkeypatch.setattr(jax.distributed, "initialize", already)
+    initialize_multihost(
+        coordinator_address="10.0.0.1:1234", num_processes=4, process_id=0)
+    assert mesh_mod._DISTRIBUTED_INITIALIZED
+
+
+def test_initialize_multihost_autodetect_requires_cluster_env(
+        _fresh_multihost_state, monkeypatch):
+    calls = []
+    monkeypatch.setattr(
+        jax.distributed, "initialize", lambda **kw: calls.append(kw))
+    initialize_multihost()  # no cluster advertised: never touches JAX
+    assert calls == []
+
+    # a single-worker TPU plugin hostname is not a cluster either
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    initialize_multihost()
+    assert calls == []
+
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host-a,host-b")
+    initialize_multihost()
+    assert len(calls) == 1
+
+
+def test_initialize_multihost_autodetect_failure_warns_not_raises(
+        _fresh_multihost_state, monkeypatch, caplog):
+    import logging
+
+    def boom(**kw):
+        raise RuntimeError("coordinator unreachable")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+    with caplog.at_level(logging.WARNING):
+        initialize_multihost()  # best-effort, but loudly
+    assert any("single-process" in r.getMessage() for r in caplog.records)
