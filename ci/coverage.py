@@ -64,7 +64,9 @@ def executable_lines(path):
     while stack:
         code = stack.pop()
         for _, _, lineno in code.co_lines():
-            if lineno is not None:
+            # lineno 0 is the synthetic module-level RESUME in 3.12,
+            # not a source statement
+            if lineno:
                 lines.add(lineno)
         for const in code.co_consts:
             if isinstance(const, types.CodeType):
