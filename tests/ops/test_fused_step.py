@@ -1445,3 +1445,86 @@ def test_multi_input_paired_matches_unpaired():
             np.asarray(t_u[i]), np.asarray(t_p[i]), err_msg="theta %d" % i)
         np.testing.assert_array_equal(
             np.asarray(v_u[i]), np.asarray(v_p[i]), err_msg="v %d" % i)
+
+
+@pytest.mark.slow
+def test_per_step_paired_matches_unpaired():
+    """fused_bnn_step(pair_dots=True) == pair_dots=False, bitwise.
+
+    The round-2 PER-STEP paired kernel (measured negative on chip,
+    kept flag-gated; docs/performance.md) must stay correct: in
+    interpret mode the in-kernel PRNG returns zero bits, so the only
+    difference is the block-diagonal dot formulation whose off-diagonal
+    blocks are exact zeros.
+    """
+    n = 4
+    sampler, positions, _ = _workload(n)
+    rng = np.random.RandomState(0)
+    x = rng.uniform(0.0, 1.0, (100, 1)).astype(np.float32)
+    from pysgmcmc_tpu.diagnostics.objective_functions import sinc
+
+    y = np.asarray(sinc(x), np.float32)
+    from pysgmcmc_tpu.data_batches import batch_fn as make_batch_fn
+
+    select = make_batch_fn(jnp.asarray(x), jnp.asarray(y), 20)
+
+    def one(p, ck):
+        k1, k2 = jax.random.split(ck)
+        st = sampler.init(p, k1)
+        st, _ = sample_chain(
+            sampler, st, k2, 1, batch_fn=select,
+            keep_every=sampler.burn_in_steps, collect_costs=False,
+            phase="burn_in")
+        return st
+
+    states = jax.vmap(one)(
+        positions, jax.random.split(jax.random.PRNGKey(1), n))
+
+    x_win, y_win = data_windows(x, y, 20)
+    x_sel, y_sel = gather_batch(
+        x_win, y_win, jnp.asarray([0, 3, 80, 41], jnp.int32))
+    theta = pack_fused(states.position)
+    v = pack_fused(states.momentum)
+    minv = pack_fused(states.stats.minv)
+    eps = float(np.sqrt(1e-4))
+
+    outs = {}
+    for paired in (False, True):
+        outs[paired] = fused_bnn_step(
+            theta, v, minv, x_sel, y_sel, eps, 0,
+            mdecay=sampler.mdecay, scale_grad=sampler.scale_grad,
+            prior_scale=sampler.gaussian_prior_scale,
+            batch_size=20, n_data=100, block_chains=n,
+            state_dtype=jnp.float32, pair_dots=paired, interpret=True,
+        )
+    (t_u, v_u, c_u), (t_p, v_p, c_p) = outs[False], outs[True]
+    np.testing.assert_array_equal(np.asarray(c_u), np.asarray(c_p))
+    for i in range(2):
+        np.testing.assert_array_equal(
+            np.asarray(t_u[i]), np.asarray(t_p[i]), err_msg="theta %d" % i)
+        np.testing.assert_array_equal(
+            np.asarray(v_u[i]), np.asarray(v_p[i]), err_msg="v %d" % i)
+
+
+def test_per_step_paired_guards():
+    """The per-step pair_dots flag validates its configuration."""
+    n = 2
+    sampler, positions, _ = _workload(n)
+    states = jax.vmap(sampler.init)(
+        positions, jax.random.split(jax.random.PRNGKey(0), n))
+    theta = pack_fused(states.position)
+    v = pack_fused(states.momentum)
+    minv = pack_fused(states.stats.minv)
+    x_sel = jnp.zeros((n, 24, 1), jnp.float32)
+    y_sel = jnp.zeros((n, 24), jnp.float32)
+    eta = pack_fused(states.position)
+
+    with pytest.raises(ValueError, match="even"):
+        fused_bnn_step(
+            theta, v, minv, x_sel, y_sel, 1e-2, 0, batch_size=20,
+            n_data=100, block_chains=1, pair_dots=True, interpret=True)
+    with pytest.raises(ValueError, match="noise"):
+        fused_bnn_step(
+            theta, v, minv, x_sel, y_sel, 1e-2, 0, batch_size=20,
+            n_data=100, block_chains=n, pair_dots=True, noise=eta,
+            interpret=True)
