@@ -21,6 +21,8 @@ import time
 
 faulthandler.dump_traceback_later(1200, repeat=True, exit=False)
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -35,6 +37,14 @@ from pysgmcmc_tpu.parallel.packed import (  # noqa: E402
 
 N = 8192
 STEPS = 200
+BLOCK = 32
+INTERPRET = False
+BACKEND = "pallas"
+
+# CPU smoke mode: tiny scale + interpret/xla kernels validate the whole
+# script before chip time is spent on it.
+if os.environ.get("PYSGMCMC_BENCH_SMOKE"):
+    N, STEPS, BLOCK, INTERPRET, BACKEND = 4, 20, 4, True, "xla"
 
 
 def timeit(fn, *args, repeats=3):
@@ -61,7 +71,7 @@ def main():
     # --- lanes burn-in kernel (per-step launch; round-3 baseline) -------
     lanes = jax.jit(lambda s, k: burnin_chain_lanes(
         sampler, s, k, STEPS, batch_fn=select_batch,
-        compute_dtype=jnp.bfloat16, backend="pallas",
+        compute_dtype=jnp.bfloat16, backend=BACKEND,
         state_dtype=jnp.float32))
     out_l, dt = timeit(lanes, states0, jax.random.PRNGKey(1))
     results["burnin_lanes_ms_per_step"] = dt / STEPS * 1e3
@@ -70,8 +80,8 @@ def main():
     # --- multi-step fused burn-in (ONE launch, VMEM-resident) -----------
     for tag, sdt in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
         fused = jax.jit(lambda s, k, _sdt=sdt: burnin_chain_fused(
-            sampler, s, k, STEPS, x, y, batch_size=20, block_chains=32,
-            state_dtype=_sdt))
+            sampler, s, k, STEPS, x, y, batch_size=20, block_chains=BLOCK,
+            state_dtype=_sdt, interpret=INTERPRET))
         out_f, dt = timeit(fused, states0, jax.random.PRNGKey(2))
         results["burnin_multistep_%s_ms_per_step" % tag] = (
             dt / STEPS * 1e3)
@@ -95,9 +105,10 @@ def main():
     results["log_minv_corr_fused_vs_lanes"] = corr
     print("log-minv correlation fused vs lanes: %.4f" % corr, flush=True)
 
-    with open("/root/repo/benchmarks/results_burnin_multistep.json",
-              "w") as f:
-        json.dump(results, f, indent=2)
+    if not os.environ.get("PYSGMCMC_BENCH_SMOKE"):
+        with open("/root/repo/benchmarks/results_burnin_multistep.json",
+                  "w") as f:
+            json.dump(results, f, indent=2)
     print(json.dumps(results))
 
 

@@ -15,6 +15,7 @@ Run ON THE CHIP (no JAX_PLATFORMS override):
 
 import faulthandler
 import json
+import os
 import sys
 import time
 
@@ -36,6 +37,15 @@ def main():
     burn_in_steps = 3000
     scan_steps = 200
     repeats = 3
+    block_chains = 32
+    interpret = False
+
+    # CPU smoke mode: tiny scale + interpret-mode kernels, so the whole
+    # script (burn-in, both A/Bs, timing glue) is validated before any
+    # chip time is spent on it.
+    if os.environ.get("PYSGMCMC_BENCH_SMOKE"):
+        n_chains, burn_in_steps, scan_steps, repeats = 4, 20, 2, 1
+        block_chains, interpret = 4, True
 
     sampler, positions, select_batch, (x_data, y_data) = build_workload(
         n_chains, network="dense", return_data=True)
@@ -59,9 +69,10 @@ def main():
         def scan(states, key):
             states, _, costs = sample_chain_fused(
                 sampler, states, key, 1, x_data, y_data,
-                batch_size=20, keep_every=scan_steps, block_chains=32,
-                state_dtype=jnp.bfloat16, collect_positions=False,
-                multistep=True, pair_dots=pair_dots,
+                batch_size=20, keep_every=scan_steps,
+                block_chains=block_chains, state_dtype=jnp.bfloat16,
+                collect_positions=False, multistep=True,
+                pair_dots=pair_dots, interpret=interpret,
             )
             return states, costs
         return scan
@@ -80,8 +91,8 @@ def main():
                             ("burn-in multi-step paired", True)):
         bfn = jax.jit(lambda s, k, p=pair_dots: burnin_chain_fused(
             sampler, s, k, scan_steps, x_data, y_data,
-            batch_size=20, block_chains=32, state_dtype=jnp.bfloat16,
-            pair_dots=p))
+            batch_size=20, block_chains=block_chains,
+            state_dtype=jnp.bfloat16, pair_dots=p, interpret=interpret))
         st = bfn(fresh, jax.random.PRNGKey(10))
         jax.block_until_ready(st)
         elapsed = []

@@ -13,6 +13,7 @@ Run ON THE CHIP (no JAX_PLATFORMS override):
 
 import faulthandler
 import json
+import os
 import sys
 import time
 
@@ -35,12 +36,21 @@ from pysgmcmc_tpu.samplers.sgld import SGLDSampler  # noqa: E402
 from pysgmcmc_tpu.samplers.sgnht import SGNHTSampler  # noqa: E402
 
 n_chains, scan_steps = 8192, 200
+block_chains, interpret, n_repeats = 32, False, 3
+
+# CPU smoke mode: tiny scale + interpret kernels validate the whole
+# script before chip time is spent on it.
+if os.environ.get("PYSGMCMC_BENCH_SMOKE"):
+    n_chains, scan_steps = 4, 2
+    block_chains, interpret, n_repeats = 4, True, 1
 
 
 def measure(name, sampler, state_dtype, positions, select_batch, x, y):
     # adaptive samplers (SGHMC/SGLD) warm through their full burn-in so
     # minv is frozen; the rest just spin up their accumulators
     warm_steps = getattr(sampler, "burn_in_steps", 0) or 500
+    if os.environ.get("PYSGMCMC_BENCH_SMOKE"):
+        warm_steps = 10
 
     @jax.jit
     def warm(positions, key):
@@ -60,9 +70,9 @@ def measure(name, sampler, state_dtype, positions, select_batch, x, y):
         def f(states, key):
             states, _, costs = sample_chain_fused(
                 sampler, states, key, 1, x, y, batch_size=20,
-                keep_every=scan_steps, block_chains=32,
+                keep_every=scan_steps, block_chains=block_chains,
                 state_dtype=state_dtype, collect_positions=False,
-                multistep=True, pair_dots=paired)
+                multistep=True, pair_dots=paired, interpret=interpret)
             return states, costs
 
         t0 = time.perf_counter()
@@ -72,7 +82,7 @@ def measure(name, sampler, state_dtype, positions, select_batch, x, y):
             name, paired, time.perf_counter() - t0), flush=True)
         assert np.isfinite(np.asarray(out[1])).all(), (name, paired)
         best = float("inf")
-        for i in range(3):
+        for i in range(n_repeats):
             t0 = time.perf_counter()
             out = f(states, jax.random.PRNGKey(2 + i))
             jax.block_until_ready(out[1])
