@@ -1528,3 +1528,48 @@ def test_per_step_paired_guards():
             theta, v, minv, x_sel, y_sel, 1e-2, 0, batch_size=20,
             n_data=100, block_chains=n, pair_dots=True, noise=eta,
             interpret=True)
+
+
+def test_fused_config_guards():
+    """The small configuration guards raise precisely."""
+    from pysgmcmc_tpu.ops.fused_step import (
+        MAX_INPUTS,
+        _vec_rows,
+        data_windows,
+        fused_bnn_multistep,
+    )
+
+    with pytest.raises(ValueError, match="input features"):
+        _vec_rows(0)
+    with pytest.raises(ValueError, match="input features"):
+        _vec_rows(MAX_INPUTS + 1)
+    # every admitted width keeps the scal row clear of the cost row
+    # (the round-2 advisor's n_inputs == MAX_INPUTS collision)
+    for k in range(1, MAX_INPUTS + 1):
+        _, _, row_scal = _vec_rows(k)
+        from pysgmcmc_tpu.ops.fused_step import S, VEC_ROWS
+        assert row_scal < S + VEC_ROWS - 1
+
+    with pytest.raises(ValueError, match="batch rows"):
+        data_windows(np.zeros((100, 1)), np.zeros(100), batch_size=25)
+
+    # multistep driver: chain/block divisibility and wide-slot pair_dots
+    sampler, positions, _ = _workload(2)
+    states = jax.vmap(sampler.init)(
+        positions, jax.random.split(jax.random.PRNGKey(0), 2))
+    theta = pack_fused(states.position)
+    v = pack_fused(states.momentum)
+    minv = pack_fused(states.stats.minv)
+    x_win, y_win = data_windows(
+        np.zeros((100, 1), np.float32), np.zeros(100, np.float32), 20)
+    with pytest.raises(ValueError, match="divisible"):
+        fused_bnn_multistep(
+            theta, v, minv, x_win, y_win, 1e-2, 0, batch_size=20,
+            n_data=100, block_chains=4, k_steps=2, interpret=True)
+
+    with pytest.raises(ValueError, match="n_inputs=1"):
+        fused_bnn_step(
+            theta, v, minv,
+            jnp.zeros((2, 24, 2), jnp.float32), jnp.zeros((2, 24)),
+            1e-2, 0, batch_size=20, n_data=100, block_chains=2,
+            pair_dots=True, n_inputs=2, interpret=True)
