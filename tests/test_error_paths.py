@@ -142,3 +142,45 @@ def test_dense_network_multi_input_apply():
     out = apply_fn(params, jnp.ones((5, 3)))
     assert out.shape == (5, 2)
     assert bool(np.isfinite(np.asarray(out)).all())
+
+
+def test_sample_chain_lanes_driver_validation():
+    from pysgmcmc_tpu.parallel.packed import sample_chain_lanes
+    from pysgmcmc_tpu.samplers.svgd import SVGDSampler
+
+    svgd = SVGDSampler(_cost)
+    state = svgd.init(jnp.zeros((4, 3)), jax.random.PRNGKey(0))
+    with pytest.raises(NotImplementedError, match="SGNHT"):
+        sample_chain_lanes(svgd, state, jax.random.PRNGKey(1), 1)
+
+    sghmc = SGHMCSampler(_cost, burn_in_steps=1)
+    states = jax.vmap(sghmc.init)(
+        jnp.zeros((4, 3)), jax.random.split(jax.random.PRNGKey(2), 4))
+    with pytest.raises(ValueError, match="backend"):
+        sample_chain_lanes(
+            sghmc, states, jax.random.PRNGKey(3), 1, backend="cuda")
+
+
+def test_burnin_chain_fused_rejects_non_adaptive():
+    from pysgmcmc_tpu.parallel.packed import burnin_chain_fused
+    from pysgmcmc_tpu.samplers.sgnht import SGNHTSampler
+
+    sgnht = SGNHTSampler(_cost)
+    states = jax.vmap(sgnht.init)(
+        jnp.zeros((2, 3)), jax.random.split(jax.random.PRNGKey(0), 2))
+    with pytest.raises(NotImplementedError, match="adaptive"):
+        burnin_chain_fused(
+            sgnht, states, jax.random.PRNGKey(1), 2,
+            np.zeros((50, 1), np.float32), np.zeros(50, np.float32))
+
+
+def test_burnin_chain_fused_zero_steps_noop():
+    from pysgmcmc_tpu.parallel.packed import burnin_chain_fused
+
+    sghmc = SGHMCSampler(_cost, burn_in_steps=1)
+    states = jax.vmap(sghmc.init)(
+        jnp.zeros((2, 3)), jax.random.split(jax.random.PRNGKey(0), 2))
+    out = burnin_chain_fused(
+        sghmc, states, jax.random.PRNGKey(1), 0,
+        np.zeros((50, 1), np.float32), np.zeros(50, np.float32))
+    assert out is states
