@@ -1172,10 +1172,17 @@ def _fwd_bwd_paired(big, w2_bf, w3_bf, xin_bf, y, bmask,
     lvb = scal[:, LANE_LVB:LANE_LVB + 1]
 
     def pair_batch(r2):
-        # (C, B) per-batch rows -> (Cp, B, 2s) half-broadcast
+        # (C, B) per-batch rows -> (Cp, B, 2s) half-broadcast.
+        # NOTE: int-index + newaxis (``rr[:, 0, :, None]``) lowers to a
+        # 3-D lax.gather, which Mosaic rejects ("Only 2D gather is
+        # supported"); slice_in_dim keeps it a pure static slice.
         rr = r2.reshape(Cp, 2, B_PAD)
+        half_a = jax.lax.slice_in_dim(rr, 0, 1, axis=1)  # (Cp, 1, B)
+        half_b = jax.lax.slice_in_dim(rr, 1, 2, axis=1)
         return jnp.where(
-            first_half, rr[:, 0, :, None], rr[:, 1, :, None])
+            first_half,
+            half_a.reshape(Cp, B_PAD)[:, :, None],
+            half_b.reshape(Cp, B_PAD)[:, :, None])
 
     xinp = _pair_lanes(xin_bf, Cp)                   # (Cp, B, 2*k1)
 
@@ -1227,10 +1234,21 @@ def _fwd_bwd_paired(big, w2_bf, w3_bf, xin_bf, y, bmask,
     g_b4 = jnp.sum(d_mean, axis=1, keepdims=True)
 
     # ---- backward (paired dots) ----
+    # Lane-fold constant: moves lanes s:2s down to 0:s via one 0/1
+    # selection dot (bitwise-exact).  Mosaic's concatenate rejects
+    # operands with mismatched lane offsets inside the fori_loop body
+    # (the round-3 landmine, docs/performance.md), so the chain-b
+    # halves cannot be lane-sliced and stacked directly.
+    rowp = jax.lax.broadcasted_iota(jnp.int32, (2 * s, s), 0)
+    lanep = jax.lax.broadcasted_iota(jnp.int32, (2 * s, s), 1)
+    p_move = (rowp == lanep + s).astype(jnp.float32)
+
     d_mean_p = pair_batch(d_mean)                    # (Cp, B, 2s)
     g_w4p = jnp.sum(a3f * d_mean_p, axis=1)          # (Cp, 2s)
-    g_w4 = jnp.stack(
-        [g_w4p[:, 0:s], g_w4p[:, s:2 * s]], axis=1).reshape(C, s)
+    g_w4b = jax.lax.dot_general(
+        g_w4p, p_move, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (Cp, s) offset-0
+    g_w4 = jnp.stack([g_w4p[:, 0:s], g_w4b], axis=1).reshape(C, s)
     dz3_bf = (d_mean_p * w4p * (1.0 - a3f * a3f)).astype(bf16)
     g_w3p = _bdot(a2, dz3_bf, (((1,), (1,))))
     da2 = _bdot(dz3_bf, w3_bf, (((2,), (2,))))
@@ -1239,8 +1257,11 @@ def _fwd_bwd_paired(big, w2_bf, w3_bf, xin_bf, y, bmask,
     da1 = _bdot(dz2_bf, w2_bf, (((2,), (2,))))
     dz1_bf = (da1 * (1.0 - a1f * a1f)).astype(bf16)
     g_w1p = _bdot(xinp, dz1_bf, (((1,), (1,))))      # (Cp, 2*k1, 2s)
+    g_w1b3 = jax.lax.dot_general(
+        g_w1p, p_move, (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (Cp, 2k1, s)
     g_w1m = jnp.stack(
-        [g_w1p[:, 0:k1, 0:s], g_w1p[:, k1:2 * k1, s:2 * s]],
+        [g_w1p[:, 0:k1, 0:s], g_w1b3[:, k1:2 * k1, :]],
         axis=1).reshape(C, k1, s)
 
     g_scal = jnp.where(
