@@ -17,6 +17,7 @@ Run ON THE CHIP (no JAX_PLATFORMS override):
         python benchmarks/quad_dot_probe_tpu.py
 """
 
+import functools
 import time
 
 import jax
@@ -75,19 +76,23 @@ def measure(n_pack):
         np.asarray(a[:2], np.float32), np.asarray(w[:2], np.float32))
     err = np.abs(ref - np.asarray(out[:2], np.float32)).max()
 
+    # w must be an ARGUMENT, not a closure: closed-over it becomes a
+    # program constant (up to ~1 GB at depth 512) and the remote
+    # compile request blows the HTTP body limit (413).
     @jax.jit
-    def timed(a):
+    def timed(w, a):
         def step(carry, _):
             return call(w, carry), ()
         a, _ = jax.lax.scan(step, a, None, length=STEPS)
         return a
 
-    r = timed(a)
+    timed_w = functools.partial(timed, w)
+    r = timed_w(a)
     r.block_until_ready()
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        r = timed(a)
+        r = timed_w(a)
         r.block_until_ready()
         best = min(best, time.perf_counter() - t0)
     checksum = float(jnp.sum(r.astype(jnp.float32)))
