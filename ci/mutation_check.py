@@ -85,12 +85,48 @@ MUTANTS = [
     ),
     (
         # paired-dot kernels: swap the two chains' w4 gradient halves
+        # (post-ba55367 form: chain b's half arrives via the p_move
+        # selection dot as g_w4b, chain a's is the 0:s lane slice)
         "paired-gw4-swapped-halves",
         "pysgmcmc_tpu/ops/fused_step.py",
-        "[g_w4p[:, 0:s], g_w4p[:, s:2 * s]], axis=1).reshape(C, s)",
-        "[g_w4p[:, s:2 * s], g_w4p[:, 0:s]], axis=1).reshape(C, s)",
+        "g_w4 = jnp.stack([g_w4p[:, 0:s], g_w4b], axis=1).reshape(C, s)",
+        "g_w4 = jnp.stack([g_w4b, g_w4p[:, 0:s]], axis=1).reshape(C, s)",
         ["tests/ops/test_fused_step.py::"
          "test_multistep_paired_matches_unpaired[sghmc]"],
+    ),
+    (
+        # multi-step kernels: in-kernel minibatch window selection
+        # (_select_window_bf) gathers the NEXT window instead of the
+        # drawn one -- the k-step-vs-pytree parity pin must catch the
+        # wrong training data
+        "multistep-window-offby-one",
+        "pysgmcmc_tpu/ops/fused_step.py",
+        "    onehot = (win_iota == widx).astype(jnp.float32)\n",
+        "    onehot = (win_iota == widx + 1).astype(jnp.float32)\n",
+        ["tests/ops/test_fused_step.py::"
+         "test_multistep_single_window_selects_the_data"],
+    ),
+    (
+        # multi-step burn-in kernel: flip the eps^4 correction in the
+        # in-kernel SGHMC noise variance (_sghmc_burnin_step_math) --
+        # the exact-math pin against the pytree sampler must catch it
+        "burnin-kernel-noise-sign",
+        "pysgmcmc_tpu/ops/fused_step.py",
+        "2.0 * eps_scaled ** 2 * mdecay * minv - eps_scaled ** 4",
+        "2.0 * eps_scaled ** 2 * mdecay * minv + eps_scaled ** 4",
+        ["tests/ops/test_fused_step.py::"
+         "test_burnin_step_math_matches_pytree[sghmc]"],
+    ),
+    (
+        # SGNHT: freeze the Nose-Hoover thermostat at its init value --
+        # the Ding et al. noise-absorption property test must catch the
+        # dead thermostat
+        "sgnht-thermostat-frozen",
+        "pysgmcmc_tpu/samplers/sgnht.py",
+        "xi = state.xi + eps * (sumsq / d - 1.0)",
+        "xi = state.xi + 0.0 * eps * (sumsq / d - 1.0)",
+        ["tests/samplers/test_sgnht.py::"
+         "test_thermostat_absorbs_gradient_noise"],
     ),
 ]
 

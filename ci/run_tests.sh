@@ -40,6 +40,10 @@ if [ "$MODE" = "full" ]; then
     python -m pytest tests/ -q
     make examples
     make figures
+    # Mutation harness last: kernel refactors that stale its snippets or
+    # blunt its kills must break CI here, not rot silently (the round-3
+    # failure mode: ba55367 rewrote a kernel line and nothing re-ran this).
+    make mutation
 elif [ "$MODE" = "cov" ]; then
     # fast lane + statement coverage (the reference CI's --cov analog,
     # pysgmcmc/pytest.ini:2; implemented on sys.monitoring — ci/coverage.py)

@@ -1503,7 +1503,7 @@ def fused_bnn_multistep(
     return theta_new, v_new, cost
 
 
-#  Fused family: SGLD and pSGLD whole-step kernels ----------------------------
+#  Fused family: shared forward/backward --------------------------------------
 
 def _fwd_bwd(big, w3f, xin_bf, y, bmask, lane3, lane2,
              s_a1, s_a2, s_a3, s_gvec, inv_b, inv_n, n_inputs, C,

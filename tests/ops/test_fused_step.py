@@ -1229,6 +1229,75 @@ def test_multistep_sampling_matches_pytree(kind):
 
 
 @pytest.mark.slow
+def test_multistep_single_window_selects_the_data():
+    """batch_size == dataset size => ONE window, and the kernel's
+    in-kernel gather MUST select it.
+
+    The reference degrades batch_size to the dataset size when data is
+    scarce (``/root/reference/pysgmcmc/data_batches.py:107-116``); here
+    that corner pins the window-selection one-hot itself: with
+    n_windows == 1 any mis-addressed gather (e.g. an off-by-one window
+    index) reads PAST the table and returns an all-zero batch, which the
+    pytree comparison catches at O(1) — unlike a one-point window shift,
+    which tolerances could absorb."""
+    from bench import build_workload
+    from pysgmcmc_tpu.data_batches import batch_fn as make_batch_fn
+    from pysgmcmc_tpu.parallel.packed import sample_chain_fused
+
+    n, k_steps = 2, 2
+    # n_data == batch_size: the whole (tiny) dataset is the one window
+    sampler, positions, _, (x, y) = build_workload(
+        n_chains=n, network="dense", n_data=20, batch_size=20,
+        return_data=True)
+    sampler.burn_in_steps = 50
+    x = np.asarray(x, np.float32)
+    y = np.asarray(y, np.float32)
+
+    select = make_batch_fn(jnp.asarray(x), jnp.asarray(y), 20)
+
+    def one(p, ck):
+        k1, k2 = jax.random.split(ck)
+        st = sampler.init(p, k1)
+        st, _ = sample_chain(
+            sampler, st, k2, 1, batch_fn=select,
+            keep_every=sampler.burn_in_steps, collect_costs=False)
+        return st
+
+    states = jax.vmap(one)(
+        positions, jax.random.split(jax.random.PRNGKey(1), n))
+
+    xb = jnp.asarray(x)
+    yb = jnp.asarray(y).reshape(-1, 1)
+
+    def ref_steps(state):
+        zero = jax.tree_util.tree_map(jnp.zeros_like, state.position)
+        cost = None
+        for _ in range(k_steps):
+            state, info = sampler.step(
+                state, jax.random.PRNGKey(0), (xb, yb), noise=zero,
+                phase="sampling")
+            cost = info.cost
+        return state, cost
+
+    ref, ref_cost = jax.vmap(ref_steps)(states)
+    out, _, costs = sample_chain_fused(
+        sampler, states, jax.random.PRNGKey(2), 1, x, y,
+        batch_size=20, keep_every=k_steps, block_chains=n,
+        state_dtype=jnp.float32, multistep=True, interpret=True)
+
+    # the final-step cost is evaluated on the REAL batch: a mis-gathered
+    # (zeroed) batch moves it at O(1), far outside the bf16 slack
+    np.testing.assert_allclose(
+        np.asarray(costs).reshape(-1), np.asarray(ref_cost).reshape(-1),
+        rtol=5e-2, atol=5e-2)
+    for key in ref.position:
+        np.testing.assert_allclose(
+            np.asarray(ref.position[key]),
+            np.asarray(out.position[key]),
+            rtol=0, atol=2e-3, err_msg="position " + key)
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize(
     "kind", ["sghmc", "sgld", "sgnht", "psgld", "rsghmc"])
 def test_multistep_paired_matches_unpaired(kind):
