@@ -263,16 +263,13 @@ class BayesianNeuralNetwork(BaseModel):
                 )
         # pair_dots: run the sampling phase on the paired-dot multi-step
         # kernels (block-diagonal 2-chain MXU operands at full 128-lane
-        # depth; ops/fused_step._make_multistep_kernel_paired family).
-        # Multi-step only (constant stepsize schedules), 64-slot layout
-        # (H <= 50), 1 input feature; the drivers validate the rest.
+        # depth; ops/fused_step._make_multistep_kernel_family_paired).
+        # 64-slot layout (H <= 50), 1 input feature; the drivers
+        # validate the rest.  Step-varying schedules are exact through
+        # the multi-step kernels (per-step SMEM scalar rows).
         if pair_dots:
             if step_impl != "fused":
                 raise ValueError("pair_dots requires step_impl='fused'")
-            if not isinstance(stepsize_schedule, ConstantStepsizeSchedule):
-                raise ValueError(
-                    "pair_dots runs the multi-step kernels, which need a "
-                    "constant stepsize schedule")
         self.pair_dots = bool(pair_dots)
         self.network = network
         self.step_impl = step_impl
@@ -691,8 +688,9 @@ class BayesianNeuralNetwork(BaseModel):
         (:func:`pysgmcmc_tpu.parallel.packed.sample_chain_fused` with
         ``multistep=True``; measured 3.19 ms/step = 2.56M steps/sec/chip
         on the 8192-chain flagship, vs 1.48M for the pytree path).
-        Non-constant stepsize schedules fall back to the single-step
-        kernel, which re-evaluates the schedule every step.  The L2 weight prior is folded analytically
+        Step-varying schedules run through the same kernel exactly: the
+        driver ships a per-step eps vector into the kernel's SMEM scalar
+        table.  The L2 weight prior is folded analytically
         into the update (``gaussian_prior_scale`` — identical dynamics,
         pinned by ``tests/test_bench_smoke.py``'s fold-parity test), so
         the cost function here carries only the likelihood and the
@@ -801,11 +799,11 @@ class BayesianNeuralNetwork(BaseModel):
             )
 
         def make_burn(n_steps):
-            # burn-in on the multi-step VMEM-resident fused kernel when
-            # the schedule is constant (parallel/packed.
-            # burnin_chain_fused — the whole adaptive phase in one
-            # launch), the single-step EMA lanes kernels otherwise.
-            # PSGLD and SGNHT have no burn-in machinery: early
+            # burn-in on the multi-step VMEM-resident fused kernel
+            # (parallel/packed.burnin_chain_fused — the whole adaptive
+            # phase in one launch; the schedule is evaluated per step and
+            # shipped as an eps vector, so step-varying schedules are
+            # exact).  PSGLD and SGNHT have no burn-in machinery: early
             # lanes-kernel steps are simply discarded.
             from pysgmcmc_tpu.parallel.packed import (
                 burnin_chain_fused,
@@ -835,14 +833,12 @@ class BayesianNeuralNetwork(BaseModel):
                 mesh=self.mesh,
             )[0])
 
-        # multi-step kernel (k steps per launch, state VMEM-resident)
-        # whenever the stepsize is constant over a thinning segment — the
-        # kernel evaluates the schedule once per segment, exact only for
-        # constant schedules (parallel/packed.thinned_multistep)
-        from pysgmcmc_tpu.stepsize_schedules import ConstantStepsizeSchedule
-
-        use_multistep = isinstance(
-            sampler.stepsize_schedule, ConstantStepsizeSchedule)
+        # multi-step kernel (k steps per launch, state VMEM-resident):
+        # the drivers evaluate the schedule per inner step and ship a
+        # (keep_every,) eps vector into the kernel's SMEM scalar table
+        # (parallel/packed.thinned_multistep), so step-varying schedules
+        # run through the fast path exactly
+        use_multistep = True
 
         def sample_seg(states, key, n_keep):
             return sample_chain_fused(

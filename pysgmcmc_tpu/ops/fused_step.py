@@ -477,204 +477,6 @@ def _make_kernel_paired(batch_size, n_data, block_chains):
     return kernel
 
 
-def _make_kernel(batch_size, n_data, with_noise, block_chains,
-                 n_windows=None, n_inputs=1, s=S, bias_row=BIAS_ROW):
-    bf16 = jnp.bfloat16
-    inv_b = 1.0 / batch_size
-    inv_n = 1.0 / n_data
-    select_in_kernel = n_windows is not None
-    row_b1, row_w4, row_scal = _vec_rows(n_inputs, s)
-    big_rows = s + VEC_ROWS
-    row_w1 = s
-
-    def kernel(int_ref, float_ref,
-               tbig, tw3,
-               vbig, vw3,
-               mbig, mw3,
-               xin_ref, y_ref,
-               *rest):
-        # trailing refs: [noise x2 (opt)] outputs x4, scratch x4
-        # (the per-chain cost rides row big_rows-1 of the v output: a
-        # separate (n,1) output gets promoted into scoped VMEM by XLA's
-        # memory-space assignment and OOMs the kernel at 8k chains)
-        if with_noise:
-            (nbig, nw3,
-             obig, ow3, pbig, pw3,
-             s_a1, s_a2, s_a3, s_gvec) = rest
-        else:
-            (obig, ow3, pbig, pw3,
-             s_a1, s_a2, s_a3, s_gvec) = rest
-            pltpu.prng_seed(int_ref[0], pl.program_id(0))
-
-        eps = float_ref[0]
-        eps_scaled = float_ref[1]
-        mdecay = float_ref[2]
-        prior_scale = float_ref[3]
-
-        # row mask for the padded batch rows
-        brow = jax.lax.broadcasted_iota(
-            jnp.int32, (block_chains, B_PAD), 1)
-        bmask = (brow < batch_size).astype(jnp.float32)      # (C, B_PAD)
-        lane3 = jax.lax.broadcasted_iota(
-            jnp.int32, (block_chains, B_PAD, s), 2)
-
-        big = tbig[:]                                        # (C, s+8, s)
-        w4 = big[:, row_w4, :]                               # (C, s)
-        scal = big[:, row_scal, :]
-        b4 = scal[:, LANE_B4:LANE_B4 + 1]                    # (C, 1)
-        lvb = scal[:, LANE_LVB:LANE_LVB + 1]
-
-        if select_in_kernel:
-            # xin_ref/y_ref are the SHARED window tables (n_windows, B):
-            # draw each chain's window index from the in-kernel PRNG and
-            # gather both tables with one masked dot each
-            u = _uniform_3d((block_chains, 8))[:, 0:1]       # (C, 1)
-            widx = jnp.clip(
-                (u * n_windows).astype(jnp.int32), 0, n_windows - 1)
-            win_iota = jax.lax.broadcasted_iota(
-                jnp.int32, (block_chains, n_windows), 1)
-            onehot = (win_iota == widx).astype(jnp.float32)  # (C, W)
-            x_sel = jax.lax.dot_general(
-                onehot, xin_ref[:], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)          # (C, B_PAD)
-            y = jax.lax.dot_general(
-                onehot, y_ref[:], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            xin = jnp.stack(
-                [x_sel, jnp.ones_like(x_sel)], axis=2)       # (C, B, 2)
-        else:
-            xin = xin_ref[:]                                 # (C, B_PAD, 2)
-            y = y_ref[:]                                     # (C, B_PAD)
-
-        # ---- forward (bf16 matmuls, f32 accumulation) ----------------------
-        # This formulation is the one proven to compile end to end on v5e
-        # (benchmarks/archive/fused_bisect2_tpu.py): layer 1 is a real matmul over
-        # the [x, 1] input lanes, every bias rides row bias_row of its
-        # weight matrix against a constant-1 activation lane, and each
-        # stage materializes through a VMEM scratch ref.  (Mosaic aborts
-        # with "Check failed: limits[i] <= dim(i)" on the straightforward
-        # broadcast-bias expression graph.)
-        xin_bf = xin.astype(bf16)
-        w1m_bf = big[:, row_w1:row_b1 + 1, :].astype(bf16)   # [w1.., b1]
-        z1 = _bdot(xin_bf, w1m_bf, (((2,), (1,))))           # (C, B, s)
-        s_a1[:] = jnp.where(
-            lane3 == bias_row, 1.0, jnp.tanh(z1)).astype(bf16)
-        a1 = s_a1[:]
-        a1f = a1.astype(jnp.float32)
-
-        w2_bf = big[:, 0:s, :].astype(bf16)
-        w3_bf = tw3[:].astype(bf16)
-        z2 = _bdot(a1, w2_bf, (((2,), (1,))))                # incl. b2
-        s_a2[:] = jnp.where(
-            lane3 == bias_row, 1.0, jnp.tanh(z2)).astype(bf16)
-        a2 = s_a2[:]
-        a2f = a2.astype(jnp.float32)
-        z3 = _bdot(a2, w3_bf, (((2,), (1,))))                # incl. b3
-        s_a3[:] = jnp.tanh(z3).astype(bf16)  # no ones-lane: w4 lane 50 = 0
-        a3f = s_a3[:].astype(jnp.float32)
-        # f_mean[c,b] = sum_j a3[c,b,j] w4[c,j] (+ b4)
-        f_mean = jnp.sum(a3f * w4[:, None, :], axis=2) + b4  # (C, B)
-
-        # ---- likelihood + head gradients ------------------------------------
-        e_lv = jnp.exp(lvb)                                  # (C, 1)
-        var_inv = 1.0 / (e_lv + 1e-16)
-        diff = (f_mean - y) * bmask                          # (C, B)
-        mse = diff * diff
-        ll = jnp.sum(
-            -mse * (0.5 * var_inv) - 0.5 * lvb * bmask,
-            axis=1, keepdims=True) * inv_b                   # (C, 1)
-        p_term = -jnp.square(lvb - LOG_MP) / (2.0 * VAR_P) \
-            - 0.5 * float(np.log(VAR_P))
-        cost = -(ll + p_term * inv_n)                        # (C, 1)
-
-        d_mean = diff * var_inv * inv_b                      # (C, B)
-        # dcost/dlvb = -d(ll)/dlvb (likelihood term) + prior term
-        d_lvb = -jnp.sum(
-            mse * (0.5 * e_lv) * jnp.square(var_inv) - 0.5 * bmask,
-            axis=1, keepdims=True) * inv_b
-        d_lvb = d_lvb + (lvb - LOG_MP) / VAR_P * inv_n       # (C, 1)
-        g_b4 = jnp.sum(d_mean, axis=1, keepdims=True)        # (C, 1)
-
-        # ---- backward --------------------------------------------------------
-        # g_w4[c,j] = sum_b d_mean[c,b] a3[c,b,j]
-        g_w4 = jnp.sum(a3f * d_mean[:, :, None], axis=1)     # (C, s)
-        dz3_bf = ((d_mean[:, :, None] * w4[:, None, :])
-                  * (1.0 - a3f * a3f)).astype(bf16)          # dz3
-        # dW3m[c,i,j] = sum_b a2[c,b,i] dz3[c,b,j]; row 50 = g_b3 (ones
-        # lane of a2) -- the bias gradient falls out of the same dot
-        g_w3 = _bdot(a2, dz3_bf, (((1,), (1,))))             # (C, s, s)
-        # da2[c,b,i] = sum_j dz3[c,b,j] W3m[c,i,j]; the spurious bias-row
-        # term at lane 50 dies against (1 - a2^2) = 0 there
-        da2 = _bdot(dz3_bf, w3_bf, (((2,), (2,))))           # (C, B, s)
-        dz2_bf = (da2 * (1.0 - a2f * a2f)).astype(bf16)      # dz2
-        g_w2 = _bdot(a1, dz2_bf, (((1,), (1,))))
-        da1 = _bdot(dz2_bf, w2_bf, (((2,), (2,))))
-        dz1_bf = (da1 * (1.0 - a1f * a1f)).astype(bf16)      # dz1
-        # rows [g_w1.., g_b1] from one dot against the [x.., 1] lanes
-        g_w1m = _bdot(xin_bf, dz1_bf, (((1,), (1,))))        # (C, k+1, s)
-
-        lane2 = jax.lax.broadcasted_iota(
-            jnp.int32, (block_chains, s), 1)
-        g_scal = jnp.where(
-            lane2 == LANE_B4, g_b4,
-            jnp.where(lane2 == LANE_LVB, d_lvb, 0.0),
-        ).astype(jnp.float32)                                # (C, s)
-        # small vector-rows gradient slab (the W2-section gradient feeds
-        # the update directly -- no full-slab scratch round trip)
-        s_gvec[:, 0:n_inputs + 1, :] = g_w1m
-        s_gvec[:, row_w4 - s, :] = g_w4
-        s_gvec[:, row_scal - s, :] = g_scal
-        if row_scal - s + 1 < VEC_ROWS:
-            s_gvec[:, row_scal - s + 1:VEC_ROWS, :] = jnp.zeros(
-                (block_chains, VEC_ROWS - (row_scal - s) - 1, s),
-                jnp.float32)
-        g_vec = s_gvec[:]
-
-        # ---- fused SGHMC update ----------------------------------------------
-        if with_noise:
-            etas = (nbig[:][:, 0:s, :], nbig[:][:, s:big_rows, :], nw3[:])
-        else:
-            etas = _block_etas(block_chains, s, bias_row)
-
-        def _update(theta, v, minv, grad, eta):
-            v32 = v.astype(jnp.float32)
-            minv = minv.astype(jnp.float32)
-            g = grad + prior_scale * theta
-            sigma = jnp.sqrt(jnp.maximum(
-                2.0 * eps_scaled**2 * mdecay * minv - eps_scaled**4,
-                1e-16))
-            v_new = v32 - eps**2 * minv * g - mdecay * v32 + sigma * eta
-            # padding slots have minv == 0 -> sigma floor 1e-8; kill even
-            # that by masking on the (zero-initialized) minv itself
-            v_new = jnp.where(minv > 0.0, v_new, 0.0)
-            return theta + v_new, v_new
-
-        # W2 section of the big slab (rows 0..s)
-        t_new, v_new = _update(
-            tbig[:, 0:s, :], vbig[:, 0:s, :], mbig[:, 0:s, :],
-            g_w2, etas[0])
-        obig[:, 0:s, :] = t_new
-        pbig[:, 0:s, :] = v_new.astype(pbig.dtype)
-        # vector rows of the big slab (rows s..big_rows)
-        t_new, v_new = _update(
-            tbig[:, s:big_rows, :], vbig[:, s:big_rows, :],
-            mbig[:, s:big_rows, :], g_vec, etas[1])
-        obig[:, s:big_rows, :] = t_new
-        pbig[:, s:big_rows, :] = v_new.astype(pbig.dtype)
-        # W3 slab
-        t_new, v_new = _update(tw3[:], vw3[:], mw3[:], g_w3, etas[2])
-        ow3[:] = t_new
-        pw3[:] = v_new.astype(pw3.dtype)
-
-        # cost rides lane 0 of the last row of the f32 theta slab (bf16
-        # single-lane stores are unsupported).  Self-consistent: the row's
-        # v stays 0 (minv == 0 there), its gradient is zero, the forward
-        # and unpack never read it, and each step overwrites it.
-        obig[:, big_rows - 1, LANE_B4:LANE_B4 + 1] = cost
-
-    return kernel
-
-
 @functools.partial(
     jax.jit,
     static_argnames=("mdecay", "scale_grad", "prior_scale", "batch_size",
@@ -706,7 +508,6 @@ def fused_bnn_step(
             "block_chains ({})".format(n_chains, block_chains))
     s = tbig.shape[2]
     bias_row = BIAS_ROW if s == S else WIDE_BIAS_ROW
-    big_rows = s + VEC_ROWS
 
     if select_in_kernel:
         # x_sel/y_sel are the SHARED minibatch window tables from
@@ -730,14 +531,7 @@ def fused_bnn_step(
         # through the first matmul (and its gradient through the g_w1m
         # dot).  bf16: the kernel casts it for the MXU anyway, and the
         # (C, B, k+1) block pads its lanes to 128 physically
-        if n_inputs == 1:
-            parts = [x_sel]
-            ones_like = jnp.ones_like(x_sel)
-        else:
-            # x_sel: (n, B, n_inputs)
-            parts = [x_sel[:, :, i] for i in range(n_inputs)]
-            ones_like = jnp.ones_like(parts[0])
-        xin = jnp.stack(parts + [ones_like], axis=2).astype(jnp.bfloat16)
+        xin = _fused_xin(x_sel, n_inputs)
 
     eps32 = jnp.asarray(eps, jnp.float32)
     int_scalars = jnp.asarray(seed, jnp.int32).reshape(1)
@@ -747,60 +541,11 @@ def fused_bnn_step(
         jnp.asarray(prior_scale, jnp.float32),
     ])
 
-    def mat_spec():
-        return pl.BlockSpec((block_chains, s, s), lambda i, *_: (i, 0, 0),
-                            memory_space=pltpu.VMEM)
-
-    def big_spec():
-        return pl.BlockSpec(
-            (block_chains, big_rows, s), lambda i, *_: (i, 0, 0),
-            memory_space=pltpu.VMEM)
-
-    def data_spec():
-        if select_in_kernel:
-            return pl.BlockSpec(
-                tuple(y_sel.shape), lambda i, *_: (0, 0),
-                memory_space=pltpu.VMEM)
-        return pl.BlockSpec((block_chains, B_PAD), lambda i, *_: (i, 0),
-                            memory_space=pltpu.VMEM)
-
-    def xin_spec():
-        if select_in_kernel:
-            return pl.BlockSpec(
-                tuple(xin.shape), lambda i, *_: (0, 0),
-                memory_space=pltpu.VMEM)
-        return pl.BlockSpec(
-            (block_chains, B_PAD, n_inputs + 1), lambda i, *_: (i, 0, 0),
-            memory_space=pltpu.VMEM)
-
-    state_specs = [big_spec(), mat_spec()]
-    in_specs = (
-        state_specs + state_specs + state_specs
-        + [xin_spec(), data_spec()]
-    )
-    operands = list(theta) + list(v) + list(minv) + [xin, y_sel]
+    if select_in_kernel:
+        data_specs = [_table_spec(xin), _table_spec(y_sel)]
+    else:
+        data_specs = list(_batch_specs(block_chains, n_inputs))
     with_noise = noise is not None
-    if with_noise:
-        in_specs = in_specs + state_specs
-        operands = operands + list(noise)
-
-    out_shape = (
-        tuple(jax.ShapeDtypeStruct(t.shape, jnp.float32) for t in theta)
-        + tuple(jax.ShapeDtypeStruct(t.shape, state_dtype) for t in theta)
-    )
-    out_specs = tuple(state_specs) + tuple(state_specs)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_chains // block_chains,),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        # a1/a2 (ones-lane applied), a3, g_vec
-        scratch_shapes=_multistep_scratch(block_chains, s),
-    )
-    # alias theta (operands 2..3 incl. scalar-prefetch args) and v (4..5)
-    aliases = {i + 2: i for i in range(2)}
-    aliases.update({i + 4: i + 2 for i in range(2)})
 
     if pair_dots:
         if s != 64:
@@ -816,27 +561,14 @@ def fused_bnn_step(
         kernel = _make_kernel_paired(
             float(batch_size), float(n_data), block_chains)
     else:
-        kernel = _make_kernel(
-            float(batch_size), float(n_data), with_noise, block_chains,
-            n_windows=n_windows, n_inputs=n_inputs, s=s,
-            bias_row=bias_row)
-    interpreter = pltpu.InterpretParams() if interpret else False
-    outs = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=out_shape,
-        input_output_aliases=aliases,
-        # v5e has 128 MB of physical VMEM; the compiler's default 16 MB
-        # scoped budget is too tight for the double-buffered state slabs
-        # plus the kernel's dot temporaries at useful block sizes
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpreter,
-    )(int_scalars, float_scalars, *operands)
-    theta_new = tuple(outs[0:2])
-    v_new = tuple(outs[2:4])
-    # per-chain cost from lane 0 of the theta slab's last row
-    cost = theta_new[0][:, big_rows - 1, 0:1]
+        kernel = _make_kernel_family(
+            RULE_SGHMC, float(batch_size), float(n_data), with_noise,
+            block_chains, n_inputs, 0, s=s, bias_row=bias_row,
+            n_windows=n_windows)
+    theta_new, v_new, _, cost = _family_call(
+        RULE_SGHMC, kernel, theta, v, None, minv,
+        [xin, y_sel], data_specs, noise, state_dtype, block_chains,
+        interpret, False, int_scalars, float_scalars)
     return theta_new, v_new, cost
 
 
@@ -936,163 +668,6 @@ def _multistep_scratch(block_chains, s=S):
     ]
 
 
-def _make_multistep_kernel(batch_size, n_data, block_chains, n_windows,
-                           k_steps, s=S, bias_row=BIAS_ROW, n_inputs=1):
-    """flash-SGHMC kernel advancing ``k_steps`` steps per launch.
-
-    The round-2 kernel round-trips theta/v through HBM every step (~1 GB
-    per step at 8192 chains) and pays one launch + grid sweep per step.
-    Here the block's state is copied into the (aliased) output refs once,
-    a ``fori_loop`` advances it ``k_steps`` times entirely in VMEM — the
-    minibatch window is drawn from the in-kernel PRNG and gathered from
-    the shared window tables with one masked dot, exactly the
-    ``select_in_kernel`` machinery — and only the final state is written
-    back.  With ``k_steps = keep_every`` (thinning), the kernel emits
-    exactly the states the driver would have kept, and the per-chain cost
-    of the LAST step rides the usual slab row (matching the thinned
-    driver's ``costs[-1]`` semantics).
-
-    Same forward/likelihood/backward/update formulation as
-    :func:`_make_kernel` (the one proven to compile on v5e); 1-input
-    family, both slot layouts (``s=64`` H<=50, ``s=128`` H<=114).
-    """
-    bf16 = jnp.bfloat16
-    inv_b = 1.0 / batch_size
-    inv_n = 1.0 / n_data
-    C = block_chains
-    row_b1, row_w4, row_scal = _vec_rows(n_inputs, s)
-    big_rows = s + VEC_ROWS
-    row_w1 = s
-
-    def kernel(int_ref, float_ref,
-               tbig, tw3, vbig, vw3, mbig, mw3, xw_ref, yw_ref,
-               obig, ow3, pbig, pw3,
-               s_a1, s_a2, s_a3, s_gvec):
-        pltpu.prng_seed(int_ref[0], pl.program_id(0))
-        eps = float_ref[0]
-        eps_scaled = float_ref[1]
-        mdecay = float_ref[2]
-        prior_scale = float_ref[3]
-
-        # state lives in the output refs for the whole k-step loop
-        obig[:] = tbig[:]
-        ow3[:] = tw3[:]
-        pbig[:] = vbig[:]
-        pw3[:] = vw3[:]
-
-        brow = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD), 1)
-        bmask = (brow < batch_size).astype(jnp.float32)
-        lane3 = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD, s), 2)
-        lane2 = jax.lax.broadcasted_iota(jnp.int32, (C, s), 1)
-        win_iota = jax.lax.broadcasted_iota(jnp.int32, (C, n_windows), 1)
-
-        def body(t, carry):
-            big = obig[:]
-            w4 = big[:, row_w4, :]
-            scal = big[:, row_scal, :]
-            b4 = scal[:, LANE_B4:LANE_B4 + 1]
-            lvb = scal[:, LANE_LVB:LANE_LVB + 1]
-
-            # ---- in-kernel minibatch selection ----
-            xin_bf, y = _select_window_bf(
-                C, n_windows, win_iota, xw_ref, yw_ref, n_inputs)
-
-            # ---- forward ----
-            w1m_bf = big[:, row_w1:row_b1 + 1, :].astype(bf16)
-            z1 = _bdot(xin_bf, w1m_bf, (((2,), (1,))))
-            s_a1[:] = jnp.where(
-                lane3 == bias_row, 1.0, jnp.tanh(z1)).astype(bf16)
-            a1 = s_a1[:]
-            a1f = a1.astype(jnp.float32)
-
-            w2_bf = big[:, 0:s, :].astype(bf16)
-            w3_bf = ow3[:].astype(bf16)
-            z2 = _bdot(a1, w2_bf, (((2,), (1,))))
-            s_a2[:] = jnp.where(
-                lane3 == bias_row, 1.0, jnp.tanh(z2)).astype(bf16)
-            a2 = s_a2[:]
-            a2f = a2.astype(jnp.float32)
-            z3 = _bdot(a2, w3_bf, (((2,), (1,))))
-            s_a3[:] = jnp.tanh(z3).astype(bf16)
-            a3f = s_a3[:].astype(jnp.float32)
-            f_mean = jnp.sum(a3f * w4[:, None, :], axis=2) + b4
-
-            # ---- likelihood + head gradients ----
-            e_lv = jnp.exp(lvb)
-            var_inv = 1.0 / (e_lv + 1e-16)
-            diff = (f_mean - y) * bmask
-            mse = diff * diff
-            ll = jnp.sum(
-                -mse * (0.5 * var_inv) - 0.5 * lvb * bmask,
-                axis=1, keepdims=True) * inv_b
-            p_term = -jnp.square(lvb - LOG_MP) / (2.0 * VAR_P) \
-                - 0.5 * float(np.log(VAR_P))
-            cost = -(ll + p_term * inv_n)
-            d_mean = diff * var_inv * inv_b
-            d_lvb = -jnp.sum(
-                mse * (0.5 * e_lv) * jnp.square(var_inv) - 0.5 * bmask,
-                axis=1, keepdims=True) * inv_b
-            d_lvb = d_lvb + (lvb - LOG_MP) / VAR_P * inv_n
-            g_b4 = jnp.sum(d_mean, axis=1, keepdims=True)
-
-            # ---- backward ----
-            g_w4 = jnp.sum(a3f * d_mean[:, :, None], axis=1)
-            dz3_bf = ((d_mean[:, :, None] * w4[:, None, :])
-                      * (1.0 - a3f * a3f)).astype(bf16)
-            g_w3 = _bdot(a2, dz3_bf, (((1,), (1,))))
-            da2 = _bdot(dz3_bf, w3_bf, (((2,), (2,))))
-            dz2_bf = (da2 * (1.0 - a2f * a2f)).astype(bf16)
-            g_w2 = _bdot(a1, dz2_bf, (((1,), (1,))))
-            da1 = _bdot(dz2_bf, w2_bf, (((2,), (2,))))
-            dz1_bf = (da1 * (1.0 - a1f * a1f)).astype(bf16)
-            g_w1m = _bdot(xin_bf, dz1_bf, (((1,), (1,))))
-
-            g_scal = jnp.where(
-                lane2 == LANE_B4, g_b4,
-                jnp.where(lane2 == LANE_LVB, d_lvb, 0.0),
-            ).astype(jnp.float32)
-            s_gvec[:, 0:n_inputs + 1, :] = g_w1m
-            s_gvec[:, row_w4 - s, :] = g_w4
-            s_gvec[:, row_scal - s, :] = g_scal
-            s_gvec[:, row_scal - s + 1:VEC_ROWS, :] = jnp.zeros(
-                (C, VEC_ROWS - (row_scal - s) - 1, s), jnp.float32)
-            g_vec = s_gvec[:]
-
-            etas = _block_etas(C, s)
-
-            def _update(theta, v, minv, grad, eta):
-                v32 = v.astype(jnp.float32)
-                minv = minv.astype(jnp.float32)
-                g = grad + prior_scale * theta
-                sigma = jnp.sqrt(jnp.maximum(
-                    2.0 * eps_scaled**2 * mdecay * minv - eps_scaled**4,
-                    1e-16))
-                v_new = v32 - eps**2 * minv * g - mdecay * v32 + sigma * eta
-                v_new = jnp.where(minv > 0.0, v_new, 0.0)
-                return theta + v_new, v_new
-
-            t_new, v_new = _update(
-                obig[:, 0:s, :], pbig[:, 0:s, :], mbig[:, 0:s, :],
-                g_w2, etas[0])
-            obig[:, 0:s, :] = t_new
-            pbig[:, 0:s, :] = v_new.astype(pbig.dtype)
-            t_new, v_new = _update(
-                obig[:, s:big_rows, :], pbig[:, s:big_rows, :],
-                mbig[:, s:big_rows, :], g_vec, etas[1])
-            obig[:, s:big_rows, :] = t_new
-            pbig[:, s:big_rows, :] = v_new.astype(pbig.dtype)
-            t_new, v_new = _update(ow3[:], pw3[:], mw3[:], g_w3, etas[2])
-            ow3[:] = t_new
-            pw3[:] = v_new.astype(pw3.dtype)
-
-            obig[:, big_rows - 1, LANE_B4:LANE_B4 + 1] = cost
-            return carry
-
-        jax.lax.fori_loop(0, k_steps, body, 0)
-
-    return kernel
-
-
 def _paired_scratch(block_chains, s=S, n_state_slabs=6):
     """Scratch set for the paired multi-step kernels: three PAIRED bf16
     activation slabs, the f32 gradient-vector slab, and
@@ -1143,8 +718,21 @@ def _pair_lanes(m, cp):
     return jnp.concatenate([r[:, 0], r[:, 1]], axis=2)
 
 
+def _paired_fold_const(s):
+    """Lane-fold constant: moves lanes s:2s down to 0:s via one 0/1
+    selection dot (bitwise-exact).  Mosaic's concatenate rejects
+    operands with mismatched lane offsets inside the fori_loop body
+    (the round-3 landmine, docs/performance.md), so the chain-b halves
+    cannot be lane-sliced and stacked directly.  Built ONCE per launch
+    (outside the k-step loop — XLA does not hoist loop-invariant code
+    out of while loops) and passed into :func:`_fwd_bwd_paired`."""
+    rowp = jax.lax.broadcasted_iota(jnp.int32, (2 * s, s), 0)
+    lanep = jax.lax.broadcasted_iota(jnp.int32, (2 * s, s), 1)
+    return (rowp == lanep + s).astype(jnp.float32)
+
+
 def _fwd_bwd_paired(big, w2_bf, w3_bf, xin_bf, y, bmask,
-                    lane2, lane3p, bias_lane_p, first_half,
+                    lane2, lane3p, bias_lane_p, first_half, p_move,
                     s_a1, s_a2, s_a3, s_gvec, inv_b, inv_n, C, s,
                     n_inputs=1):
     """Forward + heteroscedastic likelihood + backward with 2-chain
@@ -1233,16 +821,7 @@ def _fwd_bwd_paired(big, w2_bf, w3_bf, xin_bf, y, bmask,
     d_lvb = d_lvb + (lvb - LOG_MP) / VAR_P * inv_n
     g_b4 = jnp.sum(d_mean, axis=1, keepdims=True)
 
-    # ---- backward (paired dots) ----
-    # Lane-fold constant: moves lanes s:2s down to 0:s via one 0/1
-    # selection dot (bitwise-exact).  Mosaic's concatenate rejects
-    # operands with mismatched lane offsets inside the fori_loop body
-    # (the round-3 landmine, docs/performance.md), so the chain-b
-    # halves cannot be lane-sliced and stacked directly.
-    rowp = jax.lax.broadcasted_iota(jnp.int32, (2 * s, s), 0)
-    lanep = jax.lax.broadcasted_iota(jnp.int32, (2 * s, s), 1)
-    p_move = (rowp == lanep + s).astype(jnp.float32)
-
+    # ---- backward (paired dots; p_move = _paired_fold_const) ----
     d_mean_p = pair_batch(d_mean)                    # (Cp, B, 2s)
     g_w4p = jnp.sum(a3f * d_mean_p, axis=1)          # (Cp, 2s)
     g_w4b = jax.lax.dot_general(
@@ -1276,132 +855,6 @@ def _fwd_bwd_paired(big, w2_bf, w3_bf, xin_bf, y, bmask,
     return cost, g_w2p, s_gvec[:], g_w3p
 
 
-def _make_multistep_kernel_paired(batch_size, n_data, block_chains,
-                                  n_windows, k_steps, n_inputs=1):
-    """flash-SGHMC multi-step kernel with 2-chain PAIRED MXU dots.
-
-    The multi-step kernel is dot-instance-overhead bound (~83% of the
-    12.5 us block-step goes to 6 batched ``dot_general``s x C instances
-    x ~54 ns of per-instance issue overhead; see docs/performance.md).
-    The round-2 per-step paired kernel (:func:`_make_kernel_paired`)
-    halved the instance count but paid a pack/unpack of the full W2/W3
-    slabs EVERY step, which cost more than it saved (measured negative).
-    Here the pairing composes with multi-step VMEM residency: the
-    block-diagonal (Cp, 2s, 2s) W2/W3 state (theta, v, minv) is packed
-    ONCE per launch into persistent scratch, the k-step loop runs every
-    dot at the full 128-lane MXU depth with activations kept in paired
-    lanes end-to-end, and the state is unpacked once at the end.
-
-    Off-diagonal blocks stay EXACTLY zero without extra masking: the
-    paired ``minv`` is zero there, so the update's
-    ``where(minv > 0, v_new, 0)`` freeze (the same mechanism that keeps
-    the dead padding rows dead) zeroes the off-diagonal velocity and
-    therefore the off-diagonal theta every step, no matter what the
-    paired gradient dots or the full-slab noise draw put there.
-
-    SGHMC / 64-slot layout (1..MAX_INPUTS input features);
-    semantics otherwise identical to :func:`_make_multistep_kernel`.
-    """
-    inv_b = 1.0 / batch_size
-    inv_n = 1.0 / n_data
-    C = block_chains
-    Cp = C // 2
-    s = S
-    big_rows = s + VEC_ROWS
-
-    def kernel(int_ref, float_ref,
-               tbig, tw3, vbig, vw3, mbig, mw3, xw_ref, yw_ref,
-               obig, ow3, pbig, pw3,
-               s_a1, s_a2, s_a3, s_gvec,
-               p_w2, p_w3, p_v2, p_v3, p_m2, p_m3):
-        pltpu.prng_seed(int_ref[0], pl.program_id(0))
-        eps = float_ref[0]
-        eps_scaled = float_ref[1]
-        mdecay = float_ref[2]
-        prior_scale = float_ref[3]
-
-        # vector-row state lives in the output refs for the whole loop;
-        # W2/W3 state lives in the persistent PAIRED scratch slabs
-        obig[:] = tbig[:]
-        ow3[:] = tw3[:]
-        pbig[:] = vbig[:]
-        pw3[:] = vw3[:]
-        p_w2[:] = _pair_mats(tbig[:, 0:s, :], Cp, s)
-        p_w3[:] = _pair_mats(tw3[:], Cp, s)
-        p_v2[:] = _pair_mats(vbig[:, 0:s, :].astype(jnp.float32), Cp, s)
-        p_v3[:] = _pair_mats(vw3[:].astype(jnp.float32), Cp, s)
-        p_m2[:] = _pair_mats(mbig[:, 0:s, :].astype(jnp.float32), Cp, s)
-        p_m3[:] = _pair_mats(mw3[:].astype(jnp.float32), Cp, s)
-
-        brow = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD), 1)
-        bmask = (brow < batch_size).astype(jnp.float32)
-        lane2 = jax.lax.broadcasted_iota(jnp.int32, (C, s), 1)
-        lane3p = jax.lax.broadcasted_iota(jnp.int32, (Cp, B_PAD, 2 * s), 2)
-        bias_lane_p = (lane3p % s) == BIAS_ROW
-        first_half = lane3p < s
-        win_iota = jax.lax.broadcasted_iota(jnp.int32, (C, n_windows), 1)
-
-        def body(t, carry):
-            # ---- in-kernel minibatch selection ----
-            xin_bf, y = _select_window_bf(
-                C, n_windows, win_iota, xw_ref, yw_ref, n_inputs)
-
-            cost, g_w2p, g_vec, g_w3p = _fwd_bwd_paired(
-                obig[:], p_w2[:].astype(jnp.bfloat16),
-                p_w3[:].astype(jnp.bfloat16), xin_bf, y, bmask,
-                lane2, lane3p, bias_lane_p, first_half,
-                s_a1, s_a2, s_a3, s_gvec, inv_b, inv_n, C, s,
-                n_inputs)
-
-            # one full-width draw covers both paired slabs (rows are
-            # even, so Box-Muller runs dual-output), plus the small
-            # unpaired vector-rows draw
-            eta_p = _normal_3d((Cp, 4 * s, 2 * s))
-            eta_w2 = eta_p[:, 0:2 * s, :]
-            eta_w3 = eta_p[:, 2 * s:4 * s, :]
-            eta_vec = _normal_3d((C, VEC_ROWS, s))
-
-            def _update(theta, v, minv, grad, eta):
-                v32 = v.astype(jnp.float32)
-                minv = minv.astype(jnp.float32)
-                g = grad + prior_scale * theta
-                sigma = jnp.sqrt(jnp.maximum(
-                    2.0 * eps_scaled**2 * mdecay * minv - eps_scaled**4,
-                    1e-16))
-                v_new = v32 - eps**2 * minv * g - mdecay * v32 + sigma * eta
-                v_new = jnp.where(minv > 0.0, v_new, 0.0)
-                return theta + v_new, v_new
-
-            t_new, v_new = _update(
-                p_w2[:], p_v2[:], p_m2[:], g_w2p, eta_w2)
-            p_w2[:] = t_new
-            p_v2[:] = v_new
-            t_new, v_new = _update(
-                p_w3[:], p_v3[:], p_m3[:], g_w3p, eta_w3)
-            p_w3[:] = t_new
-            p_v3[:] = v_new
-            t_new, v_new = _update(
-                obig[:, s:big_rows, :], pbig[:, s:big_rows, :],
-                mbig[:, s:big_rows, :], g_vec, eta_vec)
-            obig[:, s:big_rows, :] = t_new
-            pbig[:, s:big_rows, :] = v_new.astype(pbig.dtype)
-
-            obig[:, big_rows - 1, LANE_B4:LANE_B4 + 1] = cost
-            return carry
-
-        jax.lax.fori_loop(0, k_steps, body, 0)
-
-        # unpack the paired state back into the (aliased) output slabs;
-        # the cost row write above targets the vector-rows region, which
-        # the W2 unpack below does not touch
-        obig[:, 0:s, :] = _unpair_mats(p_w2[:], C, s)
-        ow3[:] = _unpair_mats(p_w3[:], C, s)
-        pbig[:, 0:s, :] = _unpair_mats(p_v2[:], C, s).astype(pbig.dtype)
-        pw3[:] = _unpair_mats(p_v3[:], C, s).astype(pw3.dtype)
-
-    return kernel
-
-
 @functools.partial(
     jax.jit,
     static_argnames=("mdecay", "scale_grad", "prior_scale", "batch_size",
@@ -1422,6 +875,11 @@ def fused_bnn_multistep(
     in-kernel PRNG every step).  The per-chain cost of the final step is
     returned; intermediate states never leave VMEM.  1-input family,
     both slot layouts (64-slot H <= 50, 128-slot H <= 114).
+
+    ``eps`` is a traced scalar (constant schedules) or a ``(k_steps,)``
+    vector of per-step stepsizes — the kernel reads a per-step scalar
+    row from SMEM, so step-varying schedules are exact (all multi-step
+    family drivers accept the same).
 
     ``pair_dots=True`` runs the 2-chain paired-dot variant
     (:func:`_make_multistep_kernel_paired`): block-diagonal W2/W3 state
@@ -1446,60 +904,26 @@ def fused_bnn_multistep(
         x_win, "fused_bnn_multistep")
     _check_pair_dots(pair_dots, s, n_inputs, block_chains)
 
-    eps32 = jnp.asarray(eps, jnp.float32)
     int_scalars = jnp.asarray(seed, jnp.int32).reshape(1)
-    float_scalars = jnp.stack([
-        eps32, eps32 / jnp.sqrt(jnp.asarray(scale_grad, jnp.float32)),
-        jnp.asarray(mdecay, jnp.float32),
-        jnp.asarray(prior_scale, jnp.float32),
-    ])
-
-    state_specs = [_big_spec(block_chains, s), _mat_spec(block_chains, s)]
-    in_specs = (
-        state_specs + state_specs + state_specs
-        + [_table_spec(xw_op), _table_spec(y_win)]
-    )
-    operands = list(theta) + list(v) + list(minv) + [
-        xw_op, jnp.asarray(y_win, jnp.float32)]
-
-    out_shape = (
-        tuple(jax.ShapeDtypeStruct(t.shape, jnp.float32) for t in theta)
-        + tuple(jax.ShapeDtypeStruct(t.shape, state_dtype) for t in theta)
-    )
-    out_specs = tuple(state_specs) + tuple(state_specs)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_chains // block_chains,),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        scratch_shapes=(_paired_scratch(block_chains, s) if pair_dots
-                        else _multistep_scratch(block_chains, s)),
-    )
-    aliases = {i + 2: i for i in range(2)}
-    aliases.update({i + 4: i + 2 for i in range(2)})
+    sg_sqrt = jnp.sqrt(jnp.asarray(scale_grad, jnp.float32))
+    float_scalars = _per_step_table(eps, int(k_steps), lambda e: [
+        e, e / sg_sqrt,
+        jnp.full_like(e, mdecay), jnp.full_like(e, prior_scale)])
 
     if pair_dots:
-        kernel = _make_multistep_kernel_paired(
-            float(batch_size), float(n_data), block_chains, n_windows,
-            int(k_steps), n_inputs)
+        kernel = _make_multistep_kernel_family_paired(
+            RULE_SGHMC, float(batch_size), float(n_data), block_chains,
+            n_windows, int(k_steps), 0, n_inputs)
     else:
-        kernel = _make_multistep_kernel(
-            float(batch_size), float(n_data), block_chains, n_windows,
-            int(k_steps), s, bias_row, n_inputs)
-    interpreter = pltpu.InterpretParams() if interpret else False
-    outs = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=out_shape,
-        input_output_aliases=aliases,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpreter,
-    )(int_scalars, float_scalars, *operands)
-    theta_new = tuple(outs[0:2])
-    v_new = tuple(outs[2:4])
-    cost = theta_new[0][:, s + VEC_ROWS - 1, 0:1]
+        kernel = _make_multistep_kernel_family(
+            RULE_SGHMC, float(batch_size), float(n_data), block_chains,
+            n_windows, int(k_steps), 0, s, bias_row, n_inputs)
+    y_op = jnp.asarray(y_win, jnp.float32)
+    theta_new, v_new, _, cost = _family_call(
+        RULE_SGHMC, kernel, theta, v, None, minv,
+        [xw_op, y_op], [_table_spec(xw_op), _table_spec(y_op)],
+        None, state_dtype, block_chains, interpret, pair_dots,
+        int_scalars, float_scalars)
     return theta_new, v_new, cost
 
 
@@ -1583,61 +1007,699 @@ def _fwd_bwd(big, w3f, xin_bf, y, bmask, lane3, lane2,
     return cost, g_w2, s_gvec[:], g_w3
 
 
-def _make_kernel_sgld(batch_size, n_data, with_noise, block_chains,
-                      n_inputs, s=S, bias_row=BIAS_ROW):
-    """SGLD whole-step kernel: same fused fwd/bwd, momentum-free update.
+#  Update-rule specs: one per sampler, consumed by the kernel generators ------
 
-    Semantics of :mod:`pysgmcmc_tpu.samplers.sgld` with the frozen
-    post-burn-in ``minv``; padding is masked by ``minv == 0`` exactly as
-    in the SGHMC kernel.
+class KernelRule:
+    """Static per-sampler update-rule spec for the fused kernel generators.
+
+    One rule + the three generators (:func:`_make_kernel_family`,
+    :func:`_make_multistep_kernel_family`,
+    :func:`_make_multistep_kernel_family_paired`) cover the whole fused
+    BNN family — every sampler x {per-step, multi-step} x {unpaired,
+    paired-dot} granularity.  Adding a sampler to the family means
+    writing ONE update rule plus a public driver wrapper choosing its
+    scalar layout; the forward/backward, window-selection, noise,
+    masking, pairing and pallas_call scaffolding is shared.
+
+    Fields:
+
+    - ``aux``: the sampler carries a second aliased state slab set
+      (momentum / preconditioner accumulator).  ``False`` only for SGLD.
+    - ``minv``: masking comes from a READ-ONLY frozen mass-matrix-inverse
+      operand set whose zeros freeze the padding (the ``where(minv > 0)``
+      discipline of SGHMC/SGLD); otherwise static validity masks
+      (:func:`_psgld_valid_masks`) are passed to the update (pSGLD,
+      SGNHT, RSGHMC — samplers with no frozen phase).
+    - ``xi``: a per-chain Nosé-Hoover thermostat rides a replicated
+      aliased ``(C, 128)`` row; the generators collect each slab's
+      kinetic energy from the updated momentum and apply
+      ``xi' = xi + eps (p'Tp'/d - 1)`` with ``eps = float_ref[0]`` and
+      ``1/d = float_ref[3]`` (Ding et al. 2014).
+    - ``make_update(float_ref)``: unpacks the prefetched scalars and
+      returns the per-slab rule
+      ``update(theta, aux, grad, eta, mask, xi) -> (theta', aux')``
+      (``aux``/``aux'`` are ``None`` when ``aux=False``; ``xi`` is
+      ``None`` unless the rule uses it).  The rule owns the masking
+      semantics — the generators only choose WHICH mask to pass
+      (minv slab / static mask, unpaired / paired geometry).
     """
+
+    def __init__(self, name, make_update, aux=True, minv=False, xi=False):
+        self.name = name
+        self.make_update = make_update
+        self.aux = aux
+        self.minv = minv
+        self.xi = xi
+
+
+def _sghmc_rule(float_ref):
+    """SGHMC: Chen et al. momentum update with the frozen scale-adapted
+    mass matrix — term order of :mod:`pysgmcmc_tpu.samplers.sghmc`
+    (reference ``/root/reference/pysgmcmc/samplers/sghmc.py:211-243``)."""
+    eps = float_ref[0]
+    eps_scaled = float_ref[1]
+    mdecay = float_ref[2]
+    prior_scale = float_ref[3]
+
+    def update(theta, v, grad, eta, minv, xi=None):
+        v32 = v.astype(jnp.float32)
+        minv = minv.astype(jnp.float32)
+        g = grad + prior_scale * theta
+        sigma = jnp.sqrt(jnp.maximum(
+            2.0 * eps_scaled**2 * mdecay * minv - eps_scaled**4,
+            1e-16))
+        v_new = v32 - eps**2 * minv * g - mdecay * v32 + sigma * eta
+        # padding slots have minv == 0 -> sigma floor 1e-8; kill even
+        # that by masking on the (zero-initialized) minv itself
+        v_new = jnp.where(minv > 0.0, v_new, 0.0)
+        return theta + v_new, v_new
+
+    return update
+
+
+def _sgld_rule(float_ref):
+    """SGLD: Welling & Teh momentum-free update with the frozen ``minv``
+    (:mod:`pysgmcmc_tpu.samplers.sgld` semantics)."""
+    eps = float_ref[0]
+    a_coef = float_ref[1]
+    a_over_sg = float_ref[2]
+    prior_scale = float_ref[3]
+
+    def update(theta, v, grad, eta, minv, xi=None):
+        minv = minv.astype(jnp.float32)
+        g = grad + prior_scale * theta
+        sigma = jnp.sqrt(jnp.maximum(
+            2.0 * eps * minv * a_over_sg, 0.0))
+        delta = -eps * minv * a_coef * g + sigma * eta
+        return theta + jnp.where(minv > 0.0, delta, 0.0), None
+
+    return update
+
+
+def _psgld_rule(float_ref):
+    """pSGLD: RMSprop-preconditioned update, accumulator adapting every
+    step (:mod:`pysgmcmc_tpu.samplers.psgld` semantics)."""
+    eps = float_ref[0]
+    alpha = float_ref[1]
+    lam = float_ref[2]
+    inv_sg = float_ref[3]
+    prior_scale = float_ref[4]
+
+    def update(theta, v, grad, eta, valid, xi=None):
+        v32 = v.astype(jnp.float32)
+        g = grad + prior_scale * theta
+        v_new = alpha * v32 + (1.0 - alpha) * g * g
+        precond = 1.0 / (lam + jnp.sqrt(jnp.maximum(v_new, 0.0)))
+        sigma = jnp.sqrt(jnp.maximum(eps * precond * inv_sg, 0.0))
+        delta = -0.5 * eps * precond * g + sigma * eta
+        return theta + delta * valid, v_new * valid
+
+    return update
+
+
+def _sgnht_rule(float_ref):
+    """SGNHT: Nosé-Hoover thermostat momentum update
+    (:mod:`pysgmcmc_tpu.samplers.sgnht`, Ding et al. 2014).  ``xi`` is
+    the geometry-matched broadcast of each chain's thermostat; the
+    generators handle the kinetic-energy reduction and the xi update."""
+    eps = float_ref[0]
+    sigma = float_ref[1]
+    prior_scale = float_ref[2]
+
+    def update(theta, v, grad, eta, valid, xi=None):
+        v32 = v.astype(jnp.float32)
+        g = grad + prior_scale * theta
+        p_new = (v32 - xi * eps * v32 - eps * g + sigma * eta) * valid
+        return theta + eps * p_new, p_new
+
+    return update
+
+
+def _rsghmc_rule(float_ref):
+    """Relativistic SGHMC: Lu et al. 2017 momentum update —
+    log-likelihood-convention gradients and the relativistic velocity
+    (one rsqrt per element on the VPU;
+    :mod:`pysgmcmc_tpu.samplers.relativistic_sghmc` semantics)."""
+    eps = float_ref[0]
+    noise_scale = float_ref[1]
+    prior_scale = float_ref[2]
+    inv_mc2 = float_ref[3]
+    inv_m = float_ref[4]
+    d_coef = float_ref[5]
+
+    def vel(p):
+        return eps * p * inv_m * jax.lax.rsqrt(p * p * inv_mc2 + 1.0)
+
+    def update(theta, v, grad, eta, valid, xi=None):
+        p = v.astype(jnp.float32)
+        loglik_g = -(grad + prior_scale * theta)
+        p_new = (p + eps * loglik_g + noise_scale * eta
+                 - d_coef * vel(p)) * valid
+        return theta + vel(p_new) * valid, p_new
+
+    return update
+
+
+RULE_SGHMC = KernelRule("sghmc", _sghmc_rule, minv=True)
+RULE_SGLD = KernelRule("sgld", _sgld_rule, aux=False, minv=True)
+RULE_PSGLD = KernelRule("psgld", _psgld_rule)
+RULE_SGNHT = KernelRule("sgnht", _sgnht_rule, xi=True)
+RULE_RSGHMC = KernelRule("rsghmc", _rsghmc_rule)
+
+
+def _slab_sumsq(p):
+    """Per-chain sum of squares of a ``(C, rows, s)`` slab -> ``(C, 1)``."""
+    return jnp.sum(
+        jnp.sum(p * p, axis=2, keepdims=True),
+        axis=1, keepdims=True)[:, 0, :]
+
+
+def _half_sumsq(p, c, s):
+    """Per-chain sums of squares from a paired ``(Cp, 2s, 2s)`` slab's
+    diagonal row halves -> ``(C, 1)`` (off-block cells are zero via the
+    paired validity mask, so summing full rows is exact)."""
+    sq = p * p
+    s_a = jnp.sum(
+        jnp.sum(sq[:, 0:s, :], axis=2, keepdims=True),
+        axis=1, keepdims=True)
+    s_b = jnp.sum(
+        jnp.sum(sq[:, s:2 * s, :], axis=2, keepdims=True),
+        axis=1, keepdims=True)
+    return jnp.stack([s_a[:, 0, :], s_b[:, 0, :]], axis=1).reshape(c, 1)
+
+
+def _per_step_table(eps, k_steps, cols):
+    """Build the ``(k_steps, n)`` per-step scalar table for a multi-step
+    kernel.
+
+    ``eps`` is a scalar (constant schedules — every row identical) or a
+    ``(k_steps,)`` vector of per-step stepsizes; ``cols(eps_vec)``
+    returns the list of ``(k_steps,)`` columns for the sampler's scalar
+    layout.  The kernels read row ``t`` inside the step loop, so
+    step-varying schedules are EXACT through the multi-step path (the
+    round-3 drivers evaluated the schedule once per k-step segment)."""
+    eps_vec = jnp.broadcast_to(
+        jnp.asarray(eps, jnp.float32).reshape(-1), (k_steps,))
+    return jnp.stack(cols(eps_vec), axis=1)
+
+
+def _take_refs(refs):
+    """Positional-ref unpacker for the generators' ``*refs`` kernels."""
+    refs = list(refs)
+
+    def take(n):
+        out = refs[:n]
+        del refs[:n]
+        return out if n > 1 else out[0]
+
+    return refs, take
+
+
+#  The three kernel generators ------------------------------------------------
+
+def _make_kernel_family(rule, batch_size, n_data, with_noise, block_chains,
+                        n_inputs, h, s=S, bias_row=BIAS_ROW,
+                        n_windows=None):
+    """Whole-step kernel generator for the fused BNN family.
+
+    One fused forward + heteroscedastic likelihood + backward
+    (:func:`_fwd_bwd`) + ``rule``-specific update per launch.  Ref
+    layout (after the two prefetched scalar refs): theta slabs, aux
+    slabs (``rule.aux``), xi row (``rule.xi``), minv slabs
+    (``rule.minv``), minibatch — or the shared window tables when
+    ``n_windows`` is set (the select-in-kernel path, incompatible with
+    noise injection) — optional injected-noise slabs, then the outputs
+    (theta, aux, xi) and the standard scratch set."""
     inv_b = 1.0 / batch_size
     inv_n = 1.0 / n_data
     C = block_chains
+    big_rows = s + VEC_ROWS
 
-    def kernel(int_ref, float_ref,
-               tbig, tw3, mbig, mw3, xin_ref, y_ref, *rest):
+    def kernel(int_ref, float_ref, *refs):
+        refs, take = _take_refs(refs)
+        tbig, tw3 = take(2)
+        vbig = vw3 = xi_ref = mbig = mw3 = nbig = nw3 = None
+        if rule.aux:
+            vbig, vw3 = take(2)
+        if rule.xi:
+            xi_ref = take(1)
+        if rule.minv:
+            mbig, mw3 = take(2)
+        xin_ref, y_ref = take(2)
         if with_noise:
-            nbig, nw3, obig, ow3, s_a1, s_a2, s_a3, s_gvec = rest
-        else:
-            obig, ow3, s_a1, s_a2, s_a3, s_gvec = rest
+            nbig, nw3 = take(2)
+        obig, ow3 = take(2)
+        pbig = pw3 = xi_out = None
+        if rule.aux:
+            pbig, pw3 = take(2)
+        if rule.xi:
+            xi_out = take(1)
+        s_a1, s_a2, s_a3, s_gvec = refs
+
+        if not with_noise:
             pltpu.prng_seed(int_ref[0], pl.program_id(0))
-        eps = float_ref[0]
-        a_coef = float_ref[1]
-        a_over_sg = float_ref[2]
-        prior_scale = float_ref[3]
+        update = rule.make_update(float_ref)
 
         brow = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD), 1)
         bmask = (brow < batch_size).astype(jnp.float32)
         lane3 = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD, s), 2)
         lane2 = jax.lax.broadcasted_iota(jnp.int32, (C, s), 1)
 
+        if n_windows is not None:
+            # xin_ref/y_ref are the SHARED window tables: draw each
+            # chain's window from the in-kernel PRNG and gather in VMEM
+            win_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (C, n_windows), 1)
+            xin_bf, y = _select_window_bf(
+                C, n_windows, win_iota, xin_ref, y_ref, n_inputs)
+        else:
+            xin_bf = xin_ref[:].astype(jnp.bfloat16)
+            y = y_ref[:]
+
         cost, g_w2, g_vec, g_w3 = _fwd_bwd(
-            tbig[:], tw3[:], xin_ref[:].astype(jnp.bfloat16), y_ref[:],
-            bmask, lane3, lane2, s_a1, s_a2, s_a3, s_gvec,
-            inv_b, inv_n, n_inputs, C, s, bias_row)
+            tbig[:], tw3[:], xin_bf, y, bmask, lane3, lane2,
+            s_a1, s_a2, s_a3, s_gvec, inv_b, inv_n, n_inputs, C, s,
+            bias_row)
 
         if with_noise:
-            etas = (nbig[:][:, 0:s, :], nbig[:][:, s:(s + VEC_ROWS), :], nw3[:])
+            etas = (nbig[:][:, 0:s, :], nbig[:][:, s:big_rows, :], nw3[:])
         else:
             etas = _block_etas(C, s, bias_row)
 
-        def _update(theta, minv, grad, eta):
-            minv = minv.astype(jnp.float32)
-            g = grad + prior_scale * theta
-            sigma = jnp.sqrt(jnp.maximum(
-                2.0 * eps * minv * a_over_sg, 0.0))
-            delta = -eps * minv * a_coef * g + sigma * eta
-            return theta + jnp.where(minv > 0.0, delta, 0.0)
+        if rule.minv:
+            masks = (mbig[:, 0:s, :], mbig[:, s:big_rows, :], mw3[:])
+        else:
+            mat_valid, vec_valid = _psgld_valid_masks(
+                C, n_inputs, h, s, bias_row)
+            masks = (mat_valid, vec_valid, mat_valid)
+        xi3 = xi_ref[:, 0:1][:, :, None] if rule.xi else None
 
-        obig[:, 0:s, :] = _update(
-            tbig[:, 0:s, :], mbig[:, 0:s, :], g_w2, etas[0])
-        obig[:, s:(s + VEC_ROWS), :] = _update(
-            tbig[:, s:(s + VEC_ROWS), :], mbig[:, s:(s + VEC_ROWS), :], g_vec, etas[1])
-        ow3[:] = _update(tw3[:], mw3[:], g_w3, etas[2])
-        obig[:, (s + VEC_ROWS) - 1, LANE_B4:LANE_B4 + 1] = cost
+        theta_slabs = (tbig[:, 0:s, :], tbig[:, s:big_rows, :], tw3[:])
+        aux_slabs = (
+            (vbig[:, 0:s, :], vbig[:, s:big_rows, :], vw3[:])
+            if rule.aux else (None, None, None))
+        grads = (g_w2, g_vec, g_w3)
+        stats = []
+        outs = []
+        for i in range(3):
+            t_new, a_new = update(
+                theta_slabs[i], aux_slabs[i], grads[i], etas[i],
+                masks[i], xi3)
+            if rule.xi:
+                stats.append(_slab_sumsq(a_new))
+            outs.append((t_new, a_new))
+
+        obig[:, 0:s, :] = outs[0][0]
+        obig[:, s:big_rows, :] = outs[1][0]
+        ow3[:] = outs[2][0]
+        if rule.aux:
+            pbig[:, 0:s, :] = outs[0][1].astype(pbig.dtype)
+            pbig[:, s:big_rows, :] = outs[1][1].astype(pbig.dtype)
+            pw3[:] = outs[2][1].astype(pw3.dtype)
+        if rule.xi:
+            kinetic = (stats[0] + stats[1] + stats[2]) * float_ref[3]
+            xi_new = xi_ref[:, 0:1] + float_ref[0] * (kinetic - 1.0)
+            xi_out[:, :] = xi_new + jnp.zeros((C, 128), jnp.float32)
+        # cost rides lane 0 of the last row of the f32 theta slab (bf16
+        # single-lane stores are unsupported).  Self-consistent: the
+        # row's aux state stays masked, its gradient is zero, the
+        # forward and unpack never read it, each step overwrites it.
+        obig[:, big_rows - 1, LANE_B4:LANE_B4 + 1] = cost
 
     return kernel
+
+
+def _make_multistep_kernel_family(rule, batch_size, n_data, block_chains,
+                                  n_windows, k_steps, h, s=S,
+                                  bias_row=BIAS_ROW, n_inputs=1):
+    """Multi-step kernel generator: ``k_steps`` ``rule`` updates per
+    launch with ALL aliased state (theta, aux, xi) resident in the
+    output refs across a ``fori_loop`` — intermediate states never
+    round-trip HBM.  The minibatch window is drawn from the in-kernel
+    PRNG every step (:func:`_select_window_bf`); the per-chain cost of
+    the LAST step rides the usual slab row (thinned-driver
+    ``costs[-1]`` semantics).
+
+    The prefetched float scalars arrive as a ``(k_steps, n)`` PER-STEP
+    table (SMEM); the loop body reads row ``t``, so step-varying
+    stepsize schedules are exact — the drivers evaluate the schedule
+    host-side per inner step (:func:`_per_step_table`)."""
+    inv_b = 1.0 / batch_size
+    inv_n = 1.0 / n_data
+    C = block_chains
+    big_rows = s + VEC_ROWS
+
+    def kernel(int_ref, float_ref, *refs):
+        refs, take = _take_refs(refs)
+        tbig, tw3 = take(2)
+        vbig = vw3 = xi_ref = mbig = mw3 = None
+        if rule.aux:
+            vbig, vw3 = take(2)
+        if rule.xi:
+            xi_ref = take(1)
+        if rule.minv:
+            mbig, mw3 = take(2)
+        xw_ref, yw_ref = take(2)
+        obig, ow3 = take(2)
+        pbig = pw3 = xi_out = None
+        if rule.aux:
+            pbig, pw3 = take(2)
+        if rule.xi:
+            xi_out = take(1)
+        s_a1, s_a2, s_a3, s_gvec = refs
+
+        pltpu.prng_seed(int_ref[0], pl.program_id(0))
+        n_cols = float_ref.shape[1]
+
+        # aliased state lives in the output refs for the whole loop
+        obig[:] = tbig[:]
+        ow3[:] = tw3[:]
+        if rule.aux:
+            pbig[:] = vbig[:]
+            pw3[:] = vw3[:]
+        if rule.xi:
+            xi_out[:] = xi_ref[:]
+
+        brow = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD), 1)
+        bmask = (brow < batch_size).astype(jnp.float32)
+        lane3 = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD, s), 2)
+        lane2 = jax.lax.broadcasted_iota(jnp.int32, (C, s), 1)
+        win_iota = jax.lax.broadcasted_iota(jnp.int32, (C, n_windows), 1)
+        if not rule.minv:
+            mat_valid, vec_valid = _psgld_valid_masks(
+                C, n_inputs, h, s, bias_row)
+
+        def body(t, carry):
+            row = [float_ref[t, j] for j in range(n_cols)]
+            update = rule.make_update(row)
+            xin_bf, y = _select_window_bf(
+                C, n_windows, win_iota, xw_ref, yw_ref, n_inputs)
+
+            cost, g_w2, g_vec, g_w3 = _fwd_bwd(
+                obig[:], ow3[:], xin_bf, y,
+                bmask, lane3, lane2, s_a1, s_a2, s_a3, s_gvec,
+                inv_b, inv_n, n_inputs, C, s, bias_row)
+
+            etas = _block_etas(C, s)
+            if rule.minv:
+                masks = (mbig[:, 0:s, :], mbig[:, s:big_rows, :], mw3[:])
+            else:
+                masks = (mat_valid, vec_valid, mat_valid)
+            xi3 = xi_out[:, 0:1][:, :, None] if rule.xi else None
+
+            theta_slabs = (obig[:, 0:s, :], obig[:, s:big_rows, :],
+                           ow3[:])
+            aux_slabs = (
+                (pbig[:, 0:s, :], pbig[:, s:big_rows, :], pw3[:])
+                if rule.aux else (None, None, None))
+            grads = (g_w2, g_vec, g_w3)
+            stats = []
+            outs = []
+            for i in range(3):
+                t_new, a_new = update(
+                    theta_slabs[i], aux_slabs[i], grads[i], etas[i],
+                    masks[i], xi3)
+                if rule.xi:
+                    stats.append(_slab_sumsq(a_new))
+                outs.append((t_new, a_new))
+
+            obig[:, 0:s, :] = outs[0][0]
+            obig[:, s:big_rows, :] = outs[1][0]
+            ow3[:] = outs[2][0]
+            if rule.aux:
+                pbig[:, 0:s, :] = outs[0][1].astype(pbig.dtype)
+                pbig[:, s:big_rows, :] = outs[1][1].astype(pbig.dtype)
+                pw3[:] = outs[2][1].astype(pw3.dtype)
+            if rule.xi:
+                kinetic = (stats[0] + stats[1] + stats[2]) * row[3]
+                xi_new = xi_out[:, 0:1] + row[0] * (kinetic - 1.0)
+                xi_out[:, :] = xi_new + jnp.zeros((C, 128), jnp.float32)
+            obig[:, big_rows - 1, LANE_B4:LANE_B4 + 1] = cost
+            return carry
+
+        jax.lax.fori_loop(0, k_steps, body, 0)
+
+    return kernel
+
+
+def _make_multistep_kernel_family_paired(rule, batch_size, n_data,
+                                         block_chains, n_windows, k_steps,
+                                         h, n_inputs=1):
+    """Paired-dot multi-step generator: as
+    :func:`_make_multistep_kernel_family` but with the W2/W3 state
+    packed ONCE per launch into persistent block-diagonal (Cp, 2s, 2s)
+    scratch so every MXU dot contracts the full 128-lane depth at half
+    the instance count (:func:`_fwd_bwd_paired`), and unpacked once at
+    the end.  Off-diagonal discipline comes for free from the rule's own
+    masking: the paired minv's zeros freeze cross-chain cells (minv
+    rules), or the paired validity mask zeroes them (static-mask rules).
+    The vector rows stay unpaired.  64-slot layout / even blocks."""
+    inv_b = 1.0 / batch_size
+    inv_n = 1.0 / n_data
+    C = block_chains
+    Cp = C // 2
+    s = S
+    big_rows = s + VEC_ROWS
+
+    def kernel(int_ref, float_ref, *refs):
+        refs, take = _take_refs(refs)
+        tbig, tw3 = take(2)
+        vbig = vw3 = xi_ref = mbig = mw3 = None
+        if rule.aux:
+            vbig, vw3 = take(2)
+        if rule.xi:
+            xi_ref = take(1)
+        if rule.minv:
+            mbig, mw3 = take(2)
+        xw_ref, yw_ref = take(2)
+        obig, ow3 = take(2)
+        pbig = pw3 = xi_out = None
+        if rule.aux:
+            pbig, pw3 = take(2)
+        if rule.xi:
+            xi_out = take(1)
+        s_a1, s_a2, s_a3, s_gvec = take(4)
+        p_w2, p_w3 = take(2)
+        p_v2 = p_v3 = p_m2 = p_m3 = None
+        if rule.aux:
+            p_v2, p_v3 = take(2)
+        if rule.minv:
+            p_m2, p_m3 = take(2)
+
+        pltpu.prng_seed(int_ref[0], pl.program_id(0))
+        n_cols = float_ref.shape[1]
+
+        # vector-row state rides the output refs; W2/W3 state is PAIRED
+        # in persistent scratch for the whole loop
+        obig[:] = tbig[:]
+        ow3[:] = tw3[:]
+        p_w2[:] = _pair_mats(tbig[:, 0:s, :], Cp, s)
+        p_w3[:] = _pair_mats(tw3[:], Cp, s)
+        if rule.aux:
+            pbig[:] = vbig[:]
+            pw3[:] = vw3[:]
+            p_v2[:] = _pair_mats(
+                vbig[:, 0:s, :].astype(jnp.float32), Cp, s)
+            p_v3[:] = _pair_mats(vw3[:].astype(jnp.float32), Cp, s)
+        if rule.minv:
+            p_m2[:] = _pair_mats(
+                mbig[:, 0:s, :].astype(jnp.float32), Cp, s)
+            p_m3[:] = _pair_mats(mw3[:].astype(jnp.float32), Cp, s)
+        if rule.xi:
+            xi_out[:] = xi_ref[:]
+
+        brow = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD), 1)
+        bmask = (brow < batch_size).astype(jnp.float32)
+        lane2 = jax.lax.broadcasted_iota(jnp.int32, (C, s), 1)
+        lane3p = jax.lax.broadcasted_iota(
+            jnp.int32, (Cp, B_PAD, 2 * s), 2)
+        bias_lane_p = (lane3p % s) == BIAS_ROW
+        first_half = lane3p < s
+        p_move = _paired_fold_const(s)
+        win_iota = jax.lax.broadcasted_iota(jnp.int32, (C, n_windows), 1)
+
+        if not rule.minv:
+            # paired validity: diagonal blocks ∩ the usual row/lane
+            # validity, in the PAIRED (Cp, 2s, 2s) geometry
+            rowm = jax.lax.broadcasted_iota(
+                jnp.int32, (Cp, 2 * s, 2 * s), 1)
+            lanem = jax.lax.broadcasted_iota(
+                jnp.int32, (Cp, 2 * s, 2 * s), 2)
+            same_block = (rowm < s) == (lanem < s)
+            rr = rowm % s
+            ll = lanem % s
+            mat_valid_p = (
+                same_block & ((rr < h) | (rr == BIAS_ROW)) & (ll < h)
+            ).astype(jnp.float32)
+            row_first_half = rowm < s
+            _, vec_valid = _psgld_valid_masks(C, n_inputs, h, s, BIAS_ROW)
+
+        def body(t, carry):
+            row = [float_ref[t, j] for j in range(n_cols)]
+            update = rule.make_update(row)
+            xin_bf, y = _select_window_bf(
+                C, n_windows, win_iota, xw_ref, yw_ref, n_inputs)
+
+            cost, g_w2p, g_vec, g_w3p = _fwd_bwd_paired(
+                obig[:], p_w2[:].astype(jnp.bfloat16),
+                p_w3[:].astype(jnp.bfloat16), xin_bf, y, bmask,
+                lane2, lane3p, bias_lane_p, first_half, p_move,
+                s_a1, s_a2, s_a3, s_gvec, inv_b, inv_n, C, s,
+                n_inputs)
+
+            # one full-width draw covers both paired slabs (rows are
+            # even, so Box-Muller runs dual-output), plus the small
+            # unpaired vector-rows draw
+            eta_p = _normal_3d((Cp, 4 * s, 2 * s))
+            eta_vec = _normal_3d((C, VEC_ROWS, s))
+
+            if rule.minv:
+                masks = (p_m2[:], mbig[:, s:big_rows, :], p_m3[:])
+            else:
+                masks = (mat_valid_p, vec_valid, mat_valid_p)
+            if rule.xi:
+                xi_col = xi_out[:, 0:1]
+                xi3 = xi_col[:, :, None]
+                xir = xi_col.reshape(Cp, 2, 1)
+                xi_p = jnp.where(
+                    row_first_half, xir[:, 0:1, :], xir[:, 1:2, :])
+            else:
+                xi3 = xi_p = None
+
+            # paired W2 slab
+            t_new, a_new = update(
+                p_w2[:], p_v2[:] if rule.aux else None,
+                g_w2p, eta_p[:, 0:2 * s, :], masks[0], xi_p)
+            p_w2[:] = t_new
+            ss_w2 = _half_sumsq(a_new, C, s) if rule.xi else None
+            if rule.aux:
+                p_v2[:] = a_new
+            # paired W3 slab
+            t_new, a_new = update(
+                p_w3[:], p_v3[:] if rule.aux else None,
+                g_w3p, eta_p[:, 2 * s:4 * s, :], masks[2], xi_p)
+            p_w3[:] = t_new
+            ss_w3 = _half_sumsq(a_new, C, s) if rule.xi else None
+            if rule.aux:
+                p_v3[:] = a_new
+            # vector rows (unpaired, exactly the standard kernel)
+            t_new, a_new = update(
+                obig[:, s:big_rows, :],
+                pbig[:, s:big_rows, :] if rule.aux else None,
+                g_vec, eta_vec, masks[1], xi3)
+            obig[:, s:big_rows, :] = t_new
+            if rule.aux:
+                pbig[:, s:big_rows, :] = a_new.astype(pbig.dtype)
+            if rule.xi:
+                ss_vec = _slab_sumsq(a_new)
+                kinetic = (ss_w2 + ss_vec + ss_w3) * row[3]
+                xi_new = xi_out[:, 0:1] + row[0] * (kinetic - 1.0)
+                xi_out[:, :] = xi_new + jnp.zeros((C, 128), jnp.float32)
+            obig[:, big_rows - 1, LANE_B4:LANE_B4 + 1] = cost
+            return carry
+
+        jax.lax.fori_loop(0, k_steps, body, 0)
+
+        # unpack the paired state back into the (aliased) output slabs;
+        # the cost-row write targets the vector-rows region, which the
+        # W2 unpack does not touch
+        obig[:, 0:s, :] = _unpair_mats(p_w2[:], C, s)
+        ow3[:] = _unpair_mats(p_w3[:], C, s)
+        if rule.aux:
+            pbig[:, 0:s, :] = _unpair_mats(p_v2[:], C, s).astype(
+                pbig.dtype)
+            pw3[:] = _unpair_mats(p_v3[:], C, s).astype(pw3.dtype)
+
+    return kernel
+
+
+def _family_call(rule, kernel, theta, aux, xi, minv, data_ops, data_specs,
+                 noise, aux_dtype, block_chains, interpret, pair_dots,
+                 int_scalars, float_scalars):
+    """Shared pallas_call plumbing for every fused-family driver.
+
+    Builds operands / specs / out_shape / aliases from the rule: inputs
+    are [theta, aux?, xi?, minv?, data..., noise?]; outputs
+    [theta (f32), aux (``aux_dtype``)?, xi (f32)?].  theta/aux/xi alias
+    their outputs 1:1; the read-only sets (minv, data, noise) do not.
+    Returns ``(theta', aux', xi', cost)`` with the unused slots None."""
+    tbig, _ = theta
+    n_chains = tbig.shape[0]
+    s = tbig.shape[2]
+    state_specs = [_big_spec(block_chains, s), _mat_spec(block_chains, s)]
+    xi_spec = pl.BlockSpec(
+        (block_chains, 128), lambda i, *_: (i, 0),
+        memory_space=pltpu.VMEM)
+
+    in_specs = list(state_specs)
+    operands = list(theta)
+    n_aliased = 2
+    if rule.aux:
+        in_specs += state_specs
+        operands += list(aux)
+        n_aliased += 2
+    if rule.xi:
+        in_specs += [xi_spec]
+        operands += [xi]
+        n_aliased += 1
+    if rule.minv:
+        in_specs += state_specs
+        operands += list(minv)
+    in_specs += list(data_specs)
+    operands += list(data_ops)
+    if noise is not None:
+        in_specs += state_specs
+        operands += list(noise)
+
+    out_shape = [jax.ShapeDtypeStruct(t.shape, jnp.float32) for t in theta]
+    out_specs = list(state_specs)
+    if rule.aux:
+        out_shape += [
+            jax.ShapeDtypeStruct(t.shape, aux_dtype) for t in theta]
+        out_specs += state_specs
+    if rule.xi:
+        out_shape += [jax.ShapeDtypeStruct((n_chains, 128), jnp.float32)]
+        out_specs += [xi_spec]
+
+    # the first n_aliased operands (theta, aux, xi) alias the outputs
+    # 1:1 (indices offset by the 2 prefetched scalar operands)
+    aliases = {i + 2: i for i in range(n_aliased)}
+
+    if pair_dots:
+        n_slabs = 2 + (2 if rule.aux else 0) + (2 if rule.minv else 0)
+        scratch = _paired_scratch(block_chains, s, n_slabs)
+    else:
+        scratch = _multistep_scratch(block_chains, s)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_chains // block_chains,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        scratch_shapes=scratch,
+    )
+    interpreter = pltpu.InterpretParams() if interpret else False
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=tuple(out_shape),
+        input_output_aliases=aliases,
+        # v5e has 128 MB of physical VMEM; the compiler's default 16 MB
+        # scoped budget is too tight for the double-buffered state slabs
+        # plus the kernel's dot temporaries at useful block sizes
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpreter,
+    )(int_scalars, float_scalars, *operands)
+    theta_new = tuple(outs[0:2])
+    cost = theta_new[0][:, s + VEC_ROWS - 1, 0:1]
+    pos = 2
+    aux_new = None
+    if rule.aux:
+        aux_new = tuple(outs[2:4])
+        pos = 4
+    xi_new = outs[pos] if rule.xi else None
+    return theta_new, aux_new, xi_new, cost
 
 
 def _psgld_valid_masks(block_chains, n_inputs, h, s=S, bias_row=BIAS_ROW):
@@ -1664,87 +1726,15 @@ def _psgld_valid_masks(block_chains, n_inputs, h, s=S, bias_row=BIAS_ROW):
     return mat_valid, vec_valid
 
 
-def _make_kernel_psgld(batch_size, n_data, with_noise, block_chains,
-                       n_inputs, h, s=S, bias_row=BIAS_ROW):
-    """pSGLD whole-step kernel: fused fwd/bwd + RMSprop-preconditioned
-    update with the accumulator adapting in-kernel every step
-    (:mod:`pysgmcmc_tpu.samplers.psgld` semantics)."""
-    inv_b = 1.0 / batch_size
-    inv_n = 1.0 / n_data
-    C = block_chains
-
-    def kernel(int_ref, float_ref,
-               tbig, tw3, vbig, vw3, xin_ref, y_ref, *rest):
-        if with_noise:
-            nbig, nw3, obig, ow3, pbig, pw3, s_a1, s_a2, s_a3, s_gvec = rest
-        else:
-            obig, ow3, pbig, pw3, s_a1, s_a2, s_a3, s_gvec = rest
-            pltpu.prng_seed(int_ref[0], pl.program_id(0))
-        eps = float_ref[0]
-        alpha = float_ref[1]
-        lam = float_ref[2]
-        inv_sg = float_ref[3]
-        prior_scale = float_ref[4]
-
-        brow = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD), 1)
-        bmask = (brow < batch_size).astype(jnp.float32)
-        lane3 = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD, s), 2)
-        lane2 = jax.lax.broadcasted_iota(jnp.int32, (C, s), 1)
-        mat_valid, vec_valid = _psgld_valid_masks(C, n_inputs, h, s, bias_row)
-
-        cost, g_w2, g_vec, g_w3 = _fwd_bwd(
-            tbig[:], tw3[:], xin_ref[:].astype(jnp.bfloat16), y_ref[:],
-            bmask, lane3, lane2, s_a1, s_a2, s_a3, s_gvec,
-            inv_b, inv_n, n_inputs, C, s, bias_row)
-
-        if with_noise:
-            etas = (nbig[:][:, 0:s, :], nbig[:][:, s:(s + VEC_ROWS), :], nw3[:])
-        else:
-            etas = _block_etas(C, s, bias_row)
-
-        def _update(theta, v, grad, eta, valid):
-            v32 = v.astype(jnp.float32)
-            g = grad + prior_scale * theta
-            v_new = alpha * v32 + (1.0 - alpha) * g * g
-            precond = 1.0 / (lam + jnp.sqrt(jnp.maximum(v_new, 0.0)))
-            sigma = jnp.sqrt(jnp.maximum(eps * precond * inv_sg, 0.0))
-            delta = -0.5 * eps * precond * g + sigma * eta
-            return theta + delta * valid, v_new * valid
-
-        t_new, v_new = _update(
-            tbig[:, 0:s, :], vbig[:, 0:s, :], g_w2, etas[0], mat_valid)
-        obig[:, 0:s, :] = t_new
-        pbig[:, 0:s, :] = v_new.astype(pbig.dtype)
-        t_new, v_new = _update(
-            tbig[:, s:(s + VEC_ROWS), :], vbig[:, s:(s + VEC_ROWS), :], g_vec,
-            etas[1], vec_valid)
-        obig[:, s:(s + VEC_ROWS), :] = t_new
-        pbig[:, s:(s + VEC_ROWS), :] = v_new.astype(pbig.dtype)
-        t_new, v_new = _update(tw3[:], vw3[:], g_w3, etas[2], mat_valid)
-        ow3[:] = t_new
-        pw3[:] = v_new.astype(pw3.dtype)
-        obig[:, (s + VEC_ROWS) - 1, LANE_B4:LANE_B4 + 1] = cost
-
-    return kernel
-
-
-def _fused_family_specs(block_chains, n_inputs, s=S):
-    def mat_spec():
-        return pl.BlockSpec((block_chains, s, s), lambda i, *_: (i, 0, 0),
-                            memory_space=pltpu.VMEM)
-
-    def big_spec():
-        return pl.BlockSpec(
-            (block_chains, (s + VEC_ROWS), s), lambda i, *_: (i, 0, 0),
-            memory_space=pltpu.VMEM)
-
+def _batch_specs(block_chains, n_inputs):
+    """Per-block (xin, y) minibatch specs for the per-step drivers."""
     xin_spec = pl.BlockSpec(
         (block_chains, B_PAD, n_inputs + 1), lambda i, *_: (i, 0, 0),
         memory_space=pltpu.VMEM)
     y_spec = pl.BlockSpec(
         (block_chains, B_PAD), lambda i, *_: (i, 0),
         memory_space=pltpu.VMEM)
-    return big_spec, mat_spec, xin_spec, y_spec
+    return xin_spec, y_spec
 
 
 def _fused_xin(x_sel, n_inputs):
@@ -1791,40 +1781,14 @@ def fused_bnn_step_sgld(
         jnp.asarray(prior_scale, jnp.float32),
     ])
 
-    big_spec, mat_spec, xin_spec, y_spec = _fused_family_specs(
-        block_chains, n_inputs, s)
-    state_specs = [big_spec(), mat_spec()]
-    in_specs = state_specs + state_specs + [xin_spec, y_spec]
-    operands = list(theta) + list(minv) + [xin, y_sel]
-    with_noise = noise is not None
-    if with_noise:
-        in_specs = in_specs + state_specs
-        operands = operands + list(noise)
-
-    out_shape = tuple(
-        jax.ShapeDtypeStruct(t.shape, jnp.float32) for t in theta)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_chains // block_chains,),
-        in_specs=in_specs,
-        out_specs=tuple(state_specs),
-        scratch_shapes=_multistep_scratch(block_chains, s),
-    )
-    kernel = _make_kernel_sgld(
-        float(batch_size), float(n_data), with_noise, block_chains,
-        n_inputs, s=s, bias_row=bias_row)
-    interpreter = pltpu.InterpretParams() if interpret else False
-    outs = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=out_shape,
-        input_output_aliases={2: 0, 3: 1},
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpreter,
-    )(int_scalars, float_scalars, *operands)
-    theta_new = tuple(outs[0:2])
-    cost = theta_new[0][:, (s + VEC_ROWS) - 1, 0:1]
+    xin_spec, y_spec = _batch_specs(block_chains, n_inputs)
+    kernel = _make_kernel_family(
+        RULE_SGLD, float(batch_size), float(n_data), noise is not None,
+        block_chains, n_inputs, 0, s=s, bias_row=bias_row)
+    theta_new, _, _, cost = _family_call(
+        RULE_SGLD, kernel, theta, None, None, minv,
+        [xin, y_sel], [xin_spec, y_spec], noise, None, block_chains,
+        interpret, False, int_scalars, float_scalars)
     return theta_new, cost
 
 
@@ -1867,125 +1831,15 @@ def fused_bnn_step_psgld(
         jnp.asarray(prior_scale, jnp.float32),
     ])
 
-    big_spec, mat_spec, xin_spec, y_spec = _fused_family_specs(
-        block_chains, n_inputs, s)
-    state_specs = [big_spec(), mat_spec()]
-    in_specs = state_specs + state_specs + [xin_spec, y_spec]
-    operands = list(theta) + list(v) + [xin, y_sel]
-    with_noise = noise is not None
-    if with_noise:
-        in_specs = in_specs + state_specs
-        operands = operands + list(noise)
-
-    out_shape = (
-        tuple(jax.ShapeDtypeStruct(t.shape, jnp.float32) for t in theta)
-        + tuple(jax.ShapeDtypeStruct(t.shape, state_dtype) for t in theta)
-    )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_chains // block_chains,),
-        in_specs=in_specs,
-        out_specs=tuple(state_specs) + tuple(state_specs),
-        scratch_shapes=_multistep_scratch(block_chains, s),
-    )
-    aliases = {i + 2: i for i in range(2)}
-    aliases.update({i + 4: i + 2 for i in range(2)})
-    kernel = _make_kernel_psgld(
-        float(batch_size), float(n_data), with_noise, block_chains,
-        n_inputs, int(h), s=s, bias_row=bias_row)
-    interpreter = pltpu.InterpretParams() if interpret else False
-    outs = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=out_shape,
-        input_output_aliases=aliases,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpreter,
-    )(int_scalars, float_scalars, *operands)
-    theta_new = tuple(outs[0:2])
-    v_new = tuple(outs[2:4])
-    cost = theta_new[0][:, (s + VEC_ROWS) - 1, 0:1]
+    xin_spec, y_spec = _batch_specs(block_chains, n_inputs)
+    kernel = _make_kernel_family(
+        RULE_PSGLD, float(batch_size), float(n_data), noise is not None,
+        block_chains, n_inputs, int(h), s=s, bias_row=bias_row)
+    theta_new, v_new, _, cost = _family_call(
+        RULE_PSGLD, kernel, theta, v, None, None,
+        [xin, y_sel], [xin_spec, y_spec], noise, state_dtype,
+        block_chains, interpret, False, int_scalars, float_scalars)
     return theta_new, v_new, cost
-
-
-def _make_kernel_sgnht(batch_size, n_data, with_noise, block_chains,
-                       n_inputs, h, s=S, bias_row=BIAS_ROW):
-    """SGNHT whole-step kernel: fused fwd/bwd + thermostat momentum update.
-
-    Semantics of :mod:`pysgmcmc_tpu.samplers.sgnht` (Ding et al. 2014):
-    the per-chain thermostat ``xi`` rides a replicated ``(C, 128)`` lane
-    row; its update needs the masked kinetic energy ``p'^T p' / d``, a
-    per-chain reduction over all three state slabs that runs in-kernel on
-    the f32 momentum BEFORE the state-dtype cast (the padding cells are
-    zeroed by the same static validity masks as pSGLD —
-    :func:`_psgld_valid_masks` — since SGNHT has no frozen ``minv`` whose
-    zeros mask them).
-    """
-    inv_b = 1.0 / batch_size
-    inv_n = 1.0 / n_data
-    C = block_chains
-
-    def kernel(int_ref, float_ref,
-               tbig, tw3, vbig, vw3, xi_ref, xin_ref, y_ref, *rest):
-        if with_noise:
-            (nbig, nw3, obig, ow3, pbig, pw3, xi_out,
-             s_a1, s_a2, s_a3, s_gvec) = rest
-        else:
-            (obig, ow3, pbig, pw3, xi_out,
-             s_a1, s_a2, s_a3, s_gvec) = rest
-            pltpu.prng_seed(int_ref[0], pl.program_id(0))
-        eps = float_ref[0]
-        sigma = float_ref[1]
-        prior_scale = float_ref[2]
-        inv_d = float_ref[3]
-
-        brow = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD), 1)
-        bmask = (brow < batch_size).astype(jnp.float32)
-        lane3 = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD, s), 2)
-        lane2 = jax.lax.broadcasted_iota(jnp.int32, (C, s), 1)
-        mat_valid, vec_valid = _psgld_valid_masks(C, n_inputs, h, s, bias_row)
-
-        cost, g_w2, g_vec, g_w3 = _fwd_bwd(
-            tbig[:], tw3[:], xin_ref[:].astype(jnp.bfloat16), y_ref[:],
-            bmask, lane3, lane2, s_a1, s_a2, s_a3, s_gvec,
-            inv_b, inv_n, n_inputs, C, s, bias_row)
-
-        if with_noise:
-            etas = (nbig[:][:, 0:s, :], nbig[:][:, s:(s + VEC_ROWS), :], nw3[:])
-        else:
-            etas = _block_etas(C, s, bias_row)
-
-        xi3 = xi_ref[:, 0:1][:, :, None]  # (C, 1, 1) broadcast row
-
-        def _update(theta, v, grad, eta, valid):
-            v32 = v.astype(jnp.float32)
-            g = grad + prior_scale * theta
-            p_new = (v32 - xi3 * eps * v32 - eps * g + sigma * eta) * valid
-            sumsq = jnp.sum(
-                jnp.sum(p_new * p_new, axis=2, keepdims=True),
-                axis=1, keepdims=True)
-            return theta + eps * p_new, p_new, sumsq[:, 0, :]
-
-        t_new, p_new, ss_w2 = _update(
-            tbig[:, 0:s, :], vbig[:, 0:s, :], g_w2, etas[0], mat_valid)
-        obig[:, 0:s, :] = t_new
-        pbig[:, 0:s, :] = p_new.astype(pbig.dtype)
-        t_new, p_new, ss_vec = _update(
-            tbig[:, s:(s + VEC_ROWS), :], vbig[:, s:(s + VEC_ROWS), :],
-            g_vec, etas[1], vec_valid)
-        obig[:, s:(s + VEC_ROWS), :] = t_new
-        pbig[:, s:(s + VEC_ROWS), :] = p_new.astype(pbig.dtype)
-        t_new, p_new, ss_w3 = _update(tw3[:], vw3[:], g_w3, etas[2], mat_valid)
-        ow3[:] = t_new
-        pw3[:] = p_new.astype(pw3.dtype)
-
-        kinetic = (ss_w2 + ss_vec + ss_w3) * inv_d  # (C, 1)
-        xi_new = xi_ref[:, 0:1] + eps * (kinetic - 1.0)
-        xi_out[:, :] = xi_new + jnp.zeros((C, 128), jnp.float32)
-        obig[:, (s + VEC_ROWS) - 1, LANE_B4:LANE_B4 + 1] = cost
-
-    return kernel
 
 
 @functools.partial(
@@ -2036,122 +1890,15 @@ def fused_bnn_step_sgnht(
         jnp.asarray(1.0 / n_dim, jnp.float32),
     ])
 
-    big_spec, mat_spec, xin_spec, y_spec = _fused_family_specs(
-        block_chains, n_inputs, s)
-    xi_spec = pl.BlockSpec(
-        (block_chains, 128), lambda i, *_: (i, 0),
-        memory_space=pltpu.VMEM)
-    state_specs = [big_spec(), mat_spec()]
-    in_specs = state_specs + state_specs + [xi_spec, xin_spec, y_spec]
-    operands = list(theta) + list(v) + [xi, xin, y_sel]
-    with_noise = noise is not None
-    if with_noise:
-        in_specs = in_specs + state_specs
-        operands = operands + list(noise)
-
-    out_shape = (
-        tuple(jax.ShapeDtypeStruct(t.shape, jnp.float32) for t in theta)
-        + tuple(jax.ShapeDtypeStruct(t.shape, state_dtype) for t in theta)
-        + (jax.ShapeDtypeStruct((n_chains, 128), jnp.float32),)
-    )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_chains // block_chains,),
-        in_specs=in_specs,
-        out_specs=tuple(state_specs) + tuple(state_specs) + (xi_spec,),
-        scratch_shapes=_multistep_scratch(block_chains, s),
-    )
-    aliases = {2: 0, 3: 1, 4: 2, 5: 3, 6: 4}
-    kernel = _make_kernel_sgnht(
-        float(batch_size), float(n_data), with_noise, block_chains,
-        n_inputs, int(h), s=s, bias_row=bias_row)
-    interpreter = pltpu.InterpretParams() if interpret else False
-    outs = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=out_shape,
-        input_output_aliases=aliases,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpreter,
-    )(int_scalars, float_scalars, *operands)
-    theta_new = tuple(outs[0:2])
-    v_new = tuple(outs[2:4])
-    xi_new = outs[4]
-    cost = theta_new[0][:, (s + VEC_ROWS) - 1, 0:1]
+    xin_spec, y_spec = _batch_specs(block_chains, n_inputs)
+    kernel = _make_kernel_family(
+        RULE_SGNHT, float(batch_size), float(n_data), noise is not None,
+        block_chains, n_inputs, int(h), s=s, bias_row=bias_row)
+    theta_new, v_new, xi_new, cost = _family_call(
+        RULE_SGNHT, kernel, theta, v, xi, None,
+        [xin, y_sel], [xin_spec, y_spec], noise, state_dtype,
+        block_chains, interpret, False, int_scalars, float_scalars)
     return theta_new, v_new, xi_new, cost
-
-
-def _make_kernel_rsghmc(batch_size, n_data, with_noise, block_chains,
-                        n_inputs, h, s=S, bias_row=BIAS_ROW):
-    """Relativistic SGHMC whole-step kernel (Lu et al. 2017).
-
-    Semantics of :mod:`pysgmcmc_tpu.samplers.relativistic_sghmc`: the
-    dynamics follow the log-likelihood gradient (= -cost gradient), the
-    relativistic velocity ``eps p / (m sqrt(p^2/(m^2 c^2) + 1))`` runs as
-    one rsqrt per element on the VPU, and the momentum marginal has no
-    burn-in phase.  Padding is masked by the static validity masks
-    (:func:`_psgld_valid_masks`); no cross-row reductions.
-    """
-    inv_b = 1.0 / batch_size
-    inv_n = 1.0 / n_data
-    C = block_chains
-
-    def kernel(int_ref, float_ref,
-               tbig, tw3, vbig, vw3, xin_ref, y_ref, *rest):
-        if with_noise:
-            nbig, nw3, obig, ow3, pbig, pw3, s_a1, s_a2, s_a3, s_gvec = rest
-        else:
-            obig, ow3, pbig, pw3, s_a1, s_a2, s_a3, s_gvec = rest
-            pltpu.prng_seed(int_ref[0], pl.program_id(0))
-        eps = float_ref[0]
-        noise_scale = float_ref[1]
-        prior_scale = float_ref[2]
-        inv_mc2 = float_ref[3]
-        inv_m = float_ref[4]
-        d_coef = float_ref[5]
-
-        brow = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD), 1)
-        bmask = (brow < batch_size).astype(jnp.float32)
-        lane3 = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD, s), 2)
-        lane2 = jax.lax.broadcasted_iota(jnp.int32, (C, s), 1)
-        mat_valid, vec_valid = _psgld_valid_masks(C, n_inputs, h, s, bias_row)
-
-        cost, g_w2, g_vec, g_w3 = _fwd_bwd(
-            tbig[:], tw3[:], xin_ref[:].astype(jnp.bfloat16), y_ref[:],
-            bmask, lane3, lane2, s_a1, s_a2, s_a3, s_gvec,
-            inv_b, inv_n, n_inputs, C, s, bias_row)
-
-        if with_noise:
-            etas = (nbig[:][:, 0:s, :], nbig[:][:, s:(s + VEC_ROWS), :], nw3[:])
-        else:
-            etas = _block_etas(C, s, bias_row)
-
-        def vel(p):
-            return eps * p * inv_m * jax.lax.rsqrt(p * p * inv_mc2 + 1.0)
-
-        def _update(theta, v, grad, eta, valid):
-            p = v.astype(jnp.float32)
-            loglik_g = -(grad + prior_scale * theta)
-            p_new = (p + eps * loglik_g + noise_scale * eta
-                     - d_coef * vel(p)) * valid
-            return theta + vel(p_new) * valid, p_new
-
-        t_new, p_new = _update(
-            tbig[:, 0:s, :], vbig[:, 0:s, :], g_w2, etas[0], mat_valid)
-        obig[:, 0:s, :] = t_new
-        pbig[:, 0:s, :] = p_new.astype(pbig.dtype)
-        t_new, p_new = _update(
-            tbig[:, s:(s + VEC_ROWS), :], vbig[:, s:(s + VEC_ROWS), :],
-            g_vec, etas[1], vec_valid)
-        obig[:, s:(s + VEC_ROWS), :] = t_new
-        pbig[:, s:(s + VEC_ROWS), :] = p_new.astype(pbig.dtype)
-        t_new, p_new = _update(tw3[:], vw3[:], g_w3, etas[2], mat_valid)
-        ow3[:] = t_new
-        pw3[:] = p_new.astype(pw3.dtype)
-        obig[:, (s + VEC_ROWS) - 1, LANE_B4:LANE_B4 + 1] = cost
-
-    return kernel
 
 
 @functools.partial(
@@ -2196,196 +1943,15 @@ def fused_bnn_step_rsghmc(
         jnp.asarray(d_coef, jnp.float32),
     ])
 
-    big_spec, mat_spec, xin_spec, y_spec = _fused_family_specs(
-        block_chains, n_inputs, s)
-    state_specs = [big_spec(), mat_spec()]
-    in_specs = state_specs + state_specs + [xin_spec, y_spec]
-    operands = list(theta) + list(v) + [xin, y_sel]
-    with_noise = noise is not None
-    if with_noise:
-        in_specs = in_specs + state_specs
-        operands = operands + list(noise)
-
-    out_shape = (
-        tuple(jax.ShapeDtypeStruct(t.shape, jnp.float32) for t in theta)
-        + tuple(jax.ShapeDtypeStruct(t.shape, state_dtype) for t in theta)
-    )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_chains // block_chains,),
-        in_specs=in_specs,
-        out_specs=tuple(state_specs) + tuple(state_specs),
-        scratch_shapes=_multistep_scratch(block_chains, s),
-    )
-    aliases = {2: 0, 3: 1, 4: 2, 5: 3}
-    kernel = _make_kernel_rsghmc(
-        float(batch_size), float(n_data), with_noise, block_chains,
-        n_inputs, int(h), s=s, bias_row=bias_row)
-    interpreter = pltpu.InterpretParams() if interpret else False
-    outs = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=out_shape,
-        input_output_aliases=aliases,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpreter,
-    )(int_scalars, float_scalars, *operands)
-    theta_new = tuple(outs[0:2])
-    v_new = tuple(outs[2:4])
-    cost = theta_new[0][:, (s + VEC_ROWS) - 1, 0:1]
+    xin_spec, y_spec = _batch_specs(block_chains, n_inputs)
+    kernel = _make_kernel_family(
+        RULE_RSGHMC, float(batch_size), float(n_data), noise is not None,
+        block_chains, n_inputs, int(h), s=s, bias_row=bias_row)
+    theta_new, v_new, _, cost = _family_call(
+        RULE_RSGHMC, kernel, theta, v, None, None,
+        [xin, y_sel], [xin_spec, y_spec], noise, state_dtype,
+        block_chains, interpret, False, int_scalars, float_scalars)
     return theta_new, v_new, cost
-
-
-def _make_multistep_kernel_sgld_paired(batch_size, n_data, block_chains,
-                                       n_windows, k_steps, n_inputs=1):
-    """Paired-dot SGLD multi-step kernel — :func:`_make_multistep_kernel_paired`
-    with the momentum-free SGLD update.  The paired ``minv`` is zero on
-    the off-diagonal blocks, so the update's ``where(minv > 0)`` freeze
-    keeps them exactly zero across the loop, as in the SGHMC variant.
-    SGLD / 64-slot layout.
-    """
-    inv_b = 1.0 / batch_size
-    inv_n = 1.0 / n_data
-    C = block_chains
-    Cp = C // 2
-    s = S
-    big_rows = s + VEC_ROWS
-
-    def kernel(int_ref, float_ref,
-               tbig, tw3, mbig, mw3, xw_ref, yw_ref,
-               obig, ow3,
-               s_a1, s_a2, s_a3, s_gvec,
-               p_w2, p_w3, p_m2, p_m3):
-        pltpu.prng_seed(int_ref[0], pl.program_id(0))
-        eps = float_ref[0]
-        a_coef = float_ref[1]
-        a_over_sg = float_ref[2]
-        prior_scale = float_ref[3]
-
-        obig[:] = tbig[:]
-        ow3[:] = tw3[:]
-        p_w2[:] = _pair_mats(tbig[:, 0:s, :], Cp, s)
-        p_w3[:] = _pair_mats(tw3[:], Cp, s)
-        p_m2[:] = _pair_mats(mbig[:, 0:s, :].astype(jnp.float32), Cp, s)
-        p_m3[:] = _pair_mats(mw3[:].astype(jnp.float32), Cp, s)
-
-        brow = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD), 1)
-        bmask = (brow < batch_size).astype(jnp.float32)
-        lane2 = jax.lax.broadcasted_iota(jnp.int32, (C, s), 1)
-        lane3p = jax.lax.broadcasted_iota(jnp.int32, (Cp, B_PAD, 2 * s), 2)
-        bias_lane_p = (lane3p % s) == BIAS_ROW
-        first_half = lane3p < s
-        win_iota = jax.lax.broadcasted_iota(jnp.int32, (C, n_windows), 1)
-
-        def body(t, carry):
-            xin_bf, y = _select_window_bf(
-                C, n_windows, win_iota, xw_ref, yw_ref, n_inputs)
-
-            cost, g_w2p, g_vec, g_w3p = _fwd_bwd_paired(
-                obig[:], p_w2[:].astype(jnp.bfloat16),
-                p_w3[:].astype(jnp.bfloat16), xin_bf, y, bmask,
-                lane2, lane3p, bias_lane_p, first_half,
-                s_a1, s_a2, s_a3, s_gvec, inv_b, inv_n, C, s,
-                n_inputs)
-
-            eta_p = _normal_3d((Cp, 4 * s, 2 * s))
-            eta_w2 = eta_p[:, 0:2 * s, :]
-            eta_w3 = eta_p[:, 2 * s:4 * s, :]
-            eta_vec = _normal_3d((C, VEC_ROWS, s))
-
-            def _update(theta, minv, grad, eta):
-                minv = minv.astype(jnp.float32)
-                g = grad + prior_scale * theta
-                sigma = jnp.sqrt(jnp.maximum(
-                    2.0 * eps * minv * a_over_sg, 0.0))
-                delta = -eps * minv * a_coef * g + sigma * eta
-                return theta + jnp.where(minv > 0.0, delta, 0.0)
-
-            p_w2[:] = _update(p_w2[:], p_m2[:], g_w2p, eta_w2)
-            p_w3[:] = _update(p_w3[:], p_m3[:], g_w3p, eta_w3)
-            obig[:, s:big_rows, :] = _update(
-                obig[:, s:big_rows, :], mbig[:, s:big_rows, :],
-                g_vec, eta_vec)
-            obig[:, big_rows - 1, LANE_B4:LANE_B4 + 1] = cost
-            return carry
-
-        jax.lax.fori_loop(0, k_steps, body, 0)
-
-        obig[:, 0:s, :] = _unpair_mats(p_w2[:], C, s)
-        ow3[:] = _unpair_mats(p_w3[:], C, s)
-
-    return kernel
-
-
-def _make_multistep_kernel_sgld(batch_size, n_data, block_chains,
-                                n_windows, k_steps, s=S,
-                                bias_row=BIAS_ROW, n_inputs=1):
-    """SGLD variant of :func:`_make_multistep_kernel`.
-
-    ``k_steps`` momentum-free SGLD updates per launch with theta resident
-    in the aliased output refs; forward/likelihood/backward shared with
-    the single-step family via :func:`_fwd_bwd` (which operates on
-    VALUES, so it reads the loop state straight from the output refs).
-    In-kernel minibatch window selection as in the SGHMC multi-step
-    kernel; 1-input family, both slot layouts.
-    """
-    inv_b = 1.0 / batch_size
-    inv_n = 1.0 / n_data
-    C = block_chains
-
-    def kernel(int_ref, float_ref,
-               tbig, tw3, mbig, mw3, xw_ref, yw_ref,
-               obig, ow3,
-               s_a1, s_a2, s_a3, s_gvec):
-        pltpu.prng_seed(int_ref[0], pl.program_id(0))
-        eps = float_ref[0]
-        a_coef = float_ref[1]
-        a_over_sg = float_ref[2]
-        prior_scale = float_ref[3]
-
-        obig[:] = tbig[:]
-        ow3[:] = tw3[:]
-
-        big_rows = s + VEC_ROWS
-        brow = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD), 1)
-        bmask = (brow < batch_size).astype(jnp.float32)
-        lane3 = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD, s), 2)
-        lane2 = jax.lax.broadcasted_iota(jnp.int32, (C, s), 1)
-        win_iota = jax.lax.broadcasted_iota(jnp.int32, (C, n_windows), 1)
-
-        def body(t, carry):
-            # ---- in-kernel minibatch selection ----
-            xin_bf, y = _select_window_bf(
-                C, n_windows, win_iota, xw_ref, yw_ref, n_inputs)
-
-            cost, g_w2, g_vec, g_w3 = _fwd_bwd(
-                obig[:], ow3[:], xin_bf, y,
-                bmask, lane3, lane2, s_a1, s_a2, s_a3, s_gvec,
-                inv_b, inv_n, n_inputs, C, s, bias_row)
-
-            etas = _block_etas(C, s)
-
-            def _update(theta, minv, grad, eta):
-                minv = minv.astype(jnp.float32)
-                g = grad + prior_scale * theta
-                sigma = jnp.sqrt(jnp.maximum(
-                    2.0 * eps * minv * a_over_sg, 0.0))
-                delta = -eps * minv * a_coef * g + sigma * eta
-                return theta + jnp.where(minv > 0.0, delta, 0.0)
-
-            obig[:, 0:s, :] = _update(
-                obig[:, 0:s, :], mbig[:, 0:s, :], g_w2, etas[0])
-            obig[:, s:big_rows, :] = _update(
-                obig[:, s:big_rows, :], mbig[:, s:big_rows, :],
-                g_vec, etas[1])
-            ow3[:] = _update(ow3[:], mw3[:], g_w3, etas[2])
-            obig[:, big_rows - 1, LANE_B4:LANE_B4 + 1] = cost
-            return carry
-
-        jax.lax.fori_loop(0, k_steps, body, 0)
-
-    return kernel
 
 
 @functools.partial(
@@ -2419,286 +1985,27 @@ def fused_bnn_multistep_sgld(
         x_win, "fused_bnn_multistep_sgld")
     _check_pair_dots(pair_dots, s, n_inputs, block_chains)
 
-    eps32 = jnp.asarray(eps, jnp.float32)
     int_scalars = jnp.asarray(seed, jnp.int32).reshape(1)
-    float_scalars = jnp.stack([
-        eps32,
-        jnp.asarray(a_coef, jnp.float32),
-        jnp.asarray(a_coef / scale_grad, jnp.float32),
-        jnp.asarray(prior_scale, jnp.float32),
-    ])
+    float_scalars = _per_step_table(eps, int(k_steps), lambda e: [
+        e, jnp.full_like(e, a_coef),
+        jnp.full_like(e, a_coef / scale_grad),
+        jnp.full_like(e, prior_scale)])
 
-    state_specs = [_big_spec(block_chains, s), _mat_spec(block_chains, s)]
-    in_specs = (
-        state_specs + state_specs
-        + [_table_spec(xw_op), _table_spec(y_win)]
-    )
-    operands = list(theta) + list(minv) + [
-        xw_op, jnp.asarray(y_win, jnp.float32)]
-
-    out_shape = tuple(
-        jax.ShapeDtypeStruct(t.shape, jnp.float32) for t in theta)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_chains // block_chains,),
-        in_specs=in_specs,
-        out_specs=tuple(state_specs),
-        scratch_shapes=(_paired_scratch(block_chains, s, 4) if pair_dots
-                        else _multistep_scratch(block_chains, s)),
-    )
     if pair_dots:
-        kernel = _make_multistep_kernel_sgld_paired(
-            float(batch_size), float(n_data), block_chains, n_windows,
-            int(k_steps), n_inputs)
+        kernel = _make_multistep_kernel_family_paired(
+            RULE_SGLD, float(batch_size), float(n_data), block_chains,
+            n_windows, int(k_steps), 0, n_inputs)
     else:
-        kernel = _make_multistep_kernel_sgld(
-            float(batch_size), float(n_data), block_chains, n_windows,
-            int(k_steps), s, bias_row, n_inputs)
-    interpreter = pltpu.InterpretParams() if interpret else False
-    outs = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=out_shape,
-        input_output_aliases={2: 0, 3: 1},
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpreter,
-    )(int_scalars, float_scalars, *operands)
-    theta_new = tuple(outs[0:2])
-    cost = theta_new[0][:, s + VEC_ROWS - 1, 0:1]
+        kernel = _make_multistep_kernel_family(
+            RULE_SGLD, float(batch_size), float(n_data), block_chains,
+            n_windows, int(k_steps), 0, s, bias_row, n_inputs)
+    y_op = jnp.asarray(y_win, jnp.float32)
+    theta_new, _, _, cost = _family_call(
+        RULE_SGLD, kernel, theta, None, None, minv,
+        [xw_op, y_op], [_table_spec(xw_op), _table_spec(y_op)],
+        None, None, block_chains, interpret, pair_dots,
+        int_scalars, float_scalars)
     return theta_new, cost
-
-
-def _make_multistep_kernel_sgnht_paired(batch_size, n_data, block_chains,
-                                        n_windows, k_steps, h,
-                                        n_inputs=1):
-    """Paired-dot SGNHT multi-step kernel.
-
-    As :func:`_make_multistep_kernel_paired` but with the Nosé-Hoover
-    thermostat update.  SGNHT has no ``minv`` freeze, so off-diagonal
-    discipline comes from a PAIRED validity mask built in the paired
-    geometry (diagonal blocks ∩ the usual row/lane validity); the
-    momentum multiply by that mask keeps cross-chain cells exactly zero.
-    The per-chain kinetic-energy reduction sums each chain's own
-    diagonal block (row halves of the paired slab), and the thermostat
-    multiplies the momentum through a row-half broadcast of each
-    chain's xi.  SGNHT / 64-slot layout.
-    """
-    inv_b = 1.0 / batch_size
-    inv_n = 1.0 / n_data
-    C = block_chains
-    Cp = C // 2
-    s = S
-    big_rows = s + VEC_ROWS
-
-    def kernel(int_ref, float_ref,
-               tbig, tw3, vbig, vw3, xi_ref, xw_ref, yw_ref,
-               obig, ow3, pbig, pw3, xi_out,
-               s_a1, s_a2, s_a3, s_gvec,
-               p_w2, p_w3, p_v2, p_v3):
-        pltpu.prng_seed(int_ref[0], pl.program_id(0))
-        eps = float_ref[0]
-        sigma = float_ref[1]
-        prior_scale = float_ref[2]
-        inv_d = float_ref[3]
-
-        obig[:] = tbig[:]
-        ow3[:] = tw3[:]
-        pbig[:] = vbig[:]
-        pw3[:] = vw3[:]
-        xi_out[:] = xi_ref[:]
-        p_w2[:] = _pair_mats(tbig[:, 0:s, :], Cp, s)
-        p_w3[:] = _pair_mats(tw3[:], Cp, s)
-        p_v2[:] = _pair_mats(vbig[:, 0:s, :].astype(jnp.float32), Cp, s)
-        p_v3[:] = _pair_mats(vw3[:].astype(jnp.float32), Cp, s)
-
-        brow = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD), 1)
-        bmask = (brow < batch_size).astype(jnp.float32)
-        lane2 = jax.lax.broadcasted_iota(jnp.int32, (C, s), 1)
-        lane3p = jax.lax.broadcasted_iota(jnp.int32, (Cp, B_PAD, 2 * s), 2)
-        bias_lane_p = (lane3p % s) == BIAS_ROW
-        first_half = lane3p < s
-        win_iota = jax.lax.broadcasted_iota(jnp.int32, (C, n_windows), 1)
-
-        # paired validity: diagonal blocks ∩ (row < h | bias row) ∩
-        # (lane < h), in the PAIRED (Cp, 2s, 2s) geometry
-        rowm = jax.lax.broadcasted_iota(
-            jnp.int32, (Cp, 2 * s, 2 * s), 1)
-        lanem = jax.lax.broadcasted_iota(
-            jnp.int32, (Cp, 2 * s, 2 * s), 2)
-        same_block = (rowm < s) == (lanem < s)
-        rr = rowm % s
-        ll = lanem % s
-        mat_valid_p = (
-            same_block & ((rr < h) | (rr == BIAS_ROW)) & (ll < h)
-        ).astype(jnp.float32)
-        row_first_half = rowm < s
-        _, vec_valid = _psgld_valid_masks(C, n_inputs, h, s, BIAS_ROW)
-
-        def body(t, carry):
-            xin_bf, y = _select_window_bf(
-                C, n_windows, win_iota, xw_ref, yw_ref, n_inputs)
-
-            cost, g_w2p, g_vec, g_w3p = _fwd_bwd_paired(
-                obig[:], p_w2[:].astype(jnp.bfloat16),
-                p_w3[:].astype(jnp.bfloat16), xin_bf, y, bmask,
-                lane2, lane3p, bias_lane_p, first_half,
-                s_a1, s_a2, s_a3, s_gvec, inv_b, inv_n, C, s,
-                n_inputs)
-
-            eta_p = _normal_3d((Cp, 4 * s, 2 * s))
-            eta_w2 = eta_p[:, 0:2 * s, :]
-            eta_w3 = eta_p[:, 2 * s:4 * s, :]
-            eta_vec = _normal_3d((C, VEC_ROWS, s))
-
-            xi_col = xi_out[:, 0:1]                      # (C, 1)
-            xi3 = xi_col[:, :, None]
-            xir = xi_col.reshape(Cp, 2, 1)
-            xi_p = jnp.where(
-                row_first_half, xir[:, 0:1, :], xir[:, 1:2, :])
-
-            def half_sumsq(p_new):
-                # per-chain momentum norms from the diagonal blocks:
-                # rows 0:s belong to the even chain, rows s:2s to the
-                # odd one (off-block cells are zero via mat_valid_p)
-                sq = p_new * p_new
-                s_a = jnp.sum(
-                    jnp.sum(sq[:, 0:s, :], axis=2, keepdims=True),
-                    axis=1, keepdims=True)
-                s_b = jnp.sum(
-                    jnp.sum(sq[:, s:2 * s, :], axis=2, keepdims=True),
-                    axis=1, keepdims=True)
-                return jnp.stack(
-                    [s_a[:, 0, :], s_b[:, 0, :]], axis=1).reshape(C, 1)
-
-            def upd_paired(theta, v, grad, eta):
-                g = grad + prior_scale * theta
-                p_new = (v - xi_p * eps * v - eps * g
-                         + sigma * eta) * mat_valid_p
-                return theta + eps * p_new, p_new, half_sumsq(p_new)
-
-            t_new, p_new, ss_w2 = upd_paired(
-                p_w2[:], p_v2[:], g_w2p, eta_w2)
-            p_w2[:] = t_new
-            p_v2[:] = p_new
-            t_new, p_new, ss_w3 = upd_paired(
-                p_w3[:], p_v3[:], g_w3p, eta_w3)
-            p_w3[:] = t_new
-            p_v3[:] = p_new
-
-            v32 = pbig[:, s:big_rows, :].astype(jnp.float32)
-            g = g_vec + prior_scale * obig[:, s:big_rows, :]
-            p_vec = (v32 - xi3 * eps * v32 - eps * g
-                     + sigma * eta_vec) * vec_valid
-            ss_vec = jnp.sum(
-                jnp.sum(p_vec * p_vec, axis=2, keepdims=True),
-                axis=1, keepdims=True)[:, 0, :]
-            obig[:, s:big_rows, :] = obig[:, s:big_rows, :] + eps * p_vec
-            pbig[:, s:big_rows, :] = p_vec.astype(pbig.dtype)
-
-            kinetic = (ss_w2 + ss_vec + ss_w3) * inv_d
-            xi_new = xi_out[:, 0:1] + eps * (kinetic - 1.0)
-            xi_out[:, :] = xi_new + jnp.zeros((C, 128), jnp.float32)
-            obig[:, big_rows - 1, LANE_B4:LANE_B4 + 1] = cost
-            return carry
-
-        jax.lax.fori_loop(0, k_steps, body, 0)
-
-        obig[:, 0:s, :] = _unpair_mats(p_w2[:], C, s)
-        ow3[:] = _unpair_mats(p_w3[:], C, s)
-        pbig[:, 0:s, :] = _unpair_mats(p_v2[:], C, s).astype(pbig.dtype)
-        pw3[:] = _unpair_mats(p_v3[:], C, s).astype(pw3.dtype)
-
-    return kernel
-
-
-def _make_multistep_kernel_sgnht(batch_size, n_data, block_chains,
-                                 n_windows, k_steps, h, s=S, bias_row=BIAS_ROW,
-                                  n_inputs=1):
-    """SGNHT variant of :func:`_make_multistep_kernel`.
-
-    The thermostat rides the aliased ``(C, 128)`` xi output ref for the
-    whole k-step loop alongside the theta/momentum slabs — all state
-    VMEM-resident; its per-chain kinetic-energy reduction runs every
-    iteration on the f32 momentum before the state-dtype cast.  Masking
-    via the static validity masks (:func:`_psgld_valid_masks`);
-    forward/likelihood/backward shared via :func:`_fwd_bwd`.  1-input
-    family, both slot layouts.
-    """
-    inv_b = 1.0 / batch_size
-    inv_n = 1.0 / n_data
-    C = block_chains
-    big_rows = s + VEC_ROWS
-
-    def kernel(int_ref, float_ref,
-               tbig, tw3, vbig, vw3, xi_ref, xw_ref, yw_ref,
-               obig, ow3, pbig, pw3, xi_out,
-               s_a1, s_a2, s_a3, s_gvec):
-        pltpu.prng_seed(int_ref[0], pl.program_id(0))
-        eps = float_ref[0]
-        sigma = float_ref[1]
-        prior_scale = float_ref[2]
-        inv_d = float_ref[3]
-
-        obig[:] = tbig[:]
-        ow3[:] = tw3[:]
-        pbig[:] = vbig[:]
-        pw3[:] = vw3[:]
-        xi_out[:] = xi_ref[:]
-
-        brow = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD), 1)
-        bmask = (brow < batch_size).astype(jnp.float32)
-        lane3 = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD, s), 2)
-        lane2 = jax.lax.broadcasted_iota(jnp.int32, (C, s), 1)
-        win_iota = jax.lax.broadcasted_iota(jnp.int32, (C, n_windows), 1)
-        mat_valid, vec_valid = _psgld_valid_masks(C, n_inputs, h, s, bias_row)
-
-        def body(t, carry):
-            xin_bf, y = _select_window_bf(
-                C, n_windows, win_iota, xw_ref, yw_ref, n_inputs)
-
-            cost, g_w2, g_vec, g_w3 = _fwd_bwd(
-                obig[:], ow3[:], xin_bf, y,
-                bmask, lane3, lane2, s_a1, s_a2, s_a3, s_gvec,
-                inv_b, inv_n, n_inputs, C, s, bias_row)
-
-            etas = _block_etas(C, s)
-            xi3 = xi_out[:, 0:1][:, :, None]
-
-            def _update(theta, v, grad, eta, valid):
-                v32 = v.astype(jnp.float32)
-                g = grad + prior_scale * theta
-                p_new = (v32 - xi3 * eps * v32 - eps * g
-                         + sigma * eta) * valid
-                sumsq = jnp.sum(
-                    jnp.sum(p_new * p_new, axis=2, keepdims=True),
-                    axis=1, keepdims=True)
-                return theta + eps * p_new, p_new, sumsq[:, 0, :]
-
-            t_new, p_new, ss_w2 = _update(
-                obig[:, 0:s, :], pbig[:, 0:s, :], g_w2, etas[0], mat_valid)
-            obig[:, 0:s, :] = t_new
-            pbig[:, 0:s, :] = p_new.astype(pbig.dtype)
-            t_new, p_new, ss_vec = _update(
-                obig[:, s:big_rows, :], pbig[:, s:big_rows, :],
-                g_vec, etas[1], vec_valid)
-            obig[:, s:big_rows, :] = t_new
-            pbig[:, s:big_rows, :] = p_new.astype(pbig.dtype)
-            t_new, p_new, ss_w3 = _update(
-                ow3[:], pw3[:], g_w3, etas[2], mat_valid)
-            ow3[:] = t_new
-            pw3[:] = p_new.astype(pw3.dtype)
-
-            kinetic = (ss_w2 + ss_vec + ss_w3) * inv_d
-            xi_new = xi_out[:, 0:1] + eps * (kinetic - 1.0)
-            xi_out[:, :] = xi_new + jnp.zeros((C, 128), jnp.float32)
-            obig[:, big_rows - 1, LANE_B4:LANE_B4 + 1] = cost
-            return carry
-
-        jax.lax.fori_loop(0, k_steps, body, 0)
-
-    return kernel
 
 
 @functools.partial(
@@ -2739,421 +2046,28 @@ def fused_bnn_multistep_sgnht(
     _check_pair_dots(pair_dots, s, n_inputs, block_chains)
     n_dim = 2 * (h + 1) * h + (n_inputs + 2) * h + 2
 
-    eps32 = jnp.asarray(eps, jnp.float32)
     int_scalars = jnp.asarray(seed, jnp.int32).reshape(1)
-    float_scalars = jnp.stack([
-        eps32,
-        jnp.sqrt(jnp.maximum(
-            2.0 * jnp.asarray(a_diff, jnp.float32) * eps32 / scale_grad,
-            0.0)),
-        jnp.asarray(prior_scale, jnp.float32),
-        jnp.asarray(1.0 / n_dim, jnp.float32),
-    ])
+    float_scalars = _per_step_table(eps, int(k_steps), lambda e: [
+        e,
+        jnp.sqrt(jnp.maximum(2.0 * a_diff * e / scale_grad, 0.0)),
+        jnp.full_like(e, prior_scale),
+        jnp.full_like(e, 1.0 / n_dim)])
 
-    xi_spec = pl.BlockSpec(
-        (block_chains, 128), lambda i, *_: (i, 0),
-        memory_space=pltpu.VMEM)
-    state_specs = [_big_spec(block_chains, s), _mat_spec(block_chains, s)]
-    in_specs = (
-        state_specs + state_specs + [xi_spec]
-        + [_table_spec(xw_op), _table_spec(y_win)]
-    )
-    operands = list(theta) + list(v) + [xi] + [
-        xw_op, jnp.asarray(y_win, jnp.float32)]
-
-    out_shape = (
-        tuple(jax.ShapeDtypeStruct(t.shape, jnp.float32) for t in theta)
-        + tuple(jax.ShapeDtypeStruct(t.shape, state_dtype) for t in theta)
-        + (jax.ShapeDtypeStruct((n_chains, 128), jnp.float32),)
-    )
-    out_specs = tuple(state_specs) + tuple(state_specs) + (xi_spec,)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_chains // block_chains,),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        scratch_shapes=(_paired_scratch(block_chains, s, 4) if pair_dots
-                        else _multistep_scratch(block_chains, s)),
-    )
-    aliases = {2: 0, 3: 1, 4: 2, 5: 3, 6: 4}
     if pair_dots:
-        kernel = _make_multistep_kernel_sgnht_paired(
-            float(batch_size), float(n_data), block_chains, n_windows,
-            int(k_steps), int(h), n_inputs)
+        kernel = _make_multistep_kernel_family_paired(
+            RULE_SGNHT, float(batch_size), float(n_data), block_chains,
+            n_windows, int(k_steps), int(h), n_inputs)
     else:
-        kernel = _make_multistep_kernel_sgnht(
-            float(batch_size), float(n_data), block_chains, n_windows,
-            int(k_steps), int(h), s, bias_row, n_inputs)
-    interpreter = pltpu.InterpretParams() if interpret else False
-    outs = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=out_shape,
-        input_output_aliases=aliases,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpreter,
-    )(int_scalars, float_scalars, *operands)
-    theta_new = tuple(outs[0:2])
-    v_new = tuple(outs[2:4])
-    xi_new = outs[4]
-    cost = theta_new[0][:, s + VEC_ROWS - 1, 0:1]
+        kernel = _make_multistep_kernel_family(
+            RULE_SGNHT, float(batch_size), float(n_data), block_chains,
+            n_windows, int(k_steps), int(h), s, bias_row, n_inputs)
+    y_op = jnp.asarray(y_win, jnp.float32)
+    theta_new, v_new, xi_new, cost = _family_call(
+        RULE_SGNHT, kernel, theta, v, xi, None,
+        [xw_op, y_op], [_table_spec(xw_op), _table_spec(y_op)],
+        None, state_dtype, block_chains, interpret, pair_dots,
+        int_scalars, float_scalars)
     return theta_new, v_new, xi_new, cost
-
-
-def _make_multistep_kernel_psgld(batch_size, n_data, block_chains,
-                                 n_windows, k_steps, h, s=S, bias_row=BIAS_ROW,
-                                  n_inputs=1):
-    """pSGLD variant of :func:`_make_multistep_kernel`.
-
-    The RMSprop preconditioner accumulator rides the aliased f32 output
-    refs across the k-step loop (it adapts every step — pSGLD has no
-    frozen phase); masking and fwd/bwd as in the SGNHT multi-step
-    kernel.  1-input family, both slot layouts.
-    """
-    inv_b = 1.0 / batch_size
-    inv_n = 1.0 / n_data
-    C = block_chains
-    big_rows = s + VEC_ROWS
-
-    def kernel(int_ref, float_ref,
-               tbig, tw3, vbig, vw3, xw_ref, yw_ref,
-               obig, ow3, pbig, pw3,
-               s_a1, s_a2, s_a3, s_gvec):
-        pltpu.prng_seed(int_ref[0], pl.program_id(0))
-        eps = float_ref[0]
-        alpha = float_ref[1]
-        lam = float_ref[2]
-        inv_sg = float_ref[3]
-        prior_scale = float_ref[4]
-
-        obig[:] = tbig[:]
-        ow3[:] = tw3[:]
-        pbig[:] = vbig[:]
-        pw3[:] = vw3[:]
-
-        brow = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD), 1)
-        bmask = (brow < batch_size).astype(jnp.float32)
-        lane3 = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD, s), 2)
-        lane2 = jax.lax.broadcasted_iota(jnp.int32, (C, s), 1)
-        win_iota = jax.lax.broadcasted_iota(jnp.int32, (C, n_windows), 1)
-        mat_valid, vec_valid = _psgld_valid_masks(C, n_inputs, h, s, bias_row)
-
-        def body(t, carry):
-            xin_bf, y = _select_window_bf(
-                C, n_windows, win_iota, xw_ref, yw_ref, n_inputs)
-
-            cost, g_w2, g_vec, g_w3 = _fwd_bwd(
-                obig[:], ow3[:], xin_bf, y,
-                bmask, lane3, lane2, s_a1, s_a2, s_a3, s_gvec,
-                inv_b, inv_n, n_inputs, C, s, bias_row)
-
-            etas = _block_etas(C, s)
-
-            def _update(theta, v, grad, eta, valid):
-                v32 = v.astype(jnp.float32)
-                g = grad + prior_scale * theta
-                v_new = alpha * v32 + (1.0 - alpha) * g * g
-                precond = 1.0 / (lam + jnp.sqrt(jnp.maximum(v_new, 0.0)))
-                sigma = jnp.sqrt(jnp.maximum(eps * precond * inv_sg, 0.0))
-                delta = -0.5 * eps * precond * g + sigma * eta
-                return theta + delta * valid, v_new * valid
-
-            t_new, v_new = _update(
-                obig[:, 0:s, :], pbig[:, 0:s, :], g_w2, etas[0], mat_valid)
-            obig[:, 0:s, :] = t_new
-            pbig[:, 0:s, :] = v_new.astype(pbig.dtype)
-            t_new, v_new = _update(
-                obig[:, s:big_rows, :], pbig[:, s:big_rows, :],
-                g_vec, etas[1], vec_valid)
-            obig[:, s:big_rows, :] = t_new
-            pbig[:, s:big_rows, :] = v_new.astype(pbig.dtype)
-            t_new, v_new = _update(
-                ow3[:], pw3[:], g_w3, etas[2], mat_valid)
-            ow3[:] = t_new
-            pw3[:] = v_new.astype(pw3.dtype)
-            obig[:, big_rows - 1, LANE_B4:LANE_B4 + 1] = cost
-            return carry
-
-        jax.lax.fori_loop(0, k_steps, body, 0)
-
-    return kernel
-
-
-def _make_multistep_kernel_rsghmc(batch_size, n_data, block_chains,
-                                  n_windows, k_steps, h, s=S, bias_row=BIAS_ROW,
-                                  n_inputs=1):
-    """Relativistic-SGHMC variant of :func:`_make_multistep_kernel`.
-
-    Momentum rides the aliased output refs; the relativistic velocity
-    (one rsqrt per element) and log-likelihood-convention gradients as in
-    :func:`_make_kernel_rsghmc`.  1-input family, both slot layouts.
-    """
-    inv_b = 1.0 / batch_size
-    inv_n = 1.0 / n_data
-    C = block_chains
-    big_rows = s + VEC_ROWS
-
-    def kernel(int_ref, float_ref,
-               tbig, tw3, vbig, vw3, xw_ref, yw_ref,
-               obig, ow3, pbig, pw3,
-               s_a1, s_a2, s_a3, s_gvec):
-        pltpu.prng_seed(int_ref[0], pl.program_id(0))
-        eps = float_ref[0]
-        noise_scale = float_ref[1]
-        prior_scale = float_ref[2]
-        inv_mc2 = float_ref[3]
-        inv_m = float_ref[4]
-        d_coef = float_ref[5]
-
-        obig[:] = tbig[:]
-        ow3[:] = tw3[:]
-        pbig[:] = vbig[:]
-        pw3[:] = vw3[:]
-
-        brow = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD), 1)
-        bmask = (brow < batch_size).astype(jnp.float32)
-        lane3 = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD, s), 2)
-        lane2 = jax.lax.broadcasted_iota(jnp.int32, (C, s), 1)
-        win_iota = jax.lax.broadcasted_iota(jnp.int32, (C, n_windows), 1)
-        mat_valid, vec_valid = _psgld_valid_masks(C, n_inputs, h, s, bias_row)
-
-        def body(t, carry):
-            xin_bf, y = _select_window_bf(
-                C, n_windows, win_iota, xw_ref, yw_ref, n_inputs)
-
-            cost, g_w2, g_vec, g_w3 = _fwd_bwd(
-                obig[:], ow3[:], xin_bf, y,
-                bmask, lane3, lane2, s_a1, s_a2, s_a3, s_gvec,
-                inv_b, inv_n, n_inputs, C, s, bias_row)
-
-            etas = _block_etas(C, s)
-
-            def vel(p):
-                return eps * p * inv_m * jax.lax.rsqrt(
-                    p * p * inv_mc2 + 1.0)
-
-            def _update(theta, v, grad, eta, valid):
-                p = v.astype(jnp.float32)
-                loglik_g = -(grad + prior_scale * theta)
-                p_new = (p + eps * loglik_g + noise_scale * eta
-                         - d_coef * vel(p)) * valid
-                return theta + vel(p_new) * valid, p_new
-
-            t_new, p_new = _update(
-                obig[:, 0:s, :], pbig[:, 0:s, :], g_w2, etas[0], mat_valid)
-            obig[:, 0:s, :] = t_new
-            pbig[:, 0:s, :] = p_new.astype(pbig.dtype)
-            t_new, p_new = _update(
-                obig[:, s:big_rows, :], pbig[:, s:big_rows, :],
-                g_vec, etas[1], vec_valid)
-            obig[:, s:big_rows, :] = t_new
-            pbig[:, s:big_rows, :] = p_new.astype(pbig.dtype)
-            t_new, p_new = _update(
-                ow3[:], pw3[:], g_w3, etas[2], mat_valid)
-            ow3[:] = t_new
-            pw3[:] = p_new.astype(pw3.dtype)
-            obig[:, big_rows - 1, LANE_B4:LANE_B4 + 1] = cost
-            return carry
-
-        jax.lax.fori_loop(0, k_steps, body, 0)
-
-    return kernel
-
-
-def _make_multistep_kernel_masked_paired(batch_size, n_data, block_chains,
-                                         n_windows, k_steps, h,
-                                         make_update, n_inputs=1):
-    """Shared paired-dot multi-step skeleton for the masked family
-    (pSGLD / RSGHMC).
-
-    Paired theta + per-sampler auxiliary state (preconditioner
-    accumulator / momentum) live in persistent (Cp, 2s, 2s) scratch for
-    the whole k-step loop; validity is the paired mask of the SGNHT
-    paired kernel (diagonal blocks ∩ row/lane validity), which both
-    keeps the dead padding dead and freezes cross-chain cells at zero.
-    ``make_update(float_ref)`` unpacks the prefetched scalars and
-    returns the per-slab ``update(theta, v, grad, eta, valid) ->
-    (theta', v')`` rule.  64-slot layout.
-    """
-    inv_b = 1.0 / batch_size
-    inv_n = 1.0 / n_data
-    C = block_chains
-    Cp = C // 2
-    s = S
-    big_rows = s + VEC_ROWS
-
-    def kernel(int_ref, float_ref,
-               tbig, tw3, vbig, vw3, xw_ref, yw_ref,
-               obig, ow3, pbig, pw3,
-               s_a1, s_a2, s_a3, s_gvec,
-               p_w2, p_w3, p_v2, p_v3):
-        pltpu.prng_seed(int_ref[0], pl.program_id(0))
-        update = make_update(float_ref)
-
-        obig[:] = tbig[:]
-        ow3[:] = tw3[:]
-        pbig[:] = vbig[:]
-        pw3[:] = vw3[:]
-        p_w2[:] = _pair_mats(tbig[:, 0:s, :], Cp, s)
-        p_w3[:] = _pair_mats(tw3[:], Cp, s)
-        p_v2[:] = _pair_mats(vbig[:, 0:s, :].astype(jnp.float32), Cp, s)
-        p_v3[:] = _pair_mats(vw3[:].astype(jnp.float32), Cp, s)
-
-        brow = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD), 1)
-        bmask = (brow < batch_size).astype(jnp.float32)
-        lane2 = jax.lax.broadcasted_iota(jnp.int32, (C, s), 1)
-        lane3p = jax.lax.broadcasted_iota(jnp.int32, (Cp, B_PAD, 2 * s), 2)
-        bias_lane_p = (lane3p % s) == BIAS_ROW
-        first_half = lane3p < s
-        win_iota = jax.lax.broadcasted_iota(jnp.int32, (C, n_windows), 1)
-
-        rowm = jax.lax.broadcasted_iota(
-            jnp.int32, (Cp, 2 * s, 2 * s), 1)
-        lanem = jax.lax.broadcasted_iota(
-            jnp.int32, (Cp, 2 * s, 2 * s), 2)
-        same_block = (rowm < s) == (lanem < s)
-        rr = rowm % s
-        ll = lanem % s
-        mat_valid_p = (
-            same_block & ((rr < h) | (rr == BIAS_ROW)) & (ll < h)
-        ).astype(jnp.float32)
-        _, vec_valid = _psgld_valid_masks(C, n_inputs, h, s, BIAS_ROW)
-
-        def body(t, carry):
-            xin_bf, y = _select_window_bf(
-                C, n_windows, win_iota, xw_ref, yw_ref, n_inputs)
-
-            cost, g_w2p, g_vec, g_w3p = _fwd_bwd_paired(
-                obig[:], p_w2[:].astype(jnp.bfloat16),
-                p_w3[:].astype(jnp.bfloat16), xin_bf, y, bmask,
-                lane2, lane3p, bias_lane_p, first_half,
-                s_a1, s_a2, s_a3, s_gvec, inv_b, inv_n, C, s,
-                n_inputs)
-
-            eta_p = _normal_3d((Cp, 4 * s, 2 * s))
-            eta_vec = _normal_3d((C, VEC_ROWS, s))
-
-            t_new, v_new = update(
-                p_w2[:], p_v2[:], g_w2p, eta_p[:, 0:2 * s, :],
-                mat_valid_p)
-            p_w2[:] = t_new
-            p_v2[:] = v_new
-            t_new, v_new = update(
-                p_w3[:], p_v3[:], g_w3p, eta_p[:, 2 * s:4 * s, :],
-                mat_valid_p)
-            p_w3[:] = t_new
-            p_v3[:] = v_new
-            t_new, v_new = update(
-                obig[:, s:big_rows, :], pbig[:, s:big_rows, :],
-                g_vec, eta_vec, vec_valid)
-            obig[:, s:big_rows, :] = t_new
-            pbig[:, s:big_rows, :] = v_new.astype(pbig.dtype)
-            obig[:, big_rows - 1, LANE_B4:LANE_B4 + 1] = cost
-            return carry
-
-        jax.lax.fori_loop(0, k_steps, body, 0)
-
-        obig[:, 0:s, :] = _unpair_mats(p_w2[:], C, s)
-        ow3[:] = _unpair_mats(p_w3[:], C, s)
-        pbig[:, 0:s, :] = _unpair_mats(p_v2[:], C, s).astype(pbig.dtype)
-        pw3[:] = _unpair_mats(p_v3[:], C, s).astype(pw3.dtype)
-
-    return kernel
-
-
-def _psgld_paired_update(float_ref):
-    """pSGLD update rule for :func:`_make_multistep_kernel_masked_paired`
-    (same math as :func:`_make_multistep_kernel_psgld`)."""
-    eps = float_ref[0]
-    alpha = float_ref[1]
-    lam = float_ref[2]
-    inv_sg = float_ref[3]
-    prior_scale = float_ref[4]
-
-    def update(theta, v, grad, eta, valid):
-        v32 = v.astype(jnp.float32)
-        g = grad + prior_scale * theta
-        v_new = alpha * v32 + (1.0 - alpha) * g * g
-        precond = 1.0 / (lam + jnp.sqrt(jnp.maximum(v_new, 0.0)))
-        sigma = jnp.sqrt(jnp.maximum(eps * precond * inv_sg, 0.0))
-        delta = -0.5 * eps * precond * g + sigma * eta
-        return theta + delta * valid, v_new * valid
-
-    return update
-
-
-def _rsghmc_paired_update(float_ref):
-    """Relativistic-SGHMC update rule for
-    :func:`_make_multistep_kernel_masked_paired` (same math as
-    :func:`_make_multistep_kernel_rsghmc`)."""
-    eps = float_ref[0]
-    noise_scale = float_ref[1]
-    prior_scale = float_ref[2]
-    inv_mc2 = float_ref[3]
-    inv_m = float_ref[4]
-    d_coef = float_ref[5]
-
-    def vel(p):
-        return eps * p * inv_m * jax.lax.rsqrt(p * p * inv_mc2 + 1.0)
-
-    def update(theta, v, grad, eta, valid):
-        p = v.astype(jnp.float32)
-        loglik_g = -(grad + prior_scale * theta)
-        p_new = (p + eps * loglik_g + noise_scale * eta
-                 - d_coef * vel(p)) * valid
-        return theta + vel(p_new) * valid, p_new
-
-    return update
-
-
-def _multistep_family_call(kernel, theta, v, tables, out_dtypes,
-                           int_scalars, float_scalars, block_chains,
-                           interpret, pair_dots=False):
-    """Shared pallas_call plumbing for the theta+momentum multi-step
-    variants (pSGLD / RSGHMC): 2 aliased theta outputs + 2 aliased
-    momentum outputs, shared window tables, the standard scratch set
-    (or the paired one when ``pair_dots``)."""
-    tbig, _ = theta
-    n_chains = tbig.shape[0]
-    s = tbig.shape[2]
-    x_win, y_win = tables
-
-    state_specs = [_big_spec(block_chains, s), _mat_spec(block_chains, s)]
-    in_specs = (
-        state_specs + state_specs
-        + [_table_spec(x_win), _table_spec(y_win)]
-    )
-    operands = list(theta) + list(v) + [
-        jnp.asarray(x_win, jnp.float32), jnp.asarray(y_win, jnp.float32)]
-    out_shape = (
-        tuple(jax.ShapeDtypeStruct(t.shape, out_dtypes[0]) for t in theta)
-        + tuple(jax.ShapeDtypeStruct(t.shape, out_dtypes[1]) for t in theta)
-    )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_chains // block_chains,),
-        in_specs=in_specs,
-        out_specs=tuple(state_specs) + tuple(state_specs),
-        scratch_shapes=(_paired_scratch(block_chains, s, 4) if pair_dots
-                        else _multistep_scratch(block_chains, s)),
-    )
-    aliases = {2: 0, 3: 1, 4: 2, 5: 3}
-    interpreter = pltpu.InterpretParams() if interpret else False
-    outs = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=out_shape,
-        input_output_aliases=aliases,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpreter,
-    )(int_scalars, float_scalars, *operands)
-    theta_new = tuple(outs[0:2])
-    v_new = tuple(outs[2:4])
-    cost = theta_new[0][:, s + VEC_ROWS - 1, 0:1]
-    return theta_new, v_new, cost
 
 
 @functools.partial(
@@ -3188,26 +2102,25 @@ def fused_bnn_multistep_psgld(
     _check_pair_dots(pair_dots, s, n_inputs, block_chains)
 
     int_scalars = jnp.asarray(seed, jnp.int32).reshape(1)
-    float_scalars = jnp.stack([
-        jnp.asarray(eps, jnp.float32),
-        jnp.asarray(alpha, jnp.float32),
-        jnp.asarray(lambda_reg, jnp.float32),
-        jnp.asarray(1.0 / scale_grad, jnp.float32),
-        jnp.asarray(prior_scale, jnp.float32),
-    ])
+    float_scalars = _per_step_table(eps, int(k_steps), lambda e: [
+        e, jnp.full_like(e, alpha), jnp.full_like(e, lambda_reg),
+        jnp.full_like(e, 1.0 / scale_grad),
+        jnp.full_like(e, prior_scale)])
     if pair_dots:
-        kernel = _make_multistep_kernel_masked_paired(
-            float(batch_size), float(n_data), block_chains,
-            n_windows, int(k_steps), int(h), _psgld_paired_update,
-            n_inputs)
+        kernel = _make_multistep_kernel_family_paired(
+            RULE_PSGLD, float(batch_size), float(n_data), block_chains,
+            n_windows, int(k_steps), int(h), n_inputs)
     else:
-        kernel = _make_multistep_kernel_psgld(
-            float(batch_size), float(n_data), block_chains,
+        kernel = _make_multistep_kernel_family(
+            RULE_PSGLD, float(batch_size), float(n_data), block_chains,
             n_windows, int(k_steps), int(h), s, bias_row, n_inputs)
-    return _multistep_family_call(
-        kernel, theta, v, (xw_op, y_win), (jnp.float32, jnp.float32),
-        int_scalars, float_scalars, block_chains, interpret,
-        pair_dots=pair_dots)
+    y_op = jnp.asarray(y_win, jnp.float32)
+    theta_new, v_new, _, cost = _family_call(
+        RULE_PSGLD, kernel, theta, v, None, None,
+        [xw_op, y_op], [_table_spec(xw_op), _table_spec(y_op)],
+        None, jnp.float32, block_chains, interpret, pair_dots,
+        int_scalars, float_scalars)
+    return theta_new, v_new, cost
 
 
 @functools.partial(
@@ -3243,31 +2156,30 @@ def fused_bnn_multistep_rsghmc(
         x_win, "fused_bnn_multistep_rsghmc")
     _check_pair_dots(pair_dots, s, n_inputs, block_chains)
 
-    eps32 = jnp.asarray(eps, jnp.float32)
     int_scalars = jnp.asarray(seed, jnp.int32).reshape(1)
-    float_scalars = jnp.stack([
-        eps32,
-        jnp.sqrt(jnp.maximum(
-            eps32 * (2.0 * d_coef - eps32 * b_hat), 0.0)),
-        jnp.asarray(prior_scale, jnp.float32),
-        jnp.asarray(1.0 / (mass * mass * speed_of_light * speed_of_light),
-                    jnp.float32),
-        jnp.asarray(1.0 / mass, jnp.float32),
-        jnp.asarray(d_coef, jnp.float32),
-    ])
+    float_scalars = _per_step_table(eps, int(k_steps), lambda e: [
+        e,
+        jnp.sqrt(jnp.maximum(e * (2.0 * d_coef - e * b_hat), 0.0)),
+        jnp.full_like(e, prior_scale),
+        jnp.full_like(
+            e, 1.0 / (mass * mass * speed_of_light * speed_of_light)),
+        jnp.full_like(e, 1.0 / mass),
+        jnp.full_like(e, d_coef)])
     if pair_dots:
-        kernel = _make_multistep_kernel_masked_paired(
-            float(batch_size), float(n_data), block_chains,
-            n_windows, int(k_steps), int(h), _rsghmc_paired_update,
-            n_inputs)
+        kernel = _make_multistep_kernel_family_paired(
+            RULE_RSGHMC, float(batch_size), float(n_data), block_chains,
+            n_windows, int(k_steps), int(h), n_inputs)
     else:
-        kernel = _make_multistep_kernel_rsghmc(
-            float(batch_size), float(n_data), block_chains,
+        kernel = _make_multistep_kernel_family(
+            RULE_RSGHMC, float(batch_size), float(n_data), block_chains,
             n_windows, int(k_steps), int(h), s, bias_row, n_inputs)
-    return _multistep_family_call(
-        kernel, theta, v, (xw_op, y_win), (jnp.float32, state_dtype),
-        int_scalars, float_scalars, block_chains, interpret,
-        pair_dots=pair_dots)
+    y_op = jnp.asarray(y_win, jnp.float32)
+    theta_new, v_new, _, cost = _family_call(
+        RULE_RSGHMC, kernel, theta, v, None, None,
+        [xw_op, y_op], [_table_spec(xw_op), _table_spec(y_op)],
+        None, state_dtype, block_chains, interpret, pair_dots,
+        int_scalars, float_scalars)
+    return theta_new, v_new, cost
 
 
 #  Multi-step burn-in: the adaptive phase VMEM-resident too ------------------
@@ -3352,10 +2264,6 @@ def _make_multistep_kernel_burnin(batch_size, n_data, block_chains,
              s_a1, s_a2, s_a3, s_gvec) = refs
             vbig = vw3 = pbig = pw3 = None
         pltpu.prng_seed(int_ref[0], pl.program_id(0))
-        eps = float_ref[0]
-        c1 = float_ref[1]   # eps_scaled (sghmc) / a_coef (sgld)
-        c2 = float_ref[2]   # mdecay (sghmc) / sg_safe (sgld)
-        prior_scale = float_ref[3]
 
         obig[:] = tbig[:]
         ow3[:] = tw3[:]
@@ -3378,6 +2286,12 @@ def _make_multistep_kernel_burnin(batch_size, n_data, block_chains,
             C, n_inputs, h, s, bias_row)
 
         def body(t, carry):
+            # per-step scalar row: eps, c1 (eps_scaled / a_coef),
+            # c2 (mdecay / sg_safe), prior_scale
+            eps = float_ref[t, 0]
+            c1 = float_ref[t, 1]
+            c2 = float_ref[t, 2]
+            prior_scale = float_ref[t, 3]
             xin_bf, y = _select_window_bf(
                 C, n_windows, win_iota, xw_ref, yw_ref, n_inputs)
 
@@ -3488,10 +2402,6 @@ def _make_multistep_kernel_burnin_paired(batch_size, n_data, block_chains,
              p_vh2, p_vh3, p_m2, p_m3) = refs
             vbig = vw3 = pbig = pw3 = p_v2 = p_v3 = None
         pltpu.prng_seed(int_ref[0], pl.program_id(0))
-        eps = float_ref[0]
-        c1 = float_ref[1]   # eps_scaled (sghmc) / a_coef (sgld)
-        c2 = float_ref[2]   # mdecay (sghmc) / sg_safe (sgld)
-        prior_scale = float_ref[3]
 
         # vec-row state rides the output refs; W2/W3 state is paired
         obig[:] = tbig[:]
@@ -3523,6 +2433,7 @@ def _make_multistep_kernel_burnin_paired(batch_size, n_data, block_chains,
         lane3p = jax.lax.broadcasted_iota(jnp.int32, (Cp, B_PAD, 2 * s), 2)
         bias_lane_p = (lane3p % s) == BIAS_ROW
         first_half = lane3p < s
+        p_move = _paired_fold_const(s)
         win_iota = jax.lax.broadcasted_iota(jnp.int32, (C, n_windows), 1)
 
         rowm = jax.lax.broadcasted_iota(
@@ -3538,13 +2449,19 @@ def _make_multistep_kernel_burnin_paired(batch_size, n_data, block_chains,
         _, vec_valid = _psgld_valid_masks(C, n_inputs, h, s, BIAS_ROW)
 
         def body(t, carry):
+            # per-step scalar row: eps, c1 (eps_scaled / a_coef),
+            # c2 (mdecay / sg_safe), prior_scale
+            eps = float_ref[t, 0]
+            c1 = float_ref[t, 1]
+            c2 = float_ref[t, 2]
+            prior_scale = float_ref[t, 3]
             xin_bf, y = _select_window_bf(
                 C, n_windows, win_iota, xw_ref, yw_ref, n_inputs)
 
             cost, g_w2p, g_vec, g_w3p = _fwd_bwd_paired(
                 obig[:], p_w2[:].astype(jnp.bfloat16),
                 p_w3[:].astype(jnp.bfloat16), xin_bf, y, bmask,
-                lane2, lane3p, bias_lane_p, first_half,
+                lane2, lane3p, bias_lane_p, first_half, p_move,
                 s_a1, s_a2, s_a3, s_gvec, inv_b, inv_n, C, s,
                 n_inputs)
 
@@ -3665,13 +2582,11 @@ def fused_bnn_multistep_burnin(
         x_win, "fused_bnn_multistep_burnin")
     _check_pair_dots(pair_dots, s, n_inputs, block_chains)
 
-    eps32 = jnp.asarray(eps, jnp.float32)
     int_scalars = jnp.asarray(seed, jnp.int32).reshape(1)
-    float_scalars = jnp.stack([
-        eps32, eps32 / jnp.sqrt(jnp.asarray(scale_grad, jnp.float32)),
-        jnp.asarray(mdecay, jnp.float32),
-        jnp.asarray(prior_scale, jnp.float32),
-    ])
+    sg_sqrt = jnp.sqrt(jnp.asarray(scale_grad, jnp.float32))
+    float_scalars = _per_step_table(eps, int(k_steps), lambda e: [
+        e, e / sg_sqrt,
+        jnp.full_like(e, mdecay), jnp.full_like(e, prior_scale)])
 
     state_specs = [_big_spec(block_chains, s), _mat_spec(block_chains, s)]
     in_specs = (
@@ -3765,12 +2680,10 @@ def fused_bnn_multistep_burnin_sgld(
     small = 1e-16
     sg_safe = sg + 2.0 * jnp.sign(sg) * small + small
     int_scalars = jnp.asarray(seed, jnp.int32).reshape(1)
-    float_scalars = jnp.stack([
-        jnp.asarray(eps, jnp.float32),
-        jnp.asarray(a_coef, jnp.float32),
-        sg_safe,
-        jnp.asarray(prior_scale, jnp.float32),
-    ])
+    float_scalars = _per_step_table(eps, int(k_steps), lambda e: [
+        e, jnp.full_like(e, a_coef),
+        jnp.broadcast_to(sg_safe, e.shape),
+        jnp.full_like(e, prior_scale)])
 
     state_specs = [_big_spec(block_chains, s), _mat_spec(block_chains, s)]
     in_specs = (

@@ -844,9 +844,10 @@ def sample_chain_fused(
         # (ops/fused_step.fused_bnn_multistep); the kernel draws each
         # chain's minibatch window from its own in-kernel PRNG stream and
         # reports the final step's cost — identical to the thinned scan's
-        # costs[-1].  The stepsize is evaluated once per segment (exact
-        # for constant schedules; step-varying schedules should use
-        # multistep=False).
+        # costs[-1].  The schedule is evaluated host-side PER INNER STEP
+        # and shipped as a (keep_every,) eps vector (the kernels read a
+        # per-step SMEM scalar row), so step-varying schedules are exact
+        # — same stepsizes the per-step path would use.
         from pysgmcmc_tpu.ops.fused_step import (
             fused_bnn_multistep,
             fused_bnn_multistep_psgld,
@@ -856,7 +857,9 @@ def sample_chain_fused(
         )
 
         theta, v, xi, key, step = carry
-        eps = _schedule_eps(sampler, schedule_state0, step)
+        eps = jax.vmap(
+            lambda t: _schedule_eps(sampler, schedule_state0, step + t)
+        )(jnp.arange(keep_every))
         if fkind == "sghmc":
             theta, v, cost = fused_bnn_multistep(
                 theta, v, minv, x_win, y_win, eps,
@@ -1481,9 +1484,10 @@ def burnin_chain_fused(
     (:func:`pysgmcmc_tpu.ops.fused_step.fused_bnn_multistep_burnin` /
     ``fused_bnn_multistep_burnin_sgld``); the minibatch window is drawn
     from the in-kernel PRNG each step.  SGHMC and SGLD (the adaptive
-    samplers).  The stepsize is evaluated ONCE for the launch — exact
-    for constant schedules; step-varying schedules should use
-    :func:`burnin_chain_lanes`.  ``mesh`` shards the chain axis via
+    samplers).  The schedule is evaluated host-side per step and shipped
+    as an ``(n_steps,)`` eps vector (the kernel reads a per-step SMEM
+    scalar row), so step-varying schedules are exact.
+    ``mesh`` shards the chain axis via
     :func:`_run_sharded`.  Returns the advanced states with
     ``stats.minv`` holding the mass-matrix inverse the final step used
     (the value the sampling phase freezes), matching
@@ -1543,7 +1547,9 @@ def burnin_chain_fused(
     base_seed = _base_seed(key_seed)
     schedule_state0 = _shared_schedule_state(states, "burnin_chain_fused")
     step0 = jnp.max(states.step) if jnp.ndim(states.step) else states.step
-    eps = _schedule_eps(sampler, schedule_state0, step0)
+    eps = jax.vmap(
+        lambda t: _schedule_eps(sampler, schedule_state0, step0 + t)
+    )(jnp.arange(int(n_steps)))
     seed = base_seed + step0.astype(jnp.int32)
     prior_scale = getattr(sampler, "gaussian_prior_scale", 0.0)
 

@@ -436,7 +436,8 @@ def test_fused_pair_dots_model_smoke():
         BayesianNeuralNetwork(pair_dots=True)
     from pysgmcmc_tpu.stepsize_schedules import PolynomialDecaySchedule
 
-    with pytest.raises(ValueError, match="constant stepsize"):
-        BayesianNeuralNetwork(
-            network="dense", step_impl="fused", pair_dots=True,
-            stepsize_schedule=PolynomialDecaySchedule(1e-2))
+    # step-varying schedules are exact through the multi-step kernels
+    # since round 4 (per-step SMEM eps rows) — pair_dots accepts them
+    BayesianNeuralNetwork(
+        network="dense", step_impl="fused", pair_dots=True,
+        stepsize_schedule=PolynomialDecaySchedule(1e-2))

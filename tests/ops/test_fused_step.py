@@ -1298,6 +1298,81 @@ def test_multistep_single_window_selects_the_data():
 
 
 @pytest.mark.slow
+def test_multistep_cyclical_schedule_matches_pytree():
+    """A STEP-VARYING schedule through multistep == the per-step path.
+
+    Round 3's multi-step drivers evaluated the schedule once per k-step
+    segment, silently quantizing cyclical/polynomial schedules; the
+    drivers now ship a per-step eps vector into the kernel's SMEM scalar
+    table (ops/fused_step._per_step_table).  Pin it: k kernel steps
+    under a cyclical schedule must match k pytree steps that re-evaluate
+    the schedule every step — if the kernel ever reuses one eps for the
+    whole segment again, the trajectories diverge at O(delta-eps)."""
+    from pysgmcmc_tpu.data_batches import batch_fn as make_batch_fn
+    from pysgmcmc_tpu.parallel.packed import sample_chain_fused
+    from pysgmcmc_tpu.samplers.sghmc import SGHMCSampler
+    from pysgmcmc_tpu.stepsize_schedules import CyclicalStepsizeSchedule
+
+    n, k_steps = 2, 4
+    base, positions, _ = _workload(n)
+    rng = np.random.RandomState(0)
+    x = rng.uniform(0.0, 1.0, (100, 1)).astype(np.float32)
+    from pysgmcmc_tpu.diagnostics.objective_functions import sinc
+
+    y = np.asarray(sinc(x), np.float32)
+
+    # a short cycle so eps genuinely varies WITHIN the k-step segment
+    schedule = CyclicalStepsizeSchedule(0.05, cycle_length=6)
+    sampler = SGHMCSampler(
+        base.cost_fn, stepsize_schedule=schedule, burn_in_steps=50,
+        scale_grad=100.0,
+        gaussian_prior_scale=base.gaussian_prior_scale)
+
+    select = make_batch_fn(jnp.asarray(x), jnp.asarray(y), 20)
+
+    def one(p, ck):
+        k1, k2 = jax.random.split(ck)
+        st = sampler.init(p, k1)
+        st, _ = sample_chain(
+            sampler, st, k2, 1, batch_fn=select,
+            keep_every=sampler.burn_in_steps, collect_costs=False)
+        return st
+
+    states = jax.vmap(one)(
+        positions, jax.random.split(jax.random.PRNGKey(1), n))
+
+    xb = jnp.asarray(x[0:20])
+    yb = jnp.asarray(y[0:20]).reshape(-1, 1)
+
+    def ref_steps(state):
+        zero = jax.tree_util.tree_map(jnp.zeros_like, state.position)
+        for _ in range(k_steps):
+            # the pytree step re-evaluates the schedule at state.step
+            state = sampler.step(
+                state, jax.random.PRNGKey(0), (xb, yb), noise=zero,
+                phase="sampling")[0]
+        return state
+
+    ref = jax.vmap(ref_steps)(states)
+    out, _, costs = sample_chain_fused(
+        sampler, states, jax.random.PRNGKey(2), 1, x, y,
+        batch_size=20, keep_every=k_steps, block_chains=n,
+        state_dtype=jnp.float32, multistep=True, interpret=True)
+
+    assert np.isfinite(np.asarray(costs)).all()
+    # sanity: the schedule really varies inside the segment
+    step0 = int(np.asarray(states.step)[0])
+    eps_seq = [float(schedule.value(None, step0 + t))
+               for t in range(k_steps)]
+    assert max(eps_seq) > min(eps_seq) * 1.5
+    for key in ref.position:
+        np.testing.assert_allclose(
+            np.asarray(ref.position[key]),
+            np.asarray(out.position[key]),
+            rtol=0, atol=2e-3, err_msg="position " + key)
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize(
     "kind", ["sghmc", "sgld", "sgnht", "psgld", "rsghmc"])
 def test_multistep_paired_matches_unpaired(kind):
