@@ -27,6 +27,7 @@ examples:
 	PYTHONPATH=. JAX_PLATFORMS=cpu python examples/flash_sghmc.py
 	PYTHONPATH=. JAX_PLATFORMS=cpu python examples/bayesian_optimization.py
 	PYTHONPATH=. JAX_PLATFORMS=cpu python examples/checkpoint_resume.py
+	PYTHONPATH=. JAX_PLATFORMS=cpu python examples/arviz_export.py
 	PYTHONPATH=. JAX_PLATFORMS=cpu python examples/compute_ess.py banana \
 	    --stepsize 0.5 --n-chains 2 --samples-per-chain 500 \
 	    -o /tmp/ess_banana_ci.json

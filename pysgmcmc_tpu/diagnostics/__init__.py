@@ -1,4 +1,5 @@
 from pysgmcmc_tpu.diagnostics import model_diagnostics, objective_functions
+from pysgmcmc_tpu.diagnostics.arviz_export import to_arviz, to_inference_dict
 from pysgmcmc_tpu.diagnostics.chain_health import check_chains, divergence_step
 from pysgmcmc_tpu.diagnostics.sample_chains import (
     MultiTrace,
@@ -28,4 +29,6 @@ __all__ = [
     "gelman_rubin",
     "gelman_rubin_from_sampler",
     "gelman_rubin_split",
+    "to_arviz",
+    "to_inference_dict",
 ]

@@ -11,6 +11,7 @@ import doctest
 import pytest
 
 import pysgmcmc_tpu.data_batches
+import pysgmcmc_tpu.diagnostics.arviz_export
 import pysgmcmc_tpu.diagnostics.chain_health
 import pysgmcmc_tpu.diagnostics.model_diagnostics
 import pysgmcmc_tpu.diagnostics.objective_functions
@@ -53,6 +54,7 @@ import pysgmcmc_tpu.utils.sample_store
 # (/root/reference/pysgmcmc/pytest.ini:1-4).
 MODULES = [
     pysgmcmc_tpu.data_batches,
+    pysgmcmc_tpu.diagnostics.arviz_export,
     pysgmcmc_tpu.diagnostics.chain_health,
     pysgmcmc_tpu.diagnostics.model_diagnostics,
     pysgmcmc_tpu.diagnostics.objective_functions,
