@@ -4,14 +4,15 @@
 # only in the daily cron, the fast suite on every push).
 #
 # fast: excludes @pytest.mark.slow (statistical, KS, long-scan,
-#       interpret-mode Pallas and BNN end-to-end tests).  Measured 4m20
-#       cold on this single-core env (down from 7m30 in round 2); the
-#       remaining tail is one-off XLA compiles spread over ~200 tests,
-#       not test workloads — so a persistent JAX compilation cache
-#       (below) recovers most of it on every rerun (~25% per cached
-#       compile measured on the worst offender; measured 2m41 warm on
-#       this single-core env, inside the <3 min target).
-#       --durations=10 keeps drift visible.
+#       interpret-mode Pallas and BNN end-to-end tests).  The tail is
+#       one-off XLA compiles spread over ~300 tests, not test
+#       workloads — so the persistent JAX compilation cache below (with
+#       the min-compile-time threshold dropped to 0 so sub-second
+#       compiles cache too) recovers most of it on every rerun.
+#       Measured on this single-core env (round 4): 2m01 warm /
+#       3m44 cold-ish (stale-cache), down from 5m30 in round 3 —
+#       inside the <3 min warm target.  --durations=10 keeps drift
+#       visible.
 # full: the whole suite, then every example under examples/ (the analog of
 #       the reference's nbval notebook run, pysgmcmc/Makefile:10-14).
 set -euo pipefail
@@ -32,7 +33,10 @@ esac
 # first) skip them.  Works on the CPU backend; cold runs are unaffected.
 export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-$PWD/.jax_cache}"
 export JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES=-1
-export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=0.5
+# 0, not 0.5: the fast lane's tail is ~300 sub-second compiles; at the
+# default threshold none of them were ever cached (measured: caching
+# them shaves ~25% off the warm lane on the single-core CI env)
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=0
 
 MODE="${1:-fast}"
 

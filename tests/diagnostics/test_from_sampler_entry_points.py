@@ -36,13 +36,13 @@ INITIAL = {"x": jnp.zeros((3,)), "b": jnp.zeros(())}
 
 def test_effective_sample_sizes_from_sampler_pytree():
     ess = effective_sample_sizes(
-        _sampler(), INITIAL, key=0, n_chains=2, samples_per_chain=200,
+        _sampler(), INITIAL, key=0, n_chains=2, samples_per_chain=80,
         keep_every=2,
     )
     assert set(ess) == {"x", "b"}
     assert ess["x"].shape == (3,)
     assert ess["b"].shape == ()
-    total = 2 * 200
+    total = 2 * 80
     assert bool((np.asarray(ess["x"]) > 0.0).all())
     assert bool((np.asarray(ess["x"]) <= total).all())
     assert 0.0 < float(ess["b"]) <= total
@@ -50,7 +50,7 @@ def test_effective_sample_sizes_from_sampler_pytree():
 
 def test_gelman_rubin_from_sampler_pytree():
     r_hat = gelman_rubin_from_sampler(
-        _sampler(), INITIAL, key=1, n_chains=4, samples_per_chain=300,
+        _sampler(), INITIAL, key=1, n_chains=4, samples_per_chain=120,
         keep_every=2,
     )
     assert set(r_hat) == {"x", "b"}
@@ -62,9 +62,12 @@ def test_gelman_rubin_from_sampler_pytree():
 
 def test_direct_estimators_dispatch_over_pytrees():
     key = jax.random.PRNGKey(3)
+    # dispatch is what's under test; keep the chains small — the four
+    # estimators each trace+compile an FFT program per leaf shape, which
+    # dominates this test's runtime
     chains = {
-        "x": jax.random.normal(key, (2, 400, 3)),
-        "b": jax.random.normal(jax.random.fold_in(key, 1), (2, 400)),
+        "x": jax.random.normal(key, (2, 96, 3)),
+        "b": jax.random.normal(jax.random.fold_in(key, 1), (2, 96)),
     }
     for fn in (effective_sample_size, effective_sample_size_bulk,
                gelman_rubin, gelman_rubin_split):

@@ -423,9 +423,13 @@ def test_fused_pair_dots_model_smoke():
     """pair_dots=True trains end to end through the model (interpret
     mode on CPU) and validates its configuration in the constructor."""
     x, y = _sinc_data()[:2]
+    # interpret-mode kernel steps dominate this test's runtime on CPU:
+    # keep the iteration budget at the smoke minimum (trained-state
+    # plumbing + finite predictions; accuracy gates live in the slow
+    # lane's end-to-end tests)
     bnn = BayesianNeuralNetwork(
         network="dense", step_impl="fused", n_chains=2, n_nets=4,
-        n_iters=400, burn_in_steps=100, sample_steps=20, seed=2,
+        n_iters=120, burn_in_steps=40, sample_steps=20, seed=2,
         pair_dots=True)
     bnn.train(x, y)
     assert bnn.is_trained
