@@ -42,7 +42,7 @@ from pysgmcmc_tpu.samplers.sghmc import SGHMCSampler
 def build_workload(
     n_chains, dtype=jnp.float32, compute_dtype=jnp.bfloat16,
     n_data=100, batch_size=20, fold_weight_prior=True, noise_bits=None,
-    network="default", return_data=False,
+    network="default", return_data=False, units=(50, 50, 50),
 ):
     """The north-star posterior: 3x50 heteroscedastic BNN on sinc data.
 
@@ -71,9 +71,9 @@ def build_workload(
         # (identical math and init draws; see models/architectures.py)
         from pysgmcmc_tpu.models.architectures import dense_network
 
-        init_fn, apply_fn = dense_network(1, dtype=dtype)
+        init_fn, apply_fn = dense_network(1, units=units, dtype=dtype)
     else:
-        init_fn, apply_fn = default_network(1, dtype=dtype)
+        init_fn, apply_fn = default_network(1, units=units, dtype=dtype)
     params0 = init_fn(jax.random.PRNGKey(0))
     n_params = sum(
         leaf.size for leaf in jax.tree_util.tree_leaves(params0)

@@ -205,8 +205,9 @@ class BayesianNeuralNetwork(BaseModel):
         # on the flash-SGHMC whole-step Pallas kernel (ops/fused_step) —
         # measured 2.58M steps/sec/chip (multi-step kernel via bench.py)
         # vs 1.48M for the pytree path on
-        # the 8192-chain flagship; requires network="dense", SGHMC, the
-        # default 3x50 architecture, and no mesh.  The fused path draws
+        # the 8192-chain flagship; requires network="dense" and a dense
+        # family topology (2-4 equal-width hidden layers, H <= 114 via
+        # units=).  The fused path draws
         # its noise from the in-kernel TPU PRNG (a different — equally
         # valid — stream than the threefry pytree path) and ignores
         # log_every during the sampling phase.
@@ -236,12 +237,14 @@ class BayesianNeuralNetwork(BaseModel):
         if step_impl == "fused":
             if network != "dense":
                 raise ValueError("step_impl='fused' requires network='dense'")
-            if len(units) != 3:
-                # the fused kernels hard-code the flagship w1..w4 slab
-                # layout (ops/fused_step.pack_fused)
+            if not 2 <= len(units) <= 4:
+                # the fused generators pack one (H, H) matrix slab per
+                # hidden layer beyond the first within the VMEM budget
+                # (ops/fused_step.pack_fused / fused_depth)
                 raise ValueError(
-                    "step_impl='fused' requires exactly 3 hidden layers; "
-                    "got units={!r}".format(tuple(units)))
+                    "step_impl='fused' supports 2-4 hidden layers; "
+                    "got units={!r} (use step_impl='lanes' for other "
+                    "topologies)".format(tuple(units)))
             if len(set(units)) != 1:
                 raise ValueError(
                     "step_impl='fused' requires equal hidden widths")
@@ -270,6 +273,10 @@ class BayesianNeuralNetwork(BaseModel):
         if pair_dots:
             if step_impl != "fused":
                 raise ValueError("pair_dots requires step_impl='fused'")
+            if len(units) != 3:
+                raise ValueError(
+                    "pair_dots supports the flagship 3-hidden-layer "
+                    "topology only; got units={!r}".format(tuple(units)))
         self.pair_dots = bool(pair_dots)
         self.network = network
         self.step_impl = step_impl

@@ -91,15 +91,19 @@ def _normal_3d(shape):
     return jnp.sqrt(-2.0 * jnp.log1p(-u1)) * jnp.cos(2.0 * jnp.pi * u2)
 
 
-def _block_etas(c, s=None, bias_row=None):
-    """(eta_w2, eta_vec, eta_w3) for one chain block, full-width draw.
+def _block_etas(c, s=None, bias_row=None, n_mats=2):
+    """``(eta_w2, eta_vec, *eta_mats)`` for one chain block, full-width.
 
     The kernel's ``(C, ., s)`` slabs with ``s = 64`` occupy only HALF of
     each physical (8, 128)-lane f32 register, so per-slab generation
     wastes half the VPU's transcendental throughput (the round-2
     formulation).  One ``(C, s, 2s)`` draw runs the Box-Muller logs/trigs
-    at full lane width; the two matrix-slab etas are its two static
-    s-lane halves, and the tiny vector-rows eta is a separate draw.
+    at full lane width; each PAIR of matrix-slab etas is its two static
+    s-lane halves (an odd trailing slab gets its own ``(C, s, s)`` draw
+    — rows are even, so Box-Muller still runs dual-output), and the tiny
+    vector-rows eta is a separate draw.  ``n_mats`` counts the matrix
+    slabs: ``depth - 1`` (2 for the flagship depth 3, whose draw order
+    this reproduces exactly).
 
     No masking of the dead padding rows is needed: the SGHMC update
     multiplies noise by ``minv`` zeros there (and concatenating the
@@ -110,11 +114,14 @@ def _block_etas(c, s=None, bias_row=None):
     if s is None:
         s = S
     del bias_row  # dead rows are masked by minv == 0, not by the draw
-    eta = _normal_3d((c, s, 2 * s))
-    eta_w2 = eta[:, :, 0:s]
-    eta_w3 = eta[:, :, s:2 * s]
+    mat_etas = []
+    for _ in range(n_mats // 2):
+        eta = _normal_3d((c, s, 2 * s))
+        mat_etas += [eta[:, :, 0:s], eta[:, :, s:2 * s]]
+    if n_mats % 2:
+        mat_etas.append(_normal_3d((c, s, s)))
     eta_vec = _normal_3d((c, VEC_ROWS, s))
-    return eta_w2, eta_vec, eta_w3
+    return (mat_etas[0], eta_vec) + tuple(mat_etas[1:])
 
 
 S = 64        # per-chain matrix slot (both dims); fits H = 50
@@ -172,20 +179,47 @@ VAR_P = 0.01                   # log-variance prior variance
 
 #  Packing ------------------------------------------------------------------
 
+MIN_DEPTH, MAX_DEPTH = 2, 4  # hidden tanh layers the fused family packs
+
+
+def fused_depth(params):
+    """Number of hidden layers in a stacked dense-network pytree.
+
+    ``w{depth+1}`` is the head; depth 2-4 is the fused family's range
+    (:data:`MIN_DEPTH`/:data:`MAX_DEPTH` — one to three ``(H, H)``
+    matrix slabs within the VMEM budget).  The reference's pluggable
+    ``get_net`` (``/root/reference/pysgmcmc/models/bayesian_neural_
+    network.py:363``) motivates the parametric range; wider topologies
+    use the chains-on-lanes or pytree paths.
+    """
+    depth = sum(1 for k in params if k.startswith("w")) - 1
+    if not MIN_DEPTH <= depth <= MAX_DEPTH:
+        raise ValueError(
+            "fused kernels support {}-{} hidden dense layers; got a "
+            "{}-hidden-layer network (use the chains-on-lanes path)".format(
+                MIN_DEPTH, MAX_DEPTH, depth))
+    return depth
+
+
 def pack_fused(params):
-    """Stacked dense-network params -> ``(big, w3m)`` fused-kernel layout.
+    """Stacked dense-network params -> ``(big, *mats)`` fused layout.
 
     ``params`` is a stacked :func:`pysgmcmc_tpu.models.architectures.
-    dense_network` pytree (leaves ``(n, ...)``).  Returns float32 arrays:
+    dense_network` pytree (leaves ``(n, ...)``) with 2-4 equal-width
+    hidden layers.  Returns a tuple of float32 arrays:
 
     - ``big: (n, S+8, S)`` — W2 in the top-left ``(H, H)``, its bias on
       row :data:`BIAS_ROW` (activations carry a constant-1 lane there, so
       the bias rides the matmul and its gradient falls out of the dW dot
-      automatically), and the vector rows ``[w1, b1, w4, (b4, lvb), 0...]``
-      at rows ``S..S+8`` (separate small outputs would be promoted into
-      scoped VMEM by XLA and OOM the kernel).
-    - ``w3m: (n, S, S)`` — W3 with b3 on the bias row.
+      automatically), and the vector rows ``[w1, b1, head_w, (head_b,
+      lvb), 0...]`` at rows ``S..S+8`` (separate small outputs would be
+      promoted into scoped VMEM by XLA and OOM the kernel).
+    - one ``(n, S, S)`` slab per REMAINING hidden matrix (``W3`` for the
+      flagship depth 3; ``W3, W4`` at depth 4; none at depth 2), each
+      with its bias on the bias row.
     """
+    depth = fused_depth(params)
+    head = depth + 1
     n, h, _ = params["w2"].shape
     s, bias_row = fused_slot(h)
 
@@ -202,7 +236,7 @@ def pack_fused(params):
         return jnp.pad(leaf, ((0, 0), (0, s - leaf.shape[1])))
 
     scal = jnp.concatenate(
-        [jnp.reshape(params["b4"], (n, 1)),
+        [jnp.reshape(params["b{}".format(head)], (n, 1)),
          jnp.reshape(params["log_variance_bias"], (n, 1))], axis=1)
     zero = jnp.zeros((n, s), jnp.float32)
     w1 = jnp.asarray(params["w1"], jnp.float32)
@@ -211,16 +245,24 @@ def pack_fused(params):
         else [row(w1[:, i]) for i in range(w1.shape[1])]
     )
     _vec_rows(len(w1_rows), s)  # validates the input dimension
-    rows = w1_rows + [row(params["b1"]), row(params["w4"]), row(scal)]
+    rows = w1_rows + [
+        row(params["b1"]), row(params["w{}".format(head)]), row(scal)]
     rows += [zero] * (VEC_ROWS - len(rows))
     vec = jnp.stack(rows, axis=1)
     big = jnp.concatenate([mat("w2", "b2"), vec], axis=1)  # (n, s+8, s)
-    return big, mat("w3", "b3")
+    return (big,) + tuple(
+        mat("w{}".format(i), "b{}".format(i)) for i in range(3, head))
 
 
 def unpack_fused(packed, h, n_inputs=1):
-    """Inverse of :func:`pack_fused` -> stacked dense-network pytree."""
-    big, w3m = packed
+    """Inverse of :func:`pack_fused` -> stacked dense-network pytree.
+
+    The depth is carried by the tuple length (``len(packed) - 1`` extra
+    matrix slabs beyond ``big``'s W2)."""
+    big = packed[0]
+    mats = packed[1:]
+    depth = 2 + len(mats)
+    head = depth + 1
     n = big.shape[0]
     s = big.shape[1] - VEC_ROWS
     bias_row = fused_slot(h)[1]
@@ -229,17 +271,19 @@ def unpack_fused(packed, h, n_inputs=1):
         big[:, s, :h] if n_inputs == 1
         else big[:, s:row_b1, :h]
     )
-    return {
+    out = {
         "w1": w1,
         "b1": big[:, row_b1, :h],
         "w2": big[:, :h, :h],
         "b2": big[:, bias_row, :h],
-        "w3": w3m[:, :h, :h],
-        "b3": w3m[:, bias_row, :h],
-        "w4": big[:, row_w4, :h],
-        "b4": big[:, row_scal, LANE_B4].reshape(n, 1),
+        "w{}".format(head): big[:, row_w4, :h],
+        "b{}".format(head): big[:, row_scal, LANE_B4].reshape(n, 1),
         "log_variance_bias": big[:, row_scal, LANE_LVB].reshape(n, 1, 1),
     }
+    for i, m in enumerate(mats):
+        out["w{}".format(i + 3)] = m[:, :h, :h]
+        out["b{}".format(i + 3)] = m[:, bias_row, :h]
+    return out
 
 
 def data_windows(x, y, batch_size):
@@ -500,7 +544,8 @@ def fused_bnn_step(
 
     Returns ``(theta', v', cost)`` with ``cost`` shaped ``(n_chains, 1)``.
     """
-    tbig, tw3 = theta
+    tbig = theta[0]
+    n_extra = len(theta) - 1
     n_chains = tbig.shape[0]
     if n_chains % block_chains:
         raise ValueError(
@@ -558,13 +603,17 @@ def fused_bnn_step(
             raise ValueError("pair_dots requires an even block_chains")
         if n_inputs != 1:
             raise ValueError("pair_dots supports n_inputs=1 only")
+        if n_extra != 1:
+            raise ValueError(
+                "pair_dots supports the flagship 3-hidden-layer "
+                "topology only")
         kernel = _make_kernel_paired(
             float(batch_size), float(n_data), block_chains)
     else:
         kernel = _make_kernel_family(
             RULE_SGHMC, float(batch_size), float(n_data), with_noise,
             block_chains, n_inputs, 0, s=s, bias_row=bias_row,
-            n_windows=n_windows)
+            n_windows=n_windows, n_extra=n_extra)
     theta_new, v_new, _, cost = _family_call(
         RULE_SGHMC, kernel, theta, v, None, minv,
         [xin, y_sel], data_specs, noise, state_dtype, block_chains,
@@ -656,14 +705,11 @@ def _multistep_slot(tbig, name):
     return s
 
 
-def _multistep_scratch(block_chains, s=S):
-    """The multi-step kernels' standard scratch set: three bf16
-    activation slabs + one f32 gradient-vector slab."""
+def _multistep_scratch(block_chains, s=S, depth=3):
+    """The fused kernels' standard scratch set: one bf16 activation slab
+    per hidden layer + one f32 gradient-vector slab."""
     bbs = (block_chains, B_PAD, s)
-    return [
-        pltpu.VMEM(bbs, jnp.bfloat16),
-        pltpu.VMEM(bbs, jnp.bfloat16),
-        pltpu.VMEM(bbs, jnp.bfloat16),
+    return [pltpu.VMEM(bbs, jnp.bfloat16) for _ in range(depth)] + [
         pltpu.VMEM((block_chains, VEC_ROWS, s), jnp.float32),
     ]
 
@@ -685,7 +731,7 @@ def _paired_scratch(block_chains, s=S, n_state_slabs=6):
     ] + [pltpu.VMEM(pms, jnp.float32) for _ in range(n_state_slabs)]
 
 
-def _check_pair_dots(pair_dots, s, n_inputs, block_chains):
+def _check_pair_dots(pair_dots, s, n_inputs, block_chains, n_group=2):
     """Validate a multi-step driver's pair_dots configuration."""
     if not pair_dots:
         return
@@ -693,6 +739,11 @@ def _check_pair_dots(pair_dots, s, n_inputs, block_chains):
         raise ValueError("pair_dots supports the 64-slot layout only")
     if block_chains % 2:
         raise ValueError("pair_dots requires an even block_chains")
+    if n_group != 2:
+        raise ValueError(
+            "pair_dots supports the flagship 3-hidden-layer topology "
+            "only (got {} hidden layers); use pair_dots=False for other "
+            "depths".format(n_group + 1))
 
 
 def _pair_mats(m, cp, s):
@@ -892,7 +943,8 @@ def fused_bnn_multistep(
 
     Returns ``(theta', v', cost)``.
     """
-    tbig, tw3 = theta
+    tbig = theta[0]
+    n_extra = len(theta) - 1
     n_chains = tbig.shape[0]
     s = _multistep_slot(tbig, "fused_bnn_multistep")
     bias_row = BIAS_ROW if s == S else WIDE_BIAS_ROW
@@ -902,7 +954,8 @@ def fused_bnn_multistep(
             "block_chains ({})".format(n_chains, block_chains))
     n_windows, n_inputs, xw_op = _multistep_tables(
         x_win, "fused_bnn_multistep")
-    _check_pair_dots(pair_dots, s, n_inputs, block_chains)
+    _check_pair_dots(pair_dots, s, n_inputs, block_chains,
+                     n_group=len(theta))
 
     int_scalars = jnp.asarray(seed, jnp.int32).reshape(1)
     sg_sqrt = jnp.sqrt(jnp.asarray(scale_grad, jnp.float32))
@@ -917,7 +970,8 @@ def fused_bnn_multistep(
     else:
         kernel = _make_multistep_kernel_family(
             RULE_SGHMC, float(batch_size), float(n_data), block_chains,
-            n_windows, int(k_steps), 0, s, bias_row, n_inputs)
+            n_windows, int(k_steps), 0, s, bias_row, n_inputs,
+            n_extra=n_extra)
     y_op = jnp.asarray(y_win, jnp.float32)
     theta_new, v_new, _, cost = _family_call(
         RULE_SGHMC, kernel, theta, v, None, minv,
@@ -929,18 +983,22 @@ def fused_bnn_multistep(
 
 #  Fused family: shared forward/backward --------------------------------------
 
-def _fwd_bwd(big, w3f, xin_bf, y, bmask, lane3, lane2,
-             s_a1, s_a2, s_a3, s_gvec, inv_b, inv_n, n_inputs, C,
+def _fwd_bwd(big, mats, xin_bf, y, bmask, lane3, lane2,
+             s_acts, s_gvec, inv_b, inv_n, n_inputs, C,
              s=S, bias_row=BIAS_ROW):
     """Forward + heteroscedastic likelihood + backward, shared by the
-    fused-family kernels.
+    fused-family kernels — parametric over the hidden depth.
 
-    Exactly the formulation proven to compile on v5e (see
-    :func:`_make_kernel` — real layer-1 matmul over the ``[x.., 1]``
-    lanes, ones-lane biases, VMEM scratch staging).  Operates on VALUES
-    (``big``/``w3f`` float32 slabs) so callers can source the state from
-    input refs (single-step kernels) or output refs (multi-step).
-    Returns ``(cost, g_w2, g_vec, g_w3)``.
+    Exactly the formulation proven to compile on v5e (real layer-1
+    matmul over the ``[x.., 1]`` lanes, ones-lane biases, VMEM scratch
+    staging).  Operates on VALUES (``big`` + the list of extra ``(C, s,
+    s)`` matrix slabs, float32) so callers can source the state from
+    input refs (single-step kernels) or output refs (multi-step);
+    ``mats`` is ``()`` at depth 2, ``(w3,)`` at the flagship depth 3,
+    ``(w3, w4m)`` at depth 4 — a STATIC python list, so the layer chain
+    unrolls at trace time (no in-kernel loop).  ``s_acts`` is one bf16
+    activation scratch slab per hidden layer.  Returns
+    ``(cost, g_w2, g_vec, g_mats)`` with ``g_mats`` matching ``mats``.
     """
     bf16 = jnp.bfloat16
     row_b1, row_w4, row_scal = _vec_rows(n_inputs, s)
@@ -951,20 +1009,24 @@ def _fwd_bwd(big, w3f, xin_bf, y, bmask, lane3, lane2,
 
     w1m_bf = big[:, s:row_b1 + 1, :].astype(bf16)
     z1 = _bdot(xin_bf, w1m_bf, (((2,), (1,))))
-    s_a1[:] = jnp.where(lane3 == bias_row, 1.0, jnp.tanh(z1)).astype(bf16)
-    a1 = s_a1[:]
-    a1f = a1.astype(jnp.float32)
+    # a1 always feeds a matrix layer (depth >= 2), so it always carries
+    # the constant-1 bias lane
+    s_acts[0][:] = jnp.where(
+        lane3 == bias_row, 1.0, jnp.tanh(z1)).astype(bf16)
+    acts = [s_acts[0][:]]
 
-    w2_bf = big[:, 0:s, :].astype(bf16)
-    w3_bf = w3f.astype(bf16)
-    z2 = _bdot(a1, w2_bf, (((2,), (1,))))
-    s_a2[:] = jnp.where(lane3 == bias_row, 1.0, jnp.tanh(z2)).astype(bf16)
-    a2 = s_a2[:]
-    a2f = a2.astype(jnp.float32)
-    z3 = _bdot(a2, w3_bf, (((2,), (1,))))
-    s_a3[:] = jnp.tanh(z3).astype(bf16)
-    a3f = s_a3[:].astype(jnp.float32)
-    f_mean = jnp.sum(a3f * w4[:, None, :], axis=2) + b4
+    mats_bf = [big[:, 0:s, :].astype(bf16)] + [m.astype(bf16) for m in mats]
+    for j, m_bf in enumerate(mats_bf):
+        z = _bdot(acts[-1], m_bf, (((2,), (1,))))
+        act = jnp.tanh(z)
+        if j + 1 < len(mats_bf):
+            # interior layer: the constant-1 lane at bias_row rides the
+            # NEXT matmul's bias row (its tanh' gradient is killed below)
+            act = jnp.where(lane3 == bias_row, 1.0, act)
+        s_acts[j + 1][:] = act.astype(bf16)
+        acts.append(s_acts[j + 1][:])
+    a_last_f = acts[-1].astype(jnp.float32)
+    f_mean = jnp.sum(a_last_f * w4[:, None, :], axis=2) + b4
 
     e_lv = jnp.exp(lvb)
     var_inv = 1.0 / (e_lv + 1e-16)
@@ -983,16 +1045,17 @@ def _fwd_bwd(big, w3f, xin_bf, y, bmask, lane3, lane2,
     d_lvb = d_lvb + (lvb - LOG_MP) / VAR_P * inv_n
     g_b4 = jnp.sum(d_mean, axis=1, keepdims=True)
 
-    g_w4 = jnp.sum(a3f * d_mean[:, :, None], axis=1)
-    dz3_bf = ((d_mean[:, :, None] * w4[:, None, :])
-              * (1.0 - a3f * a3f)).astype(bf16)
-    g_w3 = _bdot(a2, dz3_bf, (((1,), (1,))))
-    da2 = _bdot(dz3_bf, w3_bf, (((2,), (2,))))
-    dz2_bf = (da2 * (1.0 - a2f * a2f)).astype(bf16)
-    g_w2 = _bdot(a1, dz2_bf, (((1,), (1,))))
-    da1 = _bdot(dz2_bf, w2_bf, (((2,), (2,))))
-    dz1_bf = (da1 * (1.0 - a1f * a1f)).astype(bf16)
-    g_w1m = _bdot(xin_bf, dz1_bf, (((1,), (1,))))
+    g_w4 = jnp.sum(a_last_f * d_mean[:, :, None], axis=1)
+    dz_bf = ((d_mean[:, :, None] * w4[:, None, :])
+             * (1.0 - a_last_f * a_last_f)).astype(bf16)
+    g_mats_all = [None] * len(mats_bf)
+    for j in reversed(range(len(mats_bf))):
+        a_in = acts[j]
+        g_mats_all[j] = _bdot(a_in, dz_bf, (((1,), (1,))))
+        da = _bdot(dz_bf, mats_bf[j], (((2,), (2,))))
+        a_in_f = a_in.astype(jnp.float32)
+        dz_bf = (da * (1.0 - a_in_f * a_in_f)).astype(bf16)
+    g_w1m = _bdot(xin_bf, dz_bf, (((1,), (1,))))
 
     g_scal = jnp.where(
         lane2 == LANE_B4, g_b4,
@@ -1004,7 +1067,7 @@ def _fwd_bwd(big, w3f, xin_bf, y, bmask, lane3, lane2,
     if row_scal - s + 1 < VEC_ROWS:
         s_gvec[:, row_scal - s + 1:VEC_ROWS, :] = jnp.zeros(
             (C, VEC_ROWS - (row_scal - s) - 1, s), jnp.float32)
-    return cost, g_w2, s_gvec[:], g_w3
+    return cost, g_mats_all[0], s_gvec[:], list(g_mats_all[1:])
 
 
 #  Update-rule specs: one per sampler, consumed by the kernel generators ------
@@ -1204,7 +1267,11 @@ def _per_step_table(eps, k_steps, cols):
 
 
 def _take_refs(refs):
-    """Positional-ref unpacker for the generators' ``*refs`` kernels."""
+    """Positional-ref unpacker for the generators' ``*refs`` kernels.
+
+    ``take(n)`` pops ``n`` refs (a bare ref for ``n == 1``);
+    ``take.group(n)`` always pops a LIST of ``n`` (state groups whose
+    size depends on the network depth, possibly 1)."""
     refs = list(refs)
 
     def take(n):
@@ -1212,14 +1279,39 @@ def _take_refs(refs):
         del refs[:n]
         return out if n > 1 else out[0]
 
+    def group(n):
+        out = refs[:n]
+        del refs[:n]
+        return out
+
+    take.group = group
     return refs, take
 
 
 #  The three kernel generators ------------------------------------------------
 
+def _slab_views(refs_group, s, big_rows):
+    """``[big, *mats]`` refs -> the per-slab views ``[w2, vec, *mats]``
+    the update rules consume (read side: values; write side via
+    :func:`_store_slabs`)."""
+    big = refs_group[0]
+    return [big[:, 0:s, :], big[:, s:big_rows, :]] + [
+        m[:] for m in refs_group[1:]]
+
+
+def _store_slabs(refs_group, values, s, big_rows, dtype=None):
+    """Write per-slab ``values`` (w2, vec, *mats order) back into the
+    ``[big, *mats]`` ref group."""
+    cast = (lambda v: v) if dtype is None else (lambda v: v.astype(dtype))
+    refs_group[0][:, 0:s, :] = cast(values[0])
+    refs_group[0][:, s:big_rows, :] = cast(values[1])
+    for m_ref, v in zip(refs_group[1:], values[2:]):
+        m_ref[:] = cast(v)
+
+
 def _make_kernel_family(rule, batch_size, n_data, with_noise, block_chains,
                         n_inputs, h, s=S, bias_row=BIAS_ROW,
-                        n_windows=None):
+                        n_windows=None, n_extra=1):
     """Whole-step kernel generator for the fused BNN family.
 
     One fused forward + heteroscedastic likelihood + backward
@@ -1229,32 +1321,37 @@ def _make_kernel_family(rule, batch_size, n_data, with_noise, block_chains,
     (``rule.minv``), minibatch — or the shared window tables when
     ``n_windows`` is set (the select-in-kernel path, incompatible with
     noise injection) — optional injected-noise slabs, then the outputs
-    (theta, aux, xi) and the standard scratch set."""
+    (theta, aux, xi) and the standard scratch set.  ``n_extra`` is the
+    number of matrix slabs beyond ``big`` (``depth - 2``); each state
+    group (theta/aux/minv/noise/out) is ``1 + n_extra`` refs."""
     inv_b = 1.0 / batch_size
     inv_n = 1.0 / n_data
     C = block_chains
     big_rows = s + VEC_ROWS
+    n_group = 1 + n_extra      # refs per state group: big + extra mats
+    n_slabs = 2 + n_extra      # update slabs: w2, vec rows, extra mats
+    depth = 2 + n_extra
 
     def kernel(int_ref, float_ref, *refs):
         refs, take = _take_refs(refs)
-        tbig, tw3 = take(2)
-        vbig = vw3 = xi_ref = mbig = mw3 = nbig = nw3 = None
+        tg = take.group(n_group)
+        vg = xi_ref = mg = ng = None
         if rule.aux:
-            vbig, vw3 = take(2)
+            vg = take.group(n_group)
         if rule.xi:
             xi_ref = take(1)
         if rule.minv:
-            mbig, mw3 = take(2)
+            mg = take.group(n_group)
         xin_ref, y_ref = take(2)
         if with_noise:
-            nbig, nw3 = take(2)
-        obig, ow3 = take(2)
-        pbig = pw3 = xi_out = None
+            ng = take.group(n_group)
+        og = take.group(n_group)
+        pg = xi_out = None
         if rule.aux:
-            pbig, pw3 = take(2)
+            pg = take.group(n_group)
         if rule.xi:
             xi_out = take(1)
-        s_a1, s_a2, s_a3, s_gvec = refs
+        s_acts, s_gvec = refs[:depth], refs[depth]
 
         if not with_noise:
             pltpu.prng_seed(int_ref[0], pl.program_id(0))
@@ -1276,32 +1373,32 @@ def _make_kernel_family(rule, batch_size, n_data, with_noise, block_chains,
             xin_bf = xin_ref[:].astype(jnp.bfloat16)
             y = y_ref[:]
 
-        cost, g_w2, g_vec, g_w3 = _fwd_bwd(
-            tbig[:], tw3[:], xin_bf, y, bmask, lane3, lane2,
-            s_a1, s_a2, s_a3, s_gvec, inv_b, inv_n, n_inputs, C, s,
+        cost, g_w2, g_vec, g_mats = _fwd_bwd(
+            tg[0][:], [m[:] for m in tg[1:]], xin_bf, y, bmask, lane3,
+            lane2, s_acts, s_gvec, inv_b, inv_n, n_inputs, C, s,
             bias_row)
 
         if with_noise:
-            etas = (nbig[:][:, 0:s, :], nbig[:][:, s:big_rows, :], nw3[:])
+            etas = _slab_views(ng, s, big_rows)
         else:
-            etas = _block_etas(C, s, bias_row)
+            etas = _block_etas(C, s, bias_row, n_mats=1 + n_extra)
 
         if rule.minv:
-            masks = (mbig[:, 0:s, :], mbig[:, s:big_rows, :], mw3[:])
+            masks = _slab_views(mg, s, big_rows)
         else:
             mat_valid, vec_valid = _psgld_valid_masks(
                 C, n_inputs, h, s, bias_row)
-            masks = (mat_valid, vec_valid, mat_valid)
+            masks = [mat_valid, vec_valid] + [mat_valid] * n_extra
         xi3 = xi_ref[:, 0:1][:, :, None] if rule.xi else None
 
-        theta_slabs = (tbig[:, 0:s, :], tbig[:, s:big_rows, :], tw3[:])
+        theta_slabs = _slab_views(tg, s, big_rows)
         aux_slabs = (
-            (vbig[:, 0:s, :], vbig[:, s:big_rows, :], vw3[:])
-            if rule.aux else (None, None, None))
-        grads = (g_w2, g_vec, g_w3)
+            _slab_views(vg, s, big_rows) if rule.aux
+            else [None] * n_slabs)
+        grads = [g_w2, g_vec] + list(g_mats)
         stats = []
         outs = []
-        for i in range(3):
+        for i in range(n_slabs):
             t_new, a_new = update(
                 theta_slabs[i], aux_slabs[i], grads[i], etas[i],
                 masks[i], xi3)
@@ -1309,36 +1406,36 @@ def _make_kernel_family(rule, batch_size, n_data, with_noise, block_chains,
                 stats.append(_slab_sumsq(a_new))
             outs.append((t_new, a_new))
 
-        obig[:, 0:s, :] = outs[0][0]
-        obig[:, s:big_rows, :] = outs[1][0]
-        ow3[:] = outs[2][0]
+        _store_slabs(og, [o[0] for o in outs], s, big_rows)
         if rule.aux:
-            pbig[:, 0:s, :] = outs[0][1].astype(pbig.dtype)
-            pbig[:, s:big_rows, :] = outs[1][1].astype(pbig.dtype)
-            pw3[:] = outs[2][1].astype(pw3.dtype)
+            _store_slabs(pg, [o[1] for o in outs], s, big_rows,
+                         dtype=pg[0].dtype)
         if rule.xi:
-            kinetic = (stats[0] + stats[1] + stats[2]) * float_ref[3]
+            kinetic = sum(stats) * float_ref[3]
             xi_new = xi_ref[:, 0:1] + float_ref[0] * (kinetic - 1.0)
             xi_out[:, :] = xi_new + jnp.zeros((C, 128), jnp.float32)
         # cost rides lane 0 of the last row of the f32 theta slab (bf16
         # single-lane stores are unsupported).  Self-consistent: the
         # row's aux state stays masked, its gradient is zero, the
         # forward and unpack never read it, each step overwrites it.
-        obig[:, big_rows - 1, LANE_B4:LANE_B4 + 1] = cost
+        og[0][:, big_rows - 1, LANE_B4:LANE_B4 + 1] = cost
 
     return kernel
 
 
 def _make_multistep_kernel_family(rule, batch_size, n_data, block_chains,
                                   n_windows, k_steps, h, s=S,
-                                  bias_row=BIAS_ROW, n_inputs=1):
+                                  bias_row=BIAS_ROW, n_inputs=1,
+                                  n_extra=1):
     """Multi-step kernel generator: ``k_steps`` ``rule`` updates per
     launch with ALL aliased state (theta, aux, xi) resident in the
     output refs across a ``fori_loop`` — intermediate states never
     round-trip HBM.  The minibatch window is drawn from the in-kernel
     PRNG every step (:func:`_select_window_bf`); the per-chain cost of
     the LAST step rides the usual slab row (thinned-driver
-    ``costs[-1]`` semantics).
+    ``costs[-1]`` semantics).  ``n_extra`` as in
+    :func:`_make_kernel_family` (``depth - 2`` matrix slabs beyond
+    ``big``).
 
     The prefetched float scalars arrive as a ``(k_steps, n)`` PER-STEP
     table (SMEM); the loop body reads row ``t``, so step-varying
@@ -1348,35 +1445,38 @@ def _make_multistep_kernel_family(rule, batch_size, n_data, block_chains,
     inv_n = 1.0 / n_data
     C = block_chains
     big_rows = s + VEC_ROWS
+    n_group = 1 + n_extra
+    n_slabs = 2 + n_extra
+    depth = 2 + n_extra
 
     def kernel(int_ref, float_ref, *refs):
         refs, take = _take_refs(refs)
-        tbig, tw3 = take(2)
-        vbig = vw3 = xi_ref = mbig = mw3 = None
+        tg = take.group(n_group)
+        vg = xi_ref = mg = None
         if rule.aux:
-            vbig, vw3 = take(2)
+            vg = take.group(n_group)
         if rule.xi:
             xi_ref = take(1)
         if rule.minv:
-            mbig, mw3 = take(2)
+            mg = take.group(n_group)
         xw_ref, yw_ref = take(2)
-        obig, ow3 = take(2)
-        pbig = pw3 = xi_out = None
+        og = take.group(n_group)
+        pg = xi_out = None
         if rule.aux:
-            pbig, pw3 = take(2)
+            pg = take.group(n_group)
         if rule.xi:
             xi_out = take(1)
-        s_a1, s_a2, s_a3, s_gvec = refs
+        s_acts, s_gvec = refs[:depth], refs[depth]
 
         pltpu.prng_seed(int_ref[0], pl.program_id(0))
         n_cols = float_ref.shape[1]
 
         # aliased state lives in the output refs for the whole loop
-        obig[:] = tbig[:]
-        ow3[:] = tw3[:]
+        for o_ref, t_ref in zip(og, tg):
+            o_ref[:] = t_ref[:]
         if rule.aux:
-            pbig[:] = vbig[:]
-            pw3[:] = vw3[:]
+            for p_ref, v_ref in zip(pg, vg):
+                p_ref[:] = v_ref[:]
         if rule.xi:
             xi_out[:] = xi_ref[:]
 
@@ -1395,27 +1495,26 @@ def _make_multistep_kernel_family(rule, batch_size, n_data, block_chains,
             xin_bf, y = _select_window_bf(
                 C, n_windows, win_iota, xw_ref, yw_ref, n_inputs)
 
-            cost, g_w2, g_vec, g_w3 = _fwd_bwd(
-                obig[:], ow3[:], xin_bf, y,
-                bmask, lane3, lane2, s_a1, s_a2, s_a3, s_gvec,
+            cost, g_w2, g_vec, g_mats = _fwd_bwd(
+                og[0][:], [m[:] for m in og[1:]], xin_bf, y,
+                bmask, lane3, lane2, s_acts, s_gvec,
                 inv_b, inv_n, n_inputs, C, s, bias_row)
 
-            etas = _block_etas(C, s)
+            etas = _block_etas(C, s, n_mats=1 + n_extra)
             if rule.minv:
-                masks = (mbig[:, 0:s, :], mbig[:, s:big_rows, :], mw3[:])
+                masks = _slab_views(mg, s, big_rows)
             else:
-                masks = (mat_valid, vec_valid, mat_valid)
+                masks = [mat_valid, vec_valid] + [mat_valid] * n_extra
             xi3 = xi_out[:, 0:1][:, :, None] if rule.xi else None
 
-            theta_slabs = (obig[:, 0:s, :], obig[:, s:big_rows, :],
-                           ow3[:])
+            theta_slabs = _slab_views(og, s, big_rows)
             aux_slabs = (
-                (pbig[:, 0:s, :], pbig[:, s:big_rows, :], pw3[:])
-                if rule.aux else (None, None, None))
-            grads = (g_w2, g_vec, g_w3)
+                _slab_views(pg, s, big_rows) if rule.aux
+                else [None] * n_slabs)
+            grads = [g_w2, g_vec] + list(g_mats)
             stats = []
             outs = []
-            for i in range(3):
+            for i in range(n_slabs):
                 t_new, a_new = update(
                     theta_slabs[i], aux_slabs[i], grads[i], etas[i],
                     masks[i], xi3)
@@ -1423,18 +1522,15 @@ def _make_multistep_kernel_family(rule, batch_size, n_data, block_chains,
                     stats.append(_slab_sumsq(a_new))
                 outs.append((t_new, a_new))
 
-            obig[:, 0:s, :] = outs[0][0]
-            obig[:, s:big_rows, :] = outs[1][0]
-            ow3[:] = outs[2][0]
+            _store_slabs(og, [o[0] for o in outs], s, big_rows)
             if rule.aux:
-                pbig[:, 0:s, :] = outs[0][1].astype(pbig.dtype)
-                pbig[:, s:big_rows, :] = outs[1][1].astype(pbig.dtype)
-                pw3[:] = outs[2][1].astype(pw3.dtype)
+                _store_slabs(pg, [o[1] for o in outs], s, big_rows,
+                             dtype=pg[0].dtype)
             if rule.xi:
-                kinetic = (stats[0] + stats[1] + stats[2]) * row[3]
+                kinetic = sum(stats) * row[3]
                 xi_new = xi_out[:, 0:1] + row[0] * (kinetic - 1.0)
                 xi_out[:, :] = xi_new + jnp.zeros((C, 128), jnp.float32)
-            obig[:, big_rows - 1, LANE_B4:LANE_B4 + 1] = cost
+            og[0][:, big_rows - 1, LANE_B4:LANE_B4 + 1] = cost
             return carry
 
         jax.lax.fori_loop(0, k_steps, body, 0)
@@ -1623,21 +1719,23 @@ def _family_call(rule, kernel, theta, aux, xi, minv, data_ops, data_specs,
     [theta (f32), aux (``aux_dtype``)?, xi (f32)?].  theta/aux/xi alias
     their outputs 1:1; the read-only sets (minv, data, noise) do not.
     Returns ``(theta', aux', xi', cost)`` with the unused slots None."""
-    tbig, _ = theta
+    tbig = theta[0]
+    n_group = len(theta)
     n_chains = tbig.shape[0]
     s = tbig.shape[2]
-    state_specs = [_big_spec(block_chains, s), _mat_spec(block_chains, s)]
+    state_specs = [_big_spec(block_chains, s)] + [
+        _mat_spec(block_chains, s)] * (n_group - 1)
     xi_spec = pl.BlockSpec(
         (block_chains, 128), lambda i, *_: (i, 0),
         memory_space=pltpu.VMEM)
 
     in_specs = list(state_specs)
     operands = list(theta)
-    n_aliased = 2
+    n_aliased = n_group
     if rule.aux:
         in_specs += state_specs
         operands += list(aux)
-        n_aliased += 2
+        n_aliased += n_group
     if rule.xi:
         in_specs += [xi_spec]
         operands += [xi]
@@ -1669,7 +1767,7 @@ def _family_call(rule, kernel, theta, aux, xi, minv, data_ops, data_specs,
         n_slabs = 2 + (2 if rule.aux else 0) + (2 if rule.minv else 0)
         scratch = _paired_scratch(block_chains, s, n_slabs)
     else:
-        scratch = _multistep_scratch(block_chains, s)
+        scratch = _multistep_scratch(block_chains, s, depth=1 + n_group)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -1691,13 +1789,13 @@ def _family_call(rule, kernel, theta, aux, xi, minv, data_ops, data_specs,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpreter,
     )(int_scalars, float_scalars, *operands)
-    theta_new = tuple(outs[0:2])
+    theta_new = tuple(outs[0:n_group])
     cost = theta_new[0][:, s + VEC_ROWS - 1, 0:1]
-    pos = 2
+    pos = n_group
     aux_new = None
     if rule.aux:
-        aux_new = tuple(outs[2:4])
-        pos = 4
+        aux_new = tuple(outs[n_group:2 * n_group])
+        pos = 2 * n_group
     xi_new = outs[pos] if rule.xi else None
     return theta_new, aux_new, xi_new, cost
 
@@ -1763,7 +1861,8 @@ def fused_bnn_step_sgld(
     As :func:`fused_bnn_step` but with the momentum-free SGLD update and
     no momentum state: returns ``(theta', cost)``.
     """
-    tbig, tw3 = theta
+    tbig = theta[0]
+    n_extra = len(theta) - 1
     n_chains = tbig.shape[0]
     if n_chains % block_chains:
         raise ValueError(
@@ -1784,7 +1883,8 @@ def fused_bnn_step_sgld(
     xin_spec, y_spec = _batch_specs(block_chains, n_inputs)
     kernel = _make_kernel_family(
         RULE_SGLD, float(batch_size), float(n_data), noise is not None,
-        block_chains, n_inputs, 0, s=s, bias_row=bias_row)
+        block_chains, n_inputs, 0, s=s, bias_row=bias_row,
+        n_extra=n_extra)
     theta_new, _, _, cost = _family_call(
         RULE_SGLD, kernel, theta, None, None, minv,
         [xin, y_sel], [xin_spec, y_spec], noise, None, block_chains,
@@ -1812,7 +1912,8 @@ def fused_bnn_step_psgld(
     every step — pSGLD has no frozen phase).  Returns
     ``(theta', v', cost)``.
     """
-    tbig, tw3 = theta
+    tbig = theta[0]
+    n_extra = len(theta) - 1
     n_chains = tbig.shape[0]
     if n_chains % block_chains:
         raise ValueError(
@@ -1834,7 +1935,8 @@ def fused_bnn_step_psgld(
     xin_spec, y_spec = _batch_specs(block_chains, n_inputs)
     kernel = _make_kernel_family(
         RULE_PSGLD, float(batch_size), float(n_data), noise is not None,
-        block_chains, n_inputs, int(h), s=s, bias_row=bias_row)
+        block_chains, n_inputs, int(h), s=s, bias_row=bias_row,
+        n_extra=n_extra)
     theta_new, v_new, _, cost = _family_call(
         RULE_PSGLD, kernel, theta, v, None, None,
         [xin, y_sel], [xin_spec, y_spec], noise, state_dtype,
@@ -1862,7 +1964,8 @@ def fused_bnn_step_sgnht(
     thermostat replicated into a ``(n_chains, 128)`` f32 lane row (read
     back as column 0).  Returns ``(theta', v', xi', cost)``.
     """
-    tbig, tw3 = theta
+    tbig = theta[0]
+    n_extra = len(theta) - 1
     n_chains = tbig.shape[0]
     if n_chains % block_chains:
         raise ValueError(
@@ -1874,9 +1977,10 @@ def fused_bnn_step_sgnht(
             "row; got {}".format(n_chains, xi.shape))
     s = _multistep_slot(tbig, "fused family step")
     bias_row = BIAS_ROW if s == S else WIDE_BIAS_ROW
-    # real (unpadded) parameter count: two (h+1) x h weight slabs (biases
-    # ride the ones-lane bias row) + w1/b1/w4 vector rows + (b4, lvb)
-    n_dim = 2 * (h + 1) * h + (n_inputs + 2) * h + 2
+    # real (unpadded) parameter count: one (h+1) x h weight slab per
+    # matrix layer (biases ride the ones-lane bias row) + w1/b1/head
+    # vector rows + (head bias, lvb)
+    n_dim = (1 + n_extra) * (h + 1) * h + (n_inputs + 2) * h + 2
 
     xin = _fused_xin(x_sel, n_inputs)
     int_scalars = jnp.asarray(seed, jnp.int32).reshape(1)
@@ -1893,7 +1997,8 @@ def fused_bnn_step_sgnht(
     xin_spec, y_spec = _batch_specs(block_chains, n_inputs)
     kernel = _make_kernel_family(
         RULE_SGNHT, float(batch_size), float(n_data), noise is not None,
-        block_chains, n_inputs, int(h), s=s, bias_row=bias_row)
+        block_chains, n_inputs, int(h), s=s, bias_row=bias_row,
+        n_extra=n_extra)
     theta_new, v_new, xi_new, cost = _family_call(
         RULE_SGNHT, kernel, theta, v, xi, None,
         [xin, y_sel], [xin_spec, y_spec], noise, state_dtype,
@@ -1920,7 +2025,8 @@ def fused_bnn_step_rsghmc(
     :mod:`pysgmcmc_tpu.samplers.relativistic_sghmc` (Lu et al. 2017);
     returns ``(theta', p', cost)``.
     """
-    tbig, tw3 = theta
+    tbig = theta[0]
+    n_extra = len(theta) - 1
     n_chains = tbig.shape[0]
     if n_chains % block_chains:
         raise ValueError(
@@ -1946,7 +2052,8 @@ def fused_bnn_step_rsghmc(
     xin_spec, y_spec = _batch_specs(block_chains, n_inputs)
     kernel = _make_kernel_family(
         RULE_RSGHMC, float(batch_size), float(n_data), noise is not None,
-        block_chains, n_inputs, int(h), s=s, bias_row=bias_row)
+        block_chains, n_inputs, int(h), s=s, bias_row=bias_row,
+        n_extra=n_extra)
     theta_new, v_new, _, cost = _family_call(
         RULE_RSGHMC, kernel, theta, v, None, None,
         [xin, y_sel], [xin_spec, y_spec], noise, state_dtype,
@@ -1973,7 +2080,8 @@ def fused_bnn_multistep_sgld(
     1-input family, both slot layouts.  ``pair_dots`` as in
     :func:`fused_bnn_multistep` (64-slot layout / even blocks).
     """
-    tbig, tw3 = theta
+    tbig = theta[0]
+    n_extra = len(theta) - 1
     n_chains = tbig.shape[0]
     s = _multistep_slot(tbig, "fused_bnn_multistep_sgld")
     bias_row = BIAS_ROW if s == S else WIDE_BIAS_ROW
@@ -1983,7 +2091,8 @@ def fused_bnn_multistep_sgld(
             "by block_chains ({})".format(n_chains, block_chains))
     n_windows, n_inputs, xw_op = _multistep_tables(
         x_win, "fused_bnn_multistep_sgld")
-    _check_pair_dots(pair_dots, s, n_inputs, block_chains)
+    _check_pair_dots(pair_dots, s, n_inputs, block_chains,
+                     n_group=len(theta))
 
     int_scalars = jnp.asarray(seed, jnp.int32).reshape(1)
     float_scalars = _per_step_table(eps, int(k_steps), lambda e: [
@@ -1998,7 +2107,8 @@ def fused_bnn_multistep_sgld(
     else:
         kernel = _make_multistep_kernel_family(
             RULE_SGLD, float(batch_size), float(n_data), block_chains,
-            n_windows, int(k_steps), 0, s, bias_row, n_inputs)
+            n_windows, int(k_steps), 0, s, bias_row, n_inputs,
+            n_extra=n_extra)
     y_op = jnp.asarray(y_win, jnp.float32)
     theta_new, _, _, cost = _family_call(
         RULE_SGLD, kernel, theta, None, None, minv,
@@ -2029,7 +2139,8 @@ def fused_bnn_multistep_sgnht(
     ``pair_dots`` as in :func:`fused_bnn_multistep` (64-slot / 1-input /
     even blocks).
     """
-    tbig, tw3 = theta
+    tbig = theta[0]
+    n_extra = len(theta) - 1
     n_chains = tbig.shape[0]
     s = _multistep_slot(tbig, "fused_bnn_multistep_sgnht")
     bias_row = BIAS_ROW if s == S else WIDE_BIAS_ROW
@@ -2043,8 +2154,9 @@ def fused_bnn_multistep_sgnht(
             "({}, 128) row; got {}".format(n_chains, xi.shape))
     n_windows, n_inputs, xw_op = _multistep_tables(
         x_win, "fused_bnn_multistep_sgnht")
-    _check_pair_dots(pair_dots, s, n_inputs, block_chains)
-    n_dim = 2 * (h + 1) * h + (n_inputs + 2) * h + 2
+    _check_pair_dots(pair_dots, s, n_inputs, block_chains,
+                     n_group=len(theta))
+    n_dim = (1 + n_extra) * (h + 1) * h + (n_inputs + 2) * h + 2
 
     int_scalars = jnp.asarray(seed, jnp.int32).reshape(1)
     float_scalars = _per_step_table(eps, int(k_steps), lambda e: [
@@ -2060,7 +2172,8 @@ def fused_bnn_multistep_sgnht(
     else:
         kernel = _make_multistep_kernel_family(
             RULE_SGNHT, float(batch_size), float(n_data), block_chains,
-            n_windows, int(k_steps), int(h), s, bias_row, n_inputs)
+            n_windows, int(k_steps), int(h), s, bias_row, n_inputs,
+            n_extra=n_extra)
     y_op = jnp.asarray(y_win, jnp.float32)
     theta_new, v_new, xi_new, cost = _family_call(
         RULE_SGNHT, kernel, theta, v, xi, None,
@@ -2089,7 +2202,8 @@ def fused_bnn_multistep_psgld(
     Returns ``(theta', v', cost)``.  1-input family, both slot layouts.
     ``pair_dots`` as in :func:`fused_bnn_multistep`.
     """
-    tbig, tw3 = theta
+    tbig = theta[0]
+    n_extra = len(theta) - 1
     n_chains = tbig.shape[0]
     s = _multistep_slot(tbig, "fused_bnn_multistep_psgld")
     bias_row = BIAS_ROW if s == S else WIDE_BIAS_ROW
@@ -2099,7 +2213,8 @@ def fused_bnn_multistep_psgld(
             "by block_chains ({})".format(n_chains, block_chains))
     n_windows, n_inputs, xw_op = _multistep_tables(
         x_win, "fused_bnn_multistep_psgld")
-    _check_pair_dots(pair_dots, s, n_inputs, block_chains)
+    _check_pair_dots(pair_dots, s, n_inputs, block_chains,
+                     n_group=len(theta))
 
     int_scalars = jnp.asarray(seed, jnp.int32).reshape(1)
     float_scalars = _per_step_table(eps, int(k_steps), lambda e: [
@@ -2113,7 +2228,8 @@ def fused_bnn_multistep_psgld(
     else:
         kernel = _make_multistep_kernel_family(
             RULE_PSGLD, float(batch_size), float(n_data), block_chains,
-            n_windows, int(k_steps), int(h), s, bias_row, n_inputs)
+            n_windows, int(k_steps), int(h), s, bias_row, n_inputs,
+            n_extra=n_extra)
     y_op = jnp.asarray(y_win, jnp.float32)
     theta_new, v_new, _, cost = _family_call(
         RULE_PSGLD, kernel, theta, v, None, None,
@@ -2144,7 +2260,8 @@ def fused_bnn_multistep_rsghmc(
     ``(theta', p', cost)``.  1-input family, both slot layouts.
     ``pair_dots`` as in :func:`fused_bnn_multistep`.
     """
-    tbig, tw3 = theta
+    tbig = theta[0]
+    n_extra = len(theta) - 1
     n_chains = tbig.shape[0]
     s = _multistep_slot(tbig, "fused_bnn_multistep_rsghmc")
     bias_row = BIAS_ROW if s == S else WIDE_BIAS_ROW
@@ -2154,7 +2271,8 @@ def fused_bnn_multistep_rsghmc(
             "by block_chains ({})".format(n_chains, block_chains))
     n_windows, n_inputs, xw_op = _multistep_tables(
         x_win, "fused_bnn_multistep_rsghmc")
-    _check_pair_dots(pair_dots, s, n_inputs, block_chains)
+    _check_pair_dots(pair_dots, s, n_inputs, block_chains,
+                     n_group=len(theta))
 
     int_scalars = jnp.asarray(seed, jnp.int32).reshape(1)
     float_scalars = _per_step_table(eps, int(k_steps), lambda e: [
@@ -2172,7 +2290,8 @@ def fused_bnn_multistep_rsghmc(
     else:
         kernel = _make_multistep_kernel_family(
             RULE_RSGHMC, float(batch_size), float(n_data), block_chains,
-            n_windows, int(k_steps), int(h), s, bias_row, n_inputs)
+            n_windows, int(k_steps), int(h), s, bias_row, n_inputs,
+            n_extra=n_extra)
     y_op = jnp.asarray(y_win, jnp.float32)
     theta_new, v_new, _, cost = _family_call(
         RULE_RSGHMC, kernel, theta, v, None, None,
@@ -2234,48 +2353,48 @@ def _sgld_burnin_step_math(theta, tau, g, v_hat, grad, valid, eta,
 def _make_multistep_kernel_burnin(batch_size, n_data, block_chains,
                                   n_windows, k_steps, h, s=S,
                                   bias_row=BIAS_ROW, n_inputs=1,
-                                  with_momentum=True):
-    """Burn-in variant of :func:`_make_multistep_kernel`: ``k_steps``
-    self-tuning updates per launch with theta, momentum AND the
-    tau/g/v_hat adaptation statistics all resident in the aliased output
-    refs — the whole adaptive phase never round-trips HBM between steps.
-    ``with_momentum=True`` is SGHMC, ``False`` is SGLD.  The mass-matrix
-    inverse the FINAL step used is written to a separate (non-aliased)
-    output pair — the value the sampling phase freezes, matching
-    :func:`pysgmcmc_tpu.parallel.packed.burnin_chain_lanes` semantics.
+                                  with_momentum=True, n_extra=1):
+    """Burn-in variant of :func:`_make_multistep_kernel_family`:
+    ``k_steps`` self-tuning updates per launch with theta, momentum AND
+    the tau/g/v_hat adaptation statistics all resident in the aliased
+    output refs — the whole adaptive phase never round-trips HBM between
+    steps.  ``with_momentum=True`` is SGHMC, ``False`` is SGLD.  The
+    mass-matrix inverse the FINAL step used is written to a separate
+    (non-aliased) output group — the value the sampling phase freezes,
+    matching :func:`pysgmcmc_tpu.parallel.packed.burnin_chain_lanes`
+    semantics.  ``n_extra`` as in :func:`_make_kernel_family`.
     """
     inv_b = 1.0 / batch_size
     inv_n = 1.0 / n_data
     C = block_chains
     big_rows = s + VEC_ROWS
+    n_group = 1 + n_extra
+    n_slabs = 2 + n_extra
+    depth = 2 + n_extra
 
     def kernel(int_ref, float_ref, *refs):
-        if with_momentum:
-            (tbig, tw3, vbig, vw3, taubig, tauw3, gbig, gw3,
-             vhbig, vhw3, xw_ref, yw_ref,
-             obig, ow3, pbig, pw3, otaubig, otauw3, ogbig, ogw3,
-             ovhbig, ovhw3, minvbig, minvw3,
-             s_a1, s_a2, s_a3, s_gvec) = refs
-        else:
-            (tbig, tw3, taubig, tauw3, gbig, gw3,
-             vhbig, vhw3, xw_ref, yw_ref,
-             obig, ow3, otaubig, otauw3, ogbig, ogw3,
-             ovhbig, ovhw3, minvbig, minvw3,
-             s_a1, s_a2, s_a3, s_gvec) = refs
-            vbig = vw3 = pbig = pw3 = None
+        refs, take = _take_refs(refs)
+        tg = take.group(n_group)
+        vg = take.group(n_group) if with_momentum else None
+        taug = take.group(n_group)
+        gg_ = take.group(n_group)
+        vhg = take.group(n_group)
+        xw_ref, yw_ref = take(2)
+        og = take.group(n_group)
+        pg = take.group(n_group) if with_momentum else None
+        otaug = take.group(n_group)
+        ogg = take.group(n_group)
+        ovhg = take.group(n_group)
+        minvg = take.group(n_group)
+        s_acts, s_gvec = refs[:depth], refs[depth]
         pltpu.prng_seed(int_ref[0], pl.program_id(0))
 
-        obig[:] = tbig[:]
-        ow3[:] = tw3[:]
-        otaubig[:] = taubig[:]
-        otauw3[:] = tauw3[:]
-        ogbig[:] = gbig[:]
-        ogw3[:] = gw3[:]
-        ovhbig[:] = vhbig[:]
-        ovhw3[:] = vhw3[:]
+        for dst, src in zip(og + otaug + ogg + ovhg,
+                            tg + taug + gg_ + vhg):
+            dst[:] = src[:]
         if with_momentum:
-            pbig[:] = vbig[:]
-            pw3[:] = vw3[:]
+            for dst, src in zip(pg, vg):
+                dst[:] = src[:]
 
         brow = jax.lax.broadcasted_iota(jnp.int32, (C, B_PAD), 1)
         bmask = (brow < batch_size).astype(jnp.float32)
@@ -2284,6 +2403,7 @@ def _make_multistep_kernel_burnin(batch_size, n_data, block_chains,
         win_iota = jax.lax.broadcasted_iota(jnp.int32, (C, n_windows), 1)
         mat_valid, vec_valid = _psgld_valid_masks(
             C, n_inputs, h, s, bias_row)
+        masks = [mat_valid, vec_valid] + [mat_valid] * n_extra
 
         def body(t, carry):
             # per-step scalar row: eps, c1 (eps_scaled / a_coef),
@@ -2295,12 +2415,13 @@ def _make_multistep_kernel_burnin(batch_size, n_data, block_chains,
             xin_bf, y = _select_window_bf(
                 C, n_windows, win_iota, xw_ref, yw_ref, n_inputs)
 
-            cost, g_w2, g_vec, g_w3 = _fwd_bwd(
-                obig[:], ow3[:], xin_bf, y,
-                bmask, lane3, lane2, s_a1, s_a2, s_a3, s_gvec,
+            cost, g_w2, g_vec, g_mats = _fwd_bwd(
+                og[0][:], [m[:] for m in og[1:]], xin_bf, y,
+                bmask, lane3, lane2, s_acts, s_gvec,
                 inv_b, inv_n, n_inputs, C, s, bias_row)
 
-            etas = _block_etas(C, s)
+            etas = _block_etas(C, s, n_mats=1 + n_extra)
+            grads = [g_w2, g_vec] + list(g_mats)
 
             def upd(sl_t, sl_v, sl_tau, sl_g, sl_vh, grad, eta, valid):
                 if with_momentum:
@@ -2312,47 +2433,28 @@ def _make_multistep_kernel_burnin(batch_size, n_data, block_chains,
                     eps, c1, c2, prior_scale)
                 return t_new, None, tau_n, g_n, vh_n, minv
 
-            # w2 slab
-            t_new, v_new, tau_n, g_n, vh_n, minv = upd(
-                obig[:, 0:s, :],
-                pbig[:, 0:s, :] if with_momentum else None,
-                otaubig[:, 0:s, :], ogbig[:, 0:s, :], ovhbig[:, 0:s, :],
-                g_w2, etas[0], mat_valid)
-            obig[:, 0:s, :] = t_new
-            otaubig[:, 0:s, :] = tau_n
-            ogbig[:, 0:s, :] = g_n
-            ovhbig[:, 0:s, :] = vh_n
-            minvbig[:, 0:s, :] = minv
-            if with_momentum:
-                pbig[:, 0:s, :] = v_new.astype(pbig.dtype)
+            theta_slabs = _slab_views(og, s, big_rows)
+            v_slabs = (_slab_views(pg, s, big_rows) if with_momentum
+                       else [None] * n_slabs)
+            tau_slabs = _slab_views(otaug, s, big_rows)
+            g_slabs = _slab_views(ogg, s, big_rows)
+            vh_slabs = _slab_views(ovhg, s, big_rows)
 
-            # vector rows
-            t_new, v_new, tau_n, g_n, vh_n, minv = upd(
-                obig[:, s:big_rows, :],
-                pbig[:, s:big_rows, :] if with_momentum else None,
-                otaubig[:, s:big_rows, :], ogbig[:, s:big_rows, :],
-                ovhbig[:, s:big_rows, :], g_vec, etas[1], vec_valid)
-            obig[:, s:big_rows, :] = t_new
-            otaubig[:, s:big_rows, :] = tau_n
-            ogbig[:, s:big_rows, :] = g_n
-            ovhbig[:, s:big_rows, :] = vh_n
-            minvbig[:, s:big_rows, :] = minv
+            outs = [
+                upd(theta_slabs[i], v_slabs[i], tau_slabs[i],
+                    g_slabs[i], vh_slabs[i], grads[i], etas[i], masks[i])
+                for i in range(n_slabs)
+            ]
+            _store_slabs(og, [o[0] for o in outs], s, big_rows)
             if with_momentum:
-                pbig[:, s:big_rows, :] = v_new.astype(pbig.dtype)
+                _store_slabs(pg, [o[1] for o in outs], s, big_rows,
+                             dtype=pg[0].dtype)
+            _store_slabs(otaug, [o[2] for o in outs], s, big_rows)
+            _store_slabs(ogg, [o[3] for o in outs], s, big_rows)
+            _store_slabs(ovhg, [o[4] for o in outs], s, big_rows)
+            _store_slabs(minvg, [o[5] for o in outs], s, big_rows)
 
-            # w3 slab
-            t_new, v_new, tau_n, g_n, vh_n, minv = upd(
-                ow3[:], pw3[:] if with_momentum else None,
-                otauw3[:], ogw3[:], ovhw3[:], g_w3, etas[2], mat_valid)
-            ow3[:] = t_new
-            otauw3[:] = tau_n
-            ogw3[:] = g_n
-            ovhw3[:] = vh_n
-            minvw3[:] = minv
-            if with_momentum:
-                pw3[:] = v_new.astype(pw3.dtype)
-
-            obig[:, big_rows - 1, LANE_B4:LANE_B4 + 1] = cost
+            og[0][:, big_rows - 1, LANE_B4:LANE_B4 + 1] = cost
             return carry
 
         jax.lax.fori_loop(0, k_steps, body, 0)
@@ -2565,7 +2667,9 @@ def fused_bnn_multistep_burnin(
     phase freezes; reference semantics
     ``/root/reference/pysgmcmc/samplers/base_classes.py:432-454``).
     """
-    tbig, tw3 = theta
+    tbig = theta[0]
+    n_group = len(theta)
+    n_extra = n_group - 1
     n_chains = tbig.shape[0]
     if k_steps < 1:
         raise ValueError(
@@ -2580,7 +2684,8 @@ def fused_bnn_multistep_burnin(
             "by block_chains ({})".format(n_chains, block_chains))
     n_windows, n_inputs, xw_op = _multistep_tables(
         x_win, "fused_bnn_multistep_burnin")
-    _check_pair_dots(pair_dots, s, n_inputs, block_chains)
+    _check_pair_dots(pair_dots, s, n_inputs, block_chains,
+                     n_group=n_group)
 
     int_scalars = jnp.asarray(seed, jnp.int32).reshape(1)
     sg_sqrt = jnp.sqrt(jnp.asarray(scale_grad, jnp.float32))
@@ -2588,7 +2693,8 @@ def fused_bnn_multistep_burnin(
         e, e / sg_sqrt,
         jnp.full_like(e, mdecay), jnp.full_like(e, prior_scale)])
 
-    state_specs = [_big_spec(block_chains, s), _mat_spec(block_chains, s)]
+    state_specs = [_big_spec(block_chains, s)] + [
+        _mat_spec(block_chains, s)] * n_extra
     in_specs = (
         state_specs * 5 + [_table_spec(xw_op), _table_spec(y_win)]
     )
@@ -2607,10 +2713,11 @@ def fused_bnn_multistep_burnin(
         in_specs=in_specs,
         out_specs=tuple(state_specs) * 6,
         scratch_shapes=(_paired_scratch(block_chains, s, 12) if pair_dots
-                        else _multistep_scratch(block_chains, s)),
+                        else _multistep_scratch(block_chains, s,
+                                                depth=2 + n_extra)),
     )
     # theta/v/tau/g/v_hat alias their outputs; minv outputs are fresh
-    aliases = {i + 2: i for i in range(10)}
+    aliases = {i + 2: i for i in range(5 * n_group)}
     if pair_dots:
         kernel = _make_multistep_kernel_burnin_paired(
             float(batch_size), float(n_data), block_chains, n_windows,
@@ -2620,7 +2727,7 @@ def fused_bnn_multistep_burnin(
         kernel = _make_multistep_kernel_burnin(
             float(batch_size), float(n_data), block_chains, n_windows,
             int(k_steps), int(h), s, bias_row, n_inputs,
-            with_momentum=True)
+            with_momentum=True, n_extra=n_extra)
     interpreter = pltpu.InterpretParams() if interpret else False
     outs = pl.pallas_call(
         kernel,
@@ -2631,12 +2738,9 @@ def fused_bnn_multistep_burnin(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpreter,
     )(int_scalars, float_scalars, *operands)
-    theta_new = tuple(outs[0:2])
-    v_new = tuple(outs[2:4])
-    tau_new = tuple(outs[4:6])
-    g_new = tuple(outs[6:8])
-    vh_new = tuple(outs[8:10])
-    minv_new = tuple(outs[10:12])
+    groups = [tuple(outs[i * n_group:(i + 1) * n_group])
+              for i in range(6)]
+    theta_new, v_new, tau_new, g_new, vh_new, minv_new = groups
     cost = theta_new[0][:, s + VEC_ROWS - 1, 0:1]
     return theta_new, v_new, tau_new, g_new, vh_new, minv_new, cost
 
@@ -2658,7 +2762,9 @@ def fused_bnn_multistep_burnin_sgld(
     As :func:`fused_bnn_multistep_burnin` but momentum-free.  Returns
     ``(theta', tau', g', v_hat', minv, cost)``.
     """
-    tbig, tw3 = theta
+    tbig = theta[0]
+    n_group = len(theta)
+    n_extra = n_group - 1
     n_chains = tbig.shape[0]
     if k_steps < 1:
         raise ValueError(
@@ -2674,7 +2780,8 @@ def fused_bnn_multistep_burnin_sgld(
                 n_chains, block_chains))
     n_windows, n_inputs, xw_op = _multistep_tables(
         x_win, "fused_bnn_multistep_burnin_sgld")
-    _check_pair_dots(pair_dots, s, n_inputs, block_chains)
+    _check_pair_dots(pair_dots, s, n_inputs, block_chains,
+                     n_group=n_group)
 
     sg = jnp.asarray(scale_grad, jnp.float32)
     small = 1e-16
@@ -2685,7 +2792,8 @@ def fused_bnn_multistep_burnin_sgld(
         jnp.broadcast_to(sg_safe, e.shape),
         jnp.full_like(e, prior_scale)])
 
-    state_specs = [_big_spec(block_chains, s), _mat_spec(block_chains, s)]
+    state_specs = [_big_spec(block_chains, s)] + [
+        _mat_spec(block_chains, s)] * n_extra
     in_specs = (
         state_specs * 4 + [_table_spec(xw_op), _table_spec(y_win)]
     )
@@ -2699,9 +2807,10 @@ def fused_bnn_multistep_burnin_sgld(
         in_specs=in_specs,
         out_specs=tuple(state_specs) * 5,
         scratch_shapes=(_paired_scratch(block_chains, s, 10) if pair_dots
-                        else _multistep_scratch(block_chains, s)),
+                        else _multistep_scratch(block_chains, s,
+                                                depth=2 + n_extra)),
     )
-    aliases = {i + 2: i for i in range(8)}
+    aliases = {i + 2: i for i in range(4 * n_group)}
     if pair_dots:
         kernel = _make_multistep_kernel_burnin_paired(
             float(batch_size), float(n_data), block_chains, n_windows,
@@ -2711,7 +2820,7 @@ def fused_bnn_multistep_burnin_sgld(
         kernel = _make_multistep_kernel_burnin(
             float(batch_size), float(n_data), block_chains, n_windows,
             int(k_steps), int(h), s, bias_row, n_inputs,
-            with_momentum=False)
+            with_momentum=False, n_extra=n_extra)
     interpreter = pltpu.InterpretParams() if interpret else False
     outs = pl.pallas_call(
         kernel,
@@ -2722,10 +2831,8 @@ def fused_bnn_multistep_burnin_sgld(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpreter,
     )(int_scalars, float_scalars, *operands)
-    theta_new = tuple(outs[0:2])
-    tau_new = tuple(outs[2:4])
-    g_new = tuple(outs[4:6])
-    vh_new = tuple(outs[6:8])
-    minv_new = tuple(outs[8:10])
+    groups = [tuple(outs[i * n_group:(i + 1) * n_group])
+              for i in range(5)]
+    theta_new, tau_new, g_new, vh_new, minv_new = groups
     cost = theta_new[0][:, s + VEC_ROWS - 1, 0:1]
     return theta_new, tau_new, g_new, vh_new, minv_new, cost

@@ -284,13 +284,16 @@ def test_fused_step_impl_trains_and_validates():
 def test_fused_step_impl_ctor_validation():
     with pytest.raises(ValueError, match="requires network='dense'"):
         BayesianNeuralNetwork(step_impl="fused")
-    # the fused kernels hard-code the 3-hidden-layer w1..w4 slab family
-    with pytest.raises(ValueError, match="exactly 3 hidden layers"):
+    # the fused generators cover the 2-4 hidden-layer dense family
+    with pytest.raises(ValueError, match="2-4 hidden layers"):
         BayesianNeuralNetwork(
-            step_impl="fused", network="dense", units=(50, 50))
-    with pytest.raises(ValueError, match="exactly 3 hidden layers"):
+            step_impl="fused", network="dense", units=(50,))
+    with pytest.raises(ValueError, match="2-4 hidden layers"):
         BayesianNeuralNetwork(
-            step_impl="fused", network="dense", units=(50, 50, 50, 50))
+            step_impl="fused", network="dense", units=(50,) * 5)
+    for ok_units in ((50, 50), (50, 50, 50, 50)):
+        BayesianNeuralNetwork(
+            step_impl="fused", network="dense", units=ok_units)
     with pytest.raises(ValueError, match="step_impl='fused' supports"):
         from pysgmcmc_tpu.sampling import Sampler
 
@@ -445,3 +448,33 @@ def test_fused_pair_dots_model_smoke():
     BayesianNeuralNetwork(
         network="dense", step_impl="fused", pair_dots=True,
         stepsize_schedule=PolynomialDecaySchedule(1e-2))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("depth", [2, 4])
+def test_fused_model_parametric_depth(depth):
+    """2- and 4-hidden-layer BNNs train end to end through
+    step_impl='fused' (round-4 parametric-depth kernel generators,
+    incl. the kernelized burn-in), with sinc accuracy preserved."""
+    x_train, y_train, x_test, y_test = _sinc_data()
+    bnn = BayesianNeuralNetwork(
+        network="dense", step_impl="fused", units=(32,) * depth,
+        n_chains=2, n_nets=8, burn_in_steps=1000, seed=3,
+        log_every=None)
+    bnn.train(x_train, y_train)
+    assert bnn.is_trained
+    mean, variance = bnn.predict(x_test)
+    mse = float(np.mean((mean - y_test) ** 2))
+    assert np.isfinite(mean).all()
+    assert np.all(variance >= 0)
+    assert mse < 0.1, mse
+
+
+def test_fused_model_depth_validation():
+    with pytest.raises(ValueError, match="2-4 hidden"):
+        BayesianNeuralNetwork(
+            network="dense", step_impl="fused", units=(32,) * 5)
+    with pytest.raises(ValueError, match="3-hidden-layer"):
+        BayesianNeuralNetwork(
+            network="dense", step_impl="fused", units=(32, 32),
+            pair_dots=True)

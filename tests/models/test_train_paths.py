@@ -130,4 +130,4 @@ def test_ctor_validation_branches():
         BayesianNeuralNetwork(step_impl="fused", network="reference")
     with pytest.raises(ValueError, match="hidden layers"):
         BayesianNeuralNetwork(
-            step_impl="fused", network="dense", units=(8, 8))
+            step_impl="fused", network="dense", units=(8,) * 5)

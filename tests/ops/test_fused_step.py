@@ -1717,3 +1717,101 @@ def test_fused_config_guards():
             jnp.zeros((2, 24, 2), jnp.float32), jnp.zeros((2, 24)),
             1e-2, 0, batch_size=20, n_data=100, block_chains=2,
             pair_dots=True, n_inputs=2, interpret=True)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("depth", [2, 4])
+def test_multistep_depth_parity(depth):
+    """Depth-2 and depth-4 networks through the fused multi-step kernel
+    == the pytree path (round-4 parametric-depth generators: pack_fused
+    emits one (H, H) slab per hidden layer beyond the first and the
+    generators loop the forward/backward over them —
+    ops/fused_step._fwd_bwd).  Interpret mode: the zero-bit PRNG pins
+    window 0 and zero noise on both sides."""
+    from bench import build_workload
+    from pysgmcmc_tpu.parallel.packed import sample_chain_fused
+
+    n, k_steps, h = 2, 3, 30
+    sampler, positions, select, (x, y) = build_workload(
+        n_chains=n, network="dense", units=(h,) * depth,
+        return_data=True)
+    sampler.burn_in_steps = 40
+
+    def one(p, ck):
+        k1, k2 = jax.random.split(ck)
+        st = sampler.init(p, k1)
+        st, _ = sample_chain(
+            sampler, st, k2, 1, batch_fn=select,
+            keep_every=sampler.burn_in_steps, collect_costs=False)
+        return st
+
+    states = jax.vmap(one)(
+        positions, jax.random.split(jax.random.PRNGKey(1), n))
+
+    xb = jnp.asarray(x[0:20])
+    yb = jnp.asarray(y[0:20]).reshape(-1, 1)
+
+    def ref_steps(state):
+        zero = jax.tree_util.tree_map(jnp.zeros_like, state.position)
+        for _ in range(k_steps):
+            state = sampler.step(
+                state, jax.random.PRNGKey(0), (xb, yb), noise=zero,
+                phase="sampling")[0]
+        return state
+
+    ref = jax.vmap(ref_steps)(states)
+    out, _, costs = sample_chain_fused(
+        sampler, states, jax.random.PRNGKey(2), 1, x, y,
+        batch_size=20, keep_every=k_steps, block_chains=n,
+        state_dtype=jnp.float32, multistep=True, interpret=True)
+
+    assert np.isfinite(np.asarray(costs)).all()
+    for key in ref.position:
+        np.testing.assert_allclose(
+            np.asarray(ref.position[key]),
+            np.asarray(out.position[key]),
+            rtol=0, atol=2e-3, err_msg="position " + key)
+
+
+@pytest.mark.parametrize("depth", [2, 4])
+def test_pack_unpack_roundtrip_depths(depth):
+    """pack_fused/unpack_fused invert each other at depths 2 and 4."""
+    from pysgmcmc_tpu.models.architectures import dense_network
+
+    init_fn, _ = dense_network(1, units=(30,) * depth)
+    params = jax.vmap(init_fn)(jax.random.split(jax.random.PRNGKey(0), 3))
+    packed = pack_fused(params)
+    assert len(packed) == depth - 1
+    assert packed[0].shape == (3, 72, 64)
+    for m in packed[1:]:
+        assert m.shape == (3, 64, 64)
+    out = unpack_fused(packed, 30)
+    assert set(out) == set(params)
+    for k in params:
+        np.testing.assert_array_equal(
+            np.asarray(params[k]), np.asarray(out[k]), err_msg=k)
+
+
+def test_fused_depth_validation():
+    """Out-of-range depths and pair_dots x depth are rejected loudly."""
+    from pysgmcmc_tpu.models.architectures import dense_network
+    from pysgmcmc_tpu.ops.fused_step import fused_bnn_multistep, fused_depth
+
+    init_fn, _ = dense_network(1, units=(10,) * 5)
+    params = jax.vmap(init_fn)(jax.random.split(jax.random.PRNGKey(0), 2))
+    with pytest.raises(ValueError, match="2-4 hidden"):
+        fused_depth(params)
+    with pytest.raises(ValueError, match="2-4 hidden"):
+        pack_fused(params)
+
+    init_fn, _ = dense_network(1, units=(10, 10))
+    params2 = jax.vmap(init_fn)(jax.random.split(jax.random.PRNGKey(1), 2))
+    theta = pack_fused(params2)
+    v = tuple(jnp.zeros_like(t) for t in theta)
+    minv = tuple(jnp.ones_like(t) for t in theta)
+    xw, yw = data_windows(
+        np.zeros((30, 1), np.float32), np.zeros(30, np.float32), 20)
+    with pytest.raises(ValueError, match="3-hidden-layer"):
+        fused_bnn_multistep(
+            theta, v, minv, xw, yw, 1e-3, 0, batch_size=20, n_data=30,
+            block_chains=2, k_steps=1, pair_dots=True, interpret=True)
