@@ -37,6 +37,7 @@ examples:
 # from the package docstrings, whose examples the doctest suite executes.
 docs:
 	PYTHONPATH=. JAX_PLATFORMS=cpu python docs/gen_api_docs.py
+	PYTHONPATH=. JAX_PLATFORMS=cpu python docs/gen_getting_started.py
 
 # Result figures (the analog of the reference's executed-notebook plots:
 # ESS-vs-stepsize curves and the RSGHMC banana reproduction), rendered

@@ -44,6 +44,9 @@ if [ "$MODE" = "full" ]; then
     python -m pytest tests/ -q
     make examples
     make figures
+    # executed docs: the getting-started page runs its cells live, so a
+    # full run fails if the narrative drifts from the API
+    make docs
     # Mutation harness last: kernel refactors that stale its snippets or
     # blunt its kills must break CI here, not rot silently (the round-3
     # failure mode: ba55367 rewrote a kernel line and nothing re-ran this).

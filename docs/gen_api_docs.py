@@ -163,6 +163,8 @@ def main(out_dir=None):
         "samplers, parallel chains over device meshes, diagnostics, and "
         "Bayesian model families.  Generated from the package docstrings; "
         "all examples are executed by the doctest suite.</p>",
+        "<p>New here?  Start with the executed narrative walkthrough: "
+        "<a href='getting_started.html'>Getting started</a>.</p>",
         "<ul class='index'>",
     ]
     for modname, fname, summary in entries:
