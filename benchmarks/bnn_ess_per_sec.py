@@ -116,11 +116,14 @@ def main():
 
             states = jax.vmap(burn_one)(chain_keys)
             block = 32 if args.n_chains % 32 == 0 else args.n_chains
+            # multi-step kernel: each keep_every-step thinning segment is
+            # ONE VMEM-resident launch (the round-3+ fast path; the
+            # round-2 artifact was measured per-step)
             _, samples, _ = sample_chain_fused(
                 sampler, states, jax.random.PRNGKey(7),
                 args.samples_per_chain, x, y, batch_size=batch_size,
                 keep_every=args.keep_every, block_chains=block,
-                state_dtype=jnp.bfloat16,
+                state_dtype=jnp.bfloat16, multistep=True,
             )
             # function-space trace per chain and snapshot
             return jax.vmap(jax.vmap(lambda p: apply_fn(p, probes)[:, 0]))(
@@ -149,6 +152,10 @@ def main():
         "sampling_wall_seconds": wall,
         "ess_per_sec": float(ess.mean() / wall),
         "reference": "none published (reference trains one chain at a time)",
+        "driver": (
+            "parallel.packed.sample_chain_fused(multistep=True)"
+            if args.step_impl == "fused"
+            else "samplers.base.sample_chain (vmapped pytree)"),
     }
     print(json.dumps({k: result[k] for k in
                       ("metric", "mean_ess", "sampling_wall_seconds",

@@ -1,4 +1,4 @@
-"""Reference-headline benchmark: RSGHMC ESS-vs-stepsize sweep, on TPU.
+"""Reference-headline benchmark: ESS-vs-stepsize sweeps, on TPU.
 
 Reproduces the measurement protocol behind the reference's only published
 numbers (``/root/repo/BASELINE.md``): Relativistic SGHMC, 20 chains x 10^4
@@ -9,7 +9,14 @@ executes as one jitted program: stepsizes ride in the traced schedule
 state (``TracedStepsizeSchedule``), chains vmap, and ESS is computed on
 device over the (n_eps, n_chains, n_samples, dim) history.
 
-Usage: python benchmarks/ess_sweep_tpu.py [banana|gmm1|gmm2|gmm3] [-o out.json]
+``--sampler`` extends the protocol beyond the reference to the framework's
+extra samplers (SGNHT, PSGLD — mixing-quality numbers to pair with their
+throughput numbers); their stepsize ranges are sampler-appropriate
+(thermostat/preconditioned dynamics tolerate different scales than the
+relativistic momentum).
+
+Usage: python benchmarks/ess_sweep_tpu.py [banana|gmm1|gmm2|gmm3]
+           [--sampler RelativisticSGHMC|SGNHT|PSGLD] [-o out.json]
 """
 
 import argparse
@@ -29,7 +36,9 @@ from pysgmcmc_tpu.diagnostics.objective_functions import (
 )
 from pysgmcmc_tpu.diagnostics.sampler_diagnostics import effective_sample_size
 from pysgmcmc_tpu.samplers.base import sample_chain
+from pysgmcmc_tpu.samplers.psgld import PSGLDSampler
 from pysgmcmc_tpu.samplers.relativistic_sghmc import RelativisticSGHMCSampler
+from pysgmcmc_tpu.samplers.sgnht import SGNHTSampler
 from pysgmcmc_tpu.stepsize_schedules import TracedStepsizeSchedule
 
 BENCHMARKS = {
@@ -40,9 +49,20 @@ BENCHMARKS = {
     "gmm3": (gmm3_log_likelihood, 1, (0.01, 8.01)),
 }
 
+# sampler -> (ctor, stepsize range override or None).  The BASELINE.md
+# ranges are calibrated for the relativistic momentum (bounded velocity —
+# stable to eps ~4-8); SGNHT's thermostat and pSGLD's preconditioner call
+# for their own scales.
+SAMPLERS = {
+    "RelativisticSGHMC": (RelativisticSGHMCSampler, None),
+    "SGNHT": (SGNHTSampler, (0.01, 1.01)),
+    "PSGLD": (PSGLDSampler, (0.002, 0.202)),
+}
+
 
 def sweep(benchmark, n_chains=20, samples_per_chain=10_000, keep_every=10,
-          stepsize_step=0.05, seed=0, driver="lanes"):
+          stepsize_step=0.05, seed=0, driver="lanes",
+          sampler_name="RelativisticSGHMC"):
     """Run the sweep.
 
     ``driver="lanes"``: the whole (stepsize x chain) grid runs as ONE
@@ -53,13 +73,16 @@ def sweep(benchmark, n_chains=20, samples_per_chain=10_000, keep_every=10,
     CPU).  ``driver="pytree"`` is the round-1 vmapped pytree program.
     """
     log_like, dim, (eps_min, eps_max) = BENCHMARKS[benchmark]
+    ctor, range_override = SAMPLERS[sampler_name]
+    if range_override is not None:
+        eps_min, eps_max = range_override
+        # keep ~the same number of sweep points over the narrower range
+        stepsize_step = stepsize_step * (eps_max - eps_min) / 4.0
     cost_fn = to_negative_log_likelihood(log_like)
     stepsizes = np.arange(eps_min, eps_max, stepsize_step, dtype=np.float32)
     n_eps = len(stepsizes)
 
-    sampler = RelativisticSGHMCSampler(
-        cost_fn, stepsize_schedule=TracedStepsizeSchedule(0.001)
-    )
+    sampler = ctor(cost_fn, stepsize_schedule=TracedStepsizeSchedule(0.001))
 
     key = jax.random.PRNGKey(seed)
     key_pos, key_run = jax.random.split(key)
@@ -130,7 +153,7 @@ def sweep(benchmark, n_chains=20, samples_per_chain=10_000, keep_every=10,
             "eps row)" if driver == "lanes"
             else "vmapped pytree sample_chain"),
         "protocol": {
-            "sampler": "RelativisticSGHMC",
+            "sampler": sampler_name,
             "n_chains": n_chains,
             "samples_per_chain": samples_per_chain,
             "keep_every": keep_every,
@@ -157,6 +180,8 @@ def main():
     parser.add_argument("--stepsize-increment", type=float, default=0.05)
     parser.add_argument("--driver", choices=("lanes", "pytree"),
                         default="lanes")
+    parser.add_argument("--sampler", choices=sorted(SAMPLERS),
+                        default="RelativisticSGHMC")
     args = parser.parse_args()
 
     result = sweep(
@@ -166,6 +191,7 @@ def main():
         keep_every=args.keep_every,
         stepsize_step=args.stepsize_increment,
         driver=args.driver,
+        sampler_name=args.sampler,
     )
     print(json.dumps(
         {k: result[k] for k in
