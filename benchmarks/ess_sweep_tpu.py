@@ -55,7 +55,9 @@ BENCHMARKS = {
 # for their own scales.
 SAMPLERS = {
     "RelativisticSGHMC": (RelativisticSGHMCSampler, None),
-    "SGNHT": (SGNHTSampler, (0.01, 1.01)),
+    # SGNHT on the banana diverges above eps ~0.2 (measured: every chain
+    # non-finite from 0.21 on) — sweep the stable region at fine resolution.
+    "SGNHT": (SGNHTSampler, (0.0025, 0.2025)),
     "PSGLD": (PSGLDSampler, (0.002, 0.202)),
 }
 
@@ -145,6 +147,16 @@ def sweep(benchmark, n_chains=20, samples_per_chain=10_000, keep_every=10,
     ess = np.atleast_2d(np.asarray(ess).reshape(n_eps, -1))
     ess_time = time.perf_counter() - t0
 
+    # Diverged stepsizes (non-finite chains) come back as NaN from the
+    # estimator; report them as null and exclude them from "best".
+    mean_ess = ess.mean(axis=1)
+    finite = np.isfinite(mean_ess)
+    if not finite.any():
+        raise RuntimeError(
+            f"every stepsize in [{eps_min}, {eps_max}) diverged for "
+            f"{sampler_name} on {benchmark}; narrow the range")
+    best_idx = int(np.nanargmax(np.where(finite, mean_ess, -np.inf)))
+
     total_steps = n_eps * n_chains * samples_per_chain * keep_every
     return {
         "benchmark": benchmark,
@@ -159,10 +171,11 @@ def sweep(benchmark, n_chains=20, samples_per_chain=10_000, keep_every=10,
             "keep_every": keep_every,
         },
         "stepsizes": stepsizes.tolist(),
-        "mean_ess": ess.mean(axis=1).tolist(),
+        "mean_ess": [float(v) if np.isfinite(v) else None for v in mean_ess],
+        "n_diverged_stepsizes": int((~finite).sum()),
         "best": {
-            "stepsize": float(stepsizes[int(ess.mean(axis=1).argmax())]),
-            "mean_ess": float(ess.mean(axis=1).max()),
+            "stepsize": float(stepsizes[best_idx]),
+            "mean_ess": float(mean_ess[best_idx]),
         },
         "wall_seconds_total": compile_and_run + ess_time,
         "total_sampler_steps": total_steps,

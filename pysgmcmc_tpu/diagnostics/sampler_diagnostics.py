@@ -74,7 +74,12 @@ def _scalar_ess(chains):
     tau = 1.0 + 2.0 * jnp.sum(kept)
 
     ess = m * n / tau
-    return jnp.clip(ess, 0.0, m * n)
+    ess = jnp.clip(ess, 0.0, m * n)
+    # A non-finite chain (diverged sampler) yields NaN autocovariances,
+    # which truncate Geyer's sum at the first pair and would report the
+    # *maximum* ESS m*n — the most misleading possible answer.  Propagate
+    # NaN instead so diverged chains are unmistakable downstream.
+    return jnp.where(jnp.all(jnp.isfinite(chains)), ess, jnp.nan)
 
 
 def _is_array_like(x):
@@ -205,8 +210,13 @@ def effective_sample_size_bulk(chains):
     """
     if not _is_array_like(chains):
         return jax.tree_util.tree_map(effective_sample_size_bulk, chains)
-    matrix = _rank_normalize(_split_chains(_chains_matrix(chains)))
-    ess = jax.vmap(_scalar_ess, in_axes=2)(matrix)
+    matrix = _split_chains(_chains_matrix(chains))
+    # Rank-normalization maps non-finite draws to finite normal scores, so
+    # the _scalar_ess NaN guard would never fire — mask per variable from
+    # the raw draws instead (diverged chain => NaN, as in the classic ESS).
+    finite = jnp.all(jnp.isfinite(matrix), axis=(0, 1))
+    ess = jax.vmap(_scalar_ess, in_axes=2)(_rank_normalize(matrix))
+    ess = jnp.where(finite, ess, jnp.nan)
     shape = jnp.shape(chains)[2:]
     return ess.reshape(shape) if shape else ess[0]
 

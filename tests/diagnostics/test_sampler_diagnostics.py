@@ -43,6 +43,28 @@ def test_ess_multidimensional_variable():
     assert np.all(np.asarray(ess) > 0)
 
 
+def test_ess_nan_on_nonfinite_chain():
+    """A diverged (non-finite) chain must report NaN, never the m*n cap.
+
+    Regression: NaN autocovariances truncate Geyer's sum at the first lag
+    pair, so tau collapses to 1 and a blown-up chain would read as
+    *perfectly mixed* (ESS = m*n) — observed on the SGNHT banana sweep at
+    stepsizes >= 0.21.
+    """
+    from pysgmcmc_tpu.diagnostics.sampler_diagnostics import (
+        effective_sample_size_bulk,
+    )
+
+    chains = np.array(
+        jax.random.normal(jax.random.PRNGKey(2), (2, 200, 2)))
+    chains[0, 150:, 0] = np.nan  # one dim of one chain diverges
+    for estimator in (effective_sample_size, effective_sample_size_bulk):
+        ess = np.asarray(estimator(jnp.asarray(chains)))
+        assert ess.shape == (2,)
+        assert np.isnan(ess[0])       # diverged dim -> NaN
+        assert np.isfinite(ess[1])    # healthy dim unaffected
+
+
 def test_gelman_rubin_converged_vs_diverged():
     key = jax.random.PRNGKey(2)
     converged = jax.random.normal(key, (4, 1000))

@@ -49,6 +49,40 @@ def test_bnn_ess_per_sec_recorded():
     assert result["mean_ess"] > 0
 
 
+def test_artifacts_name_their_driver():
+    """Every committed artifact must record the code path that produced it.
+
+    Round-3 verdict: stale numbers measured on previous-round drivers are
+    self-perpetuating; the driver field makes provenance checkable.
+    """
+    import glob
+
+    for path in sorted(glob.glob(os.path.join(BENCH_DIR, "results_*.json"))):
+        with open(path) as handle:
+            result = json.load(handle)
+        assert "driver" in result, os.path.basename(path)
+
+
+@pytest.mark.parametrize("sampler", ["sgnht", "psgld"])
+def test_family_ess_sweeps(sampler):
+    """SGNHT/pSGLD mixing-quality artifacts: finite, honest best values.
+
+    A diverged chain must never be reported as the estimator's m*n cap
+    (total kept samples) — the SGNHT sweep once reported best ESS 200000
+    that way.
+    """
+    result = _load("results_ess_banana_{}.json".format(sampler))
+    protocol = result["protocol"]
+    cap = protocol["n_chains"] * protocol["samples_per_chain"]
+    assert result["best"]["mean_ess"] > 0
+    assert result["best"]["mean_ess"] < cap
+    assert "n_diverged_stepsizes" in result
+    finite = [v for v in result["mean_ess"] if v is not None]
+    assert len(finite) + result["n_diverged_stepsizes"] == len(
+        result["stepsizes"])
+    assert all(v < cap for v in finite)
+
+
 def test_bnn_ess_per_sec_fused_improves():
     """The flash-SGHMC path must not regress the recorded ESS/sec."""
     base = _load("results_bnn_ess_per_sec.json")
