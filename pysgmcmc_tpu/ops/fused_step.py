@@ -1423,6 +1423,22 @@ def _make_kernel_family(rule, batch_size, n_data, with_noise, block_chains,
     return kernel
 
 
+# Ablation knob for the roofline study (benchmarks/wide_roofline_tpu.py):
+# neutralizes one or more components of the multi-step kernel so their
+# marginal cost can be measured on hardware (full minus ablated, same
+# driver protocol).  '+'-join tokens to combine ('fwdbwd+noise');
+# composites disambiguate MXU/VPU overlap, which single ablations cannot.
+# Always None in production; never set by library code.  Isolated
+# microbenchmarks of the components proved untrustworthy on the tunneled
+# backend (walls below ~100 ms are launch-noise; see
+# benchmarks/archive/wide_probe_debug.py), so the kernel measures itself.
+_ABLATE = None  # None | '+'-joined 'noise'/'window'/'rulemath'/'fwdbwd'
+
+
+def _ablated(token):
+    return _ABLATE is not None and token in _ABLATE.split("+")
+
+
 def _make_multistep_kernel_family(rule, batch_size, n_data, block_chains,
                                   n_windows, k_steps, h, s=S,
                                   bias_row=BIAS_ROW, n_inputs=1,
@@ -1492,15 +1508,42 @@ def _make_multistep_kernel_family(rule, batch_size, n_data, block_chains,
         def body(t, carry):
             row = [float_ref[t, j] for j in range(n_cols)]
             update = rule.make_update(row)
-            xin_bf, y = _select_window_bf(
-                C, n_windows, win_iota, xw_ref, yw_ref, n_inputs)
+            if _ablated("rulemath"):
+                def update(theta, aux, grad, eta, mask, xi=None, _r=row):
+                    return theta - _r[0] * grad + 1e-3 * eta, aux
+            if _ablated("fwdbwd"):
+                # constant grads: removes all dots + tanh + likelihood
+                # (and the window gather they consume)
+                cost = jnp.zeros((C, 1), jnp.float32)
+                g_w2 = jnp.full((C, s, s), 1e-4, jnp.float32)
+                g_vec = jnp.full((C, VEC_ROWS, s), 1e-4, jnp.float32)
+                g_mats = [jnp.full((C, s, s), 1e-4, jnp.float32)
+                          for _ in range(n_extra)]
+            else:
+                if _ablated("window"):
+                    # pinned window 0: no per-step PRNG draw or gather
+                    assert n_inputs == 1, "window ablation is 1-input only"
+                    x0 = jnp.broadcast_to(xw_ref[0:1, :], (C, B_PAD))
+                    xin_bf = jnp.stack(
+                        [x0, jnp.ones_like(x0)], axis=2
+                    ).astype(jnp.bfloat16)
+                    y = jnp.broadcast_to(yw_ref[0:1, :], (C, B_PAD))
+                else:
+                    xin_bf, y = _select_window_bf(
+                        C, n_windows, win_iota, xw_ref, yw_ref, n_inputs)
 
-            cost, g_w2, g_vec, g_mats = _fwd_bwd(
-                og[0][:], [m[:] for m in og[1:]], xin_bf, y,
-                bmask, lane3, lane2, s_acts, s_gvec,
-                inv_b, inv_n, n_inputs, C, s, bias_row)
+                cost, g_w2, g_vec, g_mats = _fwd_bwd(
+                    og[0][:], [m[:] for m in og[1:]], xin_bf, y,
+                    bmask, lane3, lane2, s_acts, s_gvec,
+                    inv_b, inv_n, n_inputs, C, s, bias_row)
 
-            etas = _block_etas(C, s, n_mats=1 + n_extra)
+            if _ablated("noise"):
+                etas = tuple(
+                    jnp.full(shape, 0.01, jnp.float32)
+                    for shape in [(C, s, s), (C, VEC_ROWS, s)]
+                    + [(C, s, s)] * n_extra)
+            else:
+                etas = _block_etas(C, s, n_mats=1 + n_extra)
             if rule.minv:
                 masks = _slab_views(mg, s, big_rows)
             else:

@@ -1815,3 +1815,53 @@ def test_fused_depth_validation():
         fused_bnn_multistep(
             theta, v, minv, xw, yw, 1e-3, 0, batch_size=20, n_data=30,
             block_chains=2, k_steps=1, pair_dots=True, interpret=True)
+
+
+@pytest.mark.slow
+def test_roofline_ablation_knob_is_live():
+    """ops.fused_step._ABLATE changes the traced kernel — with the cache
+    cleared, as the roofline benchmark does.
+
+    The knob exists only for benchmarks/wide_roofline_tpu.py, but the
+    whole roofline methodology rests on it: the public kernel drivers
+    are @jax.jit-wrapped and the module global is invisible to the jit
+    cache key, so WITHOUT jax.clear_caches() every "ablated" variant
+    silently reuses the first-traced (full) kernel.  Bitten on chip
+    once — five identical timings published as marginals.  This pins
+    (a) the knob reaches the kernel after a cache clear, and (b) the
+    default (None) path is restored afterwards.
+    """
+    from pysgmcmc_tpu.ops import fused_step
+    from pysgmcmc_tpu.ops.fused_step import fused_bnn_multistep
+
+    rng = np.random.RandomState(0)
+    x = rng.uniform(0, 1, (100, 1)).astype(np.float32)
+    y = rng.uniform(0, 1, 100).astype(np.float32)
+    xw, yw = data_windows(x, y, batch_size=20)
+    big = jnp.asarray(rng.randn(2, 72, 64) * 0.1, jnp.float32)
+    w3 = jnp.asarray(rng.randn(2, 64, 64) * 0.1, jnp.float32)
+    theta = [big, w3]
+    v = [jnp.zeros_like(big), jnp.zeros_like(w3)]
+    minv = [jnp.ones_like(big), jnp.ones_like(w3)]
+
+    def run():
+        th, _, _ = fused_bnn_multistep(
+            theta, v, minv, xw, yw, 1e-2, 0, batch_size=20, n_data=100,
+            block_chains=2, state_dtype=jnp.float32, k_steps=3,
+            interpret=True)
+        return np.asarray(th[0])
+
+    full = run()
+    assert fused_step._ABLATE is None
+    fused_step._ABLATE = "rulemath"
+    try:
+        jax.clear_caches()
+        ablated = run()
+    finally:
+        fused_step._ABLATE = None
+    jax.clear_caches()
+    restored = run()
+
+    assert not np.array_equal(full, ablated), (
+        "ablation knob did not reach the kernel — jit cache reuse?")
+    np.testing.assert_array_equal(full, restored)
