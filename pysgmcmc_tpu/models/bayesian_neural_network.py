@@ -135,6 +135,7 @@ class BayesianNeuralNetwork(BaseModel):
         step_impl="pytree",
         units=(50, 50, 50),
         pair_dots=False,
+        noise_impl="auto",
         **sampler_kwargs,
     ):
         super().__init__()
@@ -278,6 +279,27 @@ class BayesianNeuralNetwork(BaseModel):
                     "pair_dots supports the flagship 3-hidden-layer "
                     "topology only; got units={!r}".format(tuple(units)))
         self.pair_dots = bool(pair_dots)
+        # noise_impl: the fused kernels' in-kernel normal generator —
+        # 'box_muller' (VPU transcendentals) or 'hadamard_clt' (the
+        # MXU mixing generator, ops/fused_step._normal_clt; measured
+        # +66%/+156% at H=50/H=100, docs/performance.md "MXU-CLT
+        # noise").  'auto' picks hadamard_clt on the fused path (the
+        # paired kernels support box_muller only).  Fused step_impl
+        # only; the pytree/lanes paths keep their own streams.
+        if noise_impl == "auto":
+            noise_impl = ("hadamard_clt"
+                          if step_impl == "fused" and not pair_dots
+                          else "box_muller")
+        if noise_impl not in ("box_muller", "hadamard_clt"):
+            raise ValueError(
+                "noise_impl must be 'box_muller' or 'hadamard_clt'; got "
+                + repr(noise_impl))
+        if noise_impl != "box_muller" and step_impl != "fused":
+            raise ValueError("noise_impl requires step_impl='fused'")
+        if noise_impl != "box_muller" and pair_dots:
+            raise ValueError(
+                "pair_dots kernels support noise_impl='box_muller' only")
+        self.noise_impl = noise_impl
         self.network = network
         self.step_impl = step_impl
         # Mixed precision: run the network's matmuls in ``compute_dtype``
@@ -824,7 +846,8 @@ class BayesianNeuralNetwork(BaseModel):
                         sampler, s, k, n_steps, x_dev, y_dev,
                         batch_size=self.batch_size, block_chains=block,
                         state_dtype=jnp.float32, mesh=self.mesh,
-                        pair_dots=self.pair_dots, interpret=interpret,
+                        pair_dots=self.pair_dots,
+                        noise_impl=self.noise_impl, interpret=interpret,
                     ))
                 return jax.jit(lambda s, k: burnin_chain_lanes(
                     sampler, s, k, n_steps, batch_fn=select_batch,
@@ -853,7 +876,7 @@ class BayesianNeuralNetwork(BaseModel):
                 batch_size=self.batch_size, keep_every=self.sample_steps,
                 block_chains=block, state_dtype=state_dtype,
                 mesh=self.mesh, multistep=use_multistep,
-                pair_dots=self.pair_dots,
+                pair_dots=self.pair_dots, noise_impl=self.noise_impl,
                 # CPU has no TPU PRNG: interpret mode checks the plumbing
                 # (tests); real noise requires the chip
                 interpret=interpret,

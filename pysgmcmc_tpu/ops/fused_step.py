@@ -91,7 +91,73 @@ def _normal_3d(shape):
     return jnp.sqrt(-2.0 * jnp.log1p(-u1)) * jnp.cos(2.0 * jnp.pi * u2)
 
 
-def _block_etas(c, s=None, bias_row=None, n_mats=2):
+def _hadamard_pm1(n):
+    """(n, n) +-1 Sylvester-Hadamard, bf16: ``H[i,j] = (-1)^popcount(i&j)``.
+
+    Parity via an XOR fold (valid for n <= 256, i.e. 8 index bits) —
+    shift/xor lowers on any int vreg, ``population_count`` would be a
+    Mosaic lowering gamble.
+    """
+    assert n <= 256 and (n & (n - 1)) == 0, n
+    i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    b = i & j
+    b = b ^ (b >> 4)
+    b = b ^ (b >> 2)
+    b = b ^ (b >> 1)
+    return (1 - 2 * (b & 1)).astype(jnp.bfloat16)
+
+
+def _normal_clt(shape, hmat):
+    """Standard normals WITHOUT transcendentals: fresh centered uniforms
+    mixed along the lane axis by the +-1 Hadamard ``hmat`` in one MXU
+    ``dot_general`` — ``z = (u - 1/2) @ H_n * sqrt(12 / n)``.
+
+    The measured roofline (docs/performance.md) pinned Box-Muller's VPU
+    transcendental chain as the fused kernels' single largest cost while
+    the MXU idles under it; this moves normal generation onto the MXU.
+    Statistics: ``Cov(z) = I`` exactly up to the bf16 rounding of the
+    uniforms (~2^-18 relative) — H's columns are orthogonal and the
+    scale is exact; marginals are Irwin-Hall(n) with excess kurtosis
+    ``-1.2/n`` (-0.009 at n=128) and support ``+-sqrt(3n)`` (+-19.6
+    sigma at n=128).  The uniform bits are FRESH every call, so
+    successive draws stay exactly independent (unlike Wallace-pool
+    generators).  SG-MCMC's invariant-distribution error sees the
+    injected noise only through its moments (Chen et al. 2014), so the
+    O(1/n) fourth-moment deficit sits far below the O(eps)
+    discretization bias every sampler here already accepts.  The
+    distribution is pinned on hardware by
+    ``benchmarks/archive/noise_clt_tpu.py``'s gates and end-to-end by
+    the bench quality gate.
+    """
+    c, rows, n = shape
+    u = _uniform_3d((c, rows, n)) - 0.5
+    flat = u.astype(jnp.bfloat16).reshape(c * rows, n)
+    z = jax.lax.dot_general(
+        flat, hmat, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return z.reshape(c, rows, n) * np.float32(np.sqrt(12.0 / n))
+
+
+def _noise_hmats(noise_impl, s):
+    """Resolve a ``noise_impl`` name to :func:`_block_etas`'s ``hmats``.
+
+    Returns ``None`` for ``'box_muller'``, ``(H_2s, H_s)`` for
+    ``'hadamard_clt'``; raises on anything else.  Call OUTSIDE any
+    in-kernel loop: XLA does not hoist loop-invariant code out of
+    ``fori_loop`` bodies, so the Hadamard constants must be built once
+    per launch, not once per step.
+    """
+    if noise_impl == "box_muller":
+        return None
+    if noise_impl != "hadamard_clt":
+        raise ValueError(
+            "noise_impl must be 'box_muller' or 'hadamard_clt'; got "
+            + repr(noise_impl))
+    return (_hadamard_pm1(2 * s), _hadamard_pm1(s))
+
+
+def _block_etas(c, s=None, bias_row=None, n_mats=2, hmats=None):
     """``(eta_w2, eta_vec, *eta_mats)`` for one chain block, full-width.
 
     The kernel's ``(C, ., s)`` slabs with ``s = 64`` occupy only HALF of
@@ -110,17 +176,28 @@ def _block_etas(c, s=None, bias_row=None, n_mats=2):
     lane-sliced halves with fresh zeros is a Mosaic landmine anyway —
     ``tpu.concatenate`` rejects operands whose non-concat lane OFFSETS
     differ, which a ``[:, :, s:2s]`` slice produces).
+
+    With ``hmats`` (the :func:`_noise_hmats` pair), every draw routes
+    through the transcendental-free MXU generator :func:`_normal_clt`
+    instead of Box-Muller — same shapes, same draw layout, a different
+    (still fresh-per-call) stream.
     """
     if s is None:
         s = S
     del bias_row  # dead rows are masked by minv == 0, not by the draw
+    if hmats is None:
+        draw = _normal_3d
+    else:
+        def draw(shape):
+            return _normal_clt(
+                shape, hmats[0] if shape[-1] == 2 * s else hmats[1])
     mat_etas = []
     for _ in range(n_mats // 2):
-        eta = _normal_3d((c, s, 2 * s))
+        eta = draw((c, s, 2 * s))
         mat_etas += [eta[:, :, 0:s], eta[:, :, s:2 * s]]
     if n_mats % 2:
-        mat_etas.append(_normal_3d((c, s, s)))
-    eta_vec = _normal_3d((c, VEC_ROWS, s))
+        mat_etas.append(draw((c, s, s)))
+    eta_vec = draw((c, VEC_ROWS, s))
     return (mat_etas[0], eta_vec) + tuple(mat_etas[1:])
 
 
@@ -526,14 +603,14 @@ def _make_kernel_paired(batch_size, n_data, block_chains):
     static_argnames=("mdecay", "scale_grad", "prior_scale", "batch_size",
                      "n_data", "block_chains", "state_dtype",
                      "select_in_kernel", "pair_dots", "n_inputs",
-                     "interpret"),
+                     "noise_impl", "interpret"),
 )
 def fused_bnn_step(
     theta, v, minv, x_sel, y_sel, eps, seed,
     mdecay=0.05, scale_grad=1.0, prior_scale=0.0,
     batch_size=20, n_data=100, block_chains=64,
     state_dtype=jnp.bfloat16, select_in_kernel=False, pair_dots=False,
-    n_inputs=1, noise=None, interpret=False,
+    n_inputs=1, noise=None, noise_impl="box_muller", interpret=False,
 ):
     """One fused forward+backward+update SGHMC step.
 
@@ -544,6 +621,10 @@ def fused_bnn_step(
 
     Returns ``(theta', v', cost)`` with ``cost`` shaped ``(n_chains, 1)``.
     """
+    if noise is not None and noise_impl != "box_muller":
+        raise ValueError(
+            "noise_impl selects the in-kernel PRNG generator; it does "
+            "not combine with injected noise arrays")
     tbig = theta[0]
     n_extra = len(theta) - 1
     n_chains = tbig.shape[0]
@@ -607,13 +688,16 @@ def fused_bnn_step(
             raise ValueError(
                 "pair_dots supports the flagship 3-hidden-layer "
                 "topology only")
+        if noise_impl != "box_muller":
+            raise ValueError(
+                "pair_dots kernels support noise_impl='box_muller' only")
         kernel = _make_kernel_paired(
             float(batch_size), float(n_data), block_chains)
     else:
         kernel = _make_kernel_family(
             RULE_SGHMC, float(batch_size), float(n_data), with_noise,
             block_chains, n_inputs, 0, s=s, bias_row=bias_row,
-            n_windows=n_windows, n_extra=n_extra)
+            n_windows=n_windows, n_extra=n_extra, noise_impl=noise_impl)
     theta_new, v_new, _, cost = _family_call(
         RULE_SGHMC, kernel, theta, v, None, minv,
         [xin, y_sel], data_specs, noise, state_dtype, block_chains,
@@ -910,13 +994,13 @@ def _fwd_bwd_paired(big, w2_bf, w3_bf, xin_bf, y, bmask,
     jax.jit,
     static_argnames=("mdecay", "scale_grad", "prior_scale", "batch_size",
                      "n_data", "block_chains", "state_dtype", "k_steps",
-                     "pair_dots", "interpret"),
+                     "pair_dots", "noise_impl", "interpret"),
 )
 def fused_bnn_multistep(
     theta, v, minv, x_win, y_win, eps, seed,
     mdecay=0.05, scale_grad=1.0, prior_scale=0.0,
     batch_size=20, n_data=100, block_chains=32,
-    state_dtype=jnp.bfloat16, k_steps=1, pair_dots=False, interpret=False,
+    state_dtype=jnp.bfloat16, k_steps=1, pair_dots=False, noise_impl="box_muller", interpret=False,
 ):
     """``k_steps`` fused SGHMC steps in ONE kernel launch, VMEM-resident.
 
@@ -964,6 +1048,9 @@ def fused_bnn_multistep(
         jnp.full_like(e, mdecay), jnp.full_like(e, prior_scale)])
 
     if pair_dots:
+        if noise_impl != "box_muller":
+            raise ValueError(
+                "pair_dots kernels support noise_impl='box_muller' only")
         kernel = _make_multistep_kernel_family_paired(
             RULE_SGHMC, float(batch_size), float(n_data), block_chains,
             n_windows, int(k_steps), 0, n_inputs)
@@ -971,7 +1058,7 @@ def fused_bnn_multistep(
         kernel = _make_multistep_kernel_family(
             RULE_SGHMC, float(batch_size), float(n_data), block_chains,
             n_windows, int(k_steps), 0, s, bias_row, n_inputs,
-            n_extra=n_extra)
+            n_extra=n_extra, noise_impl=noise_impl)
     y_op = jnp.asarray(y_win, jnp.float32)
     theta_new, v_new, _, cost = _family_call(
         RULE_SGHMC, kernel, theta, v, None, minv,
@@ -1311,7 +1398,8 @@ def _store_slabs(refs_group, values, s, big_rows, dtype=None):
 
 def _make_kernel_family(rule, batch_size, n_data, with_noise, block_chains,
                         n_inputs, h, s=S, bias_row=BIAS_ROW,
-                        n_windows=None, n_extra=1):
+                        n_windows=None, n_extra=1,
+                        noise_impl="box_muller"):
     """Whole-step kernel generator for the fused BNN family.
 
     One fused forward + heteroscedastic likelihood + backward
@@ -1380,8 +1468,13 @@ def _make_kernel_family(rule, batch_size, n_data, with_noise, block_chains,
 
         if with_noise:
             etas = _slab_views(ng, s, big_rows)
-        else:
+        elif noise_impl == "box_muller":
+            # positional call keeps the archive benchmarks' monkeypatched
+            # _block_etas variants (older 4-arg signatures) working
             etas = _block_etas(C, s, bias_row, n_mats=1 + n_extra)
+        else:
+            etas = _block_etas(C, s, bias_row, n_mats=1 + n_extra,
+                               hmats=_noise_hmats(noise_impl, s))
 
         if rule.minv:
             masks = _slab_views(mg, s, big_rows)
@@ -1442,7 +1535,7 @@ def _ablated(token):
 def _make_multistep_kernel_family(rule, batch_size, n_data, block_chains,
                                   n_windows, k_steps, h, s=S,
                                   bias_row=BIAS_ROW, n_inputs=1,
-                                  n_extra=1):
+                                  n_extra=1, noise_impl="box_muller"):
     """Multi-step kernel generator: ``k_steps`` ``rule`` updates per
     launch with ALL aliased state (theta, aux, xi) resident in the
     output refs across a ``fori_loop`` — intermediate states never
@@ -1504,6 +1597,8 @@ def _make_multistep_kernel_family(rule, batch_size, n_data, block_chains,
         if not rule.minv:
             mat_valid, vec_valid = _psgld_valid_masks(
                 C, n_inputs, h, s, bias_row)
+        # hoisted: fori_loop bodies are not loop-invariant-code-motioned
+        hmats = _noise_hmats(noise_impl, s)
 
         def body(t, carry):
             row = [float_ref[t, j] for j in range(n_cols)]
@@ -1542,8 +1637,11 @@ def _make_multistep_kernel_family(rule, batch_size, n_data, block_chains,
                     jnp.full(shape, 0.01, jnp.float32)
                     for shape in [(C, s, s), (C, VEC_ROWS, s)]
                     + [(C, s, s)] * n_extra)
-            else:
+            elif hmats is None:
+                # positional call keeps archive monkeypatch variants alive
                 etas = _block_etas(C, s, n_mats=1 + n_extra)
+            else:
+                etas = _block_etas(C, s, n_mats=1 + n_extra, hmats=hmats)
             if rule.minv:
                 masks = _slab_views(mg, s, big_rows)
             else:
@@ -1891,19 +1989,23 @@ def _fused_xin(x_sel, n_inputs):
 @functools.partial(
     jax.jit,
     static_argnames=("a_coef", "scale_grad", "prior_scale", "batch_size",
-                     "n_data", "block_chains", "n_inputs", "interpret"),
+                     "n_data", "block_chains", "n_inputs", "noise_impl", "interpret"),
 )
 def fused_bnn_step_sgld(
     theta, minv, x_sel, y_sel, eps, seed,
     a_coef=1.0, scale_grad=1.0, prior_scale=0.0,
     batch_size=20, n_data=100, block_chains=64,
-    n_inputs=1, noise=None, interpret=False,
+    n_inputs=1, noise=None, noise_impl="box_muller", interpret=False,
 ):
     """One fused forward+backward+update SGLD step (flagship BNN family).
 
     As :func:`fused_bnn_step` but with the momentum-free SGLD update and
     no momentum state: returns ``(theta', cost)``.
     """
+    if noise is not None and noise_impl != "box_muller":
+        raise ValueError(
+            "noise_impl selects the in-kernel PRNG generator; it does "
+            "not combine with injected noise arrays")
     tbig = theta[0]
     n_extra = len(theta) - 1
     n_chains = tbig.shape[0]
@@ -1927,7 +2029,7 @@ def fused_bnn_step_sgld(
     kernel = _make_kernel_family(
         RULE_SGLD, float(batch_size), float(n_data), noise is not None,
         block_chains, n_inputs, 0, s=s, bias_row=bias_row,
-        n_extra=n_extra)
+        n_extra=n_extra, noise_impl=noise_impl)
     theta_new, _, _, cost = _family_call(
         RULE_SGLD, kernel, theta, None, None, minv,
         [xin, y_sel], [xin_spec, y_spec], noise, None, block_chains,
@@ -1939,14 +2041,14 @@ def fused_bnn_step_sgld(
     jax.jit,
     static_argnames=("alpha", "lambda_reg", "scale_grad", "prior_scale",
                      "batch_size", "n_data", "block_chains", "state_dtype",
-                     "n_inputs", "h", "interpret"),
+                     "n_inputs", "h", "noise_impl", "interpret"),
 )
 def fused_bnn_step_psgld(
     theta, v, x_sel, y_sel, eps, seed,
     alpha=0.99, lambda_reg=1e-5, scale_grad=1.0, prior_scale=0.0,
     batch_size=20, n_data=100, block_chains=64,
     state_dtype=jnp.bfloat16, n_inputs=1, h=50, noise=None,
-    interpret=False,
+    noise_impl="box_muller", interpret=False,
 ):
     """One fused forward+backward+update pSGLD step (flagship BNN family).
 
@@ -1979,7 +2081,7 @@ def fused_bnn_step_psgld(
     kernel = _make_kernel_family(
         RULE_PSGLD, float(batch_size), float(n_data), noise is not None,
         block_chains, n_inputs, int(h), s=s, bias_row=bias_row,
-        n_extra=n_extra)
+        n_extra=n_extra, noise_impl=noise_impl)
     theta_new, v_new, _, cost = _family_call(
         RULE_PSGLD, kernel, theta, v, None, None,
         [xin, y_sel], [xin_spec, y_spec], noise, state_dtype,
@@ -1991,14 +2093,14 @@ def fused_bnn_step_psgld(
     jax.jit,
     static_argnames=("a_diff", "scale_grad", "prior_scale", "batch_size",
                      "n_data", "block_chains", "state_dtype", "n_inputs",
-                     "h", "interpret"),
+                     "h", "noise_impl", "interpret"),
 )
 def fused_bnn_step_sgnht(
     theta, v, xi, x_sel, y_sel, eps, seed,
     a_diff=1.0, scale_grad=1.0, prior_scale=0.0,
     batch_size=20, n_data=100, block_chains=64,
     state_dtype=jnp.bfloat16, n_inputs=1, h=50, noise=None,
-    interpret=False,
+    noise_impl="box_muller", interpret=False,
 ):
     """One fused forward+backward+update SGNHT step (flagship BNN family).
 
@@ -2041,7 +2143,7 @@ def fused_bnn_step_sgnht(
     kernel = _make_kernel_family(
         RULE_SGNHT, float(batch_size), float(n_data), noise is not None,
         block_chains, n_inputs, int(h), s=s, bias_row=bias_row,
-        n_extra=n_extra)
+        n_extra=n_extra, noise_impl=noise_impl)
     theta_new, v_new, xi_new, cost = _family_call(
         RULE_SGNHT, kernel, theta, v, xi, None,
         [xin, y_sel], [xin_spec, y_spec], noise, state_dtype,
@@ -2053,14 +2155,14 @@ def fused_bnn_step_sgnht(
     jax.jit,
     static_argnames=("mass", "speed_of_light", "d_coef", "b_hat",
                      "prior_scale", "batch_size", "n_data", "block_chains",
-                     "state_dtype", "n_inputs", "h", "interpret"),
+                     "state_dtype", "n_inputs", "h", "noise_impl", "interpret"),
 )
 def fused_bnn_step_rsghmc(
     theta, v, x_sel, y_sel, eps, seed,
     mass=1.0, speed_of_light=1.0, d_coef=1.0, b_hat=0.0, prior_scale=0.0,
     batch_size=20, n_data=100, block_chains=64,
     state_dtype=jnp.bfloat16, n_inputs=1, h=50, noise=None,
-    interpret=False,
+    noise_impl="box_muller", interpret=False,
 ):
     """One fused forward+backward+update relativistic-SGHMC step.
 
@@ -2096,7 +2198,7 @@ def fused_bnn_step_rsghmc(
     kernel = _make_kernel_family(
         RULE_RSGHMC, float(batch_size), float(n_data), noise is not None,
         block_chains, n_inputs, int(h), s=s, bias_row=bias_row,
-        n_extra=n_extra)
+        n_extra=n_extra, noise_impl=noise_impl)
     theta_new, v_new, _, cost = _family_call(
         RULE_RSGHMC, kernel, theta, v, None, None,
         [xin, y_sel], [xin_spec, y_spec], noise, state_dtype,
@@ -2108,13 +2210,13 @@ def fused_bnn_step_rsghmc(
     jax.jit,
     static_argnames=("a_coef", "scale_grad", "prior_scale", "batch_size",
                      "n_data", "block_chains", "k_steps", "pair_dots",
-                     "interpret"),
+                     "noise_impl", "interpret"),
 )
 def fused_bnn_multistep_sgld(
     theta, minv, x_win, y_win, eps, seed,
     a_coef=1.0, scale_grad=1.0, prior_scale=0.0,
     batch_size=20, n_data=100, block_chains=32,
-    k_steps=1, pair_dots=False, interpret=False,
+    k_steps=1, pair_dots=False, noise_impl="box_muller", interpret=False,
 ):
     """``k_steps`` fused SGLD steps in ONE kernel launch, VMEM-resident.
 
@@ -2144,6 +2246,9 @@ def fused_bnn_multistep_sgld(
         jnp.full_like(e, prior_scale)])
 
     if pair_dots:
+        if noise_impl != "box_muller":
+            raise ValueError(
+                "pair_dots kernels support noise_impl='box_muller' only")
         kernel = _make_multistep_kernel_family_paired(
             RULE_SGLD, float(batch_size), float(n_data), block_chains,
             n_windows, int(k_steps), 0, n_inputs)
@@ -2151,7 +2256,7 @@ def fused_bnn_multistep_sgld(
         kernel = _make_multistep_kernel_family(
             RULE_SGLD, float(batch_size), float(n_data), block_chains,
             n_windows, int(k_steps), 0, s, bias_row, n_inputs,
-            n_extra=n_extra)
+            n_extra=n_extra, noise_impl=noise_impl)
     y_op = jnp.asarray(y_win, jnp.float32)
     theta_new, _, _, cost = _family_call(
         RULE_SGLD, kernel, theta, None, None, minv,
@@ -2165,14 +2270,14 @@ def fused_bnn_multistep_sgld(
     jax.jit,
     static_argnames=("a_diff", "scale_grad", "prior_scale", "batch_size",
                      "n_data", "block_chains", "state_dtype", "k_steps",
-                     "h", "pair_dots", "interpret"),
+                     "h", "pair_dots", "noise_impl", "interpret"),
 )
 def fused_bnn_multistep_sgnht(
     theta, v, xi, x_win, y_win, eps, seed,
     a_diff=1.0, scale_grad=1.0, prior_scale=0.0,
     batch_size=20, n_data=100, block_chains=32,
     state_dtype=jnp.bfloat16, k_steps=1, h=50, pair_dots=False,
-    interpret=False,
+    noise_impl="box_muller", interpret=False,
 ):
     """``k_steps`` fused SGNHT steps in ONE kernel launch, VMEM-resident.
 
@@ -2209,6 +2314,9 @@ def fused_bnn_multistep_sgnht(
         jnp.full_like(e, 1.0 / n_dim)])
 
     if pair_dots:
+        if noise_impl != "box_muller":
+            raise ValueError(
+                "pair_dots kernels support noise_impl='box_muller' only")
         kernel = _make_multistep_kernel_family_paired(
             RULE_SGNHT, float(batch_size), float(n_data), block_chains,
             n_windows, int(k_steps), int(h), n_inputs)
@@ -2216,7 +2324,7 @@ def fused_bnn_multistep_sgnht(
         kernel = _make_multistep_kernel_family(
             RULE_SGNHT, float(batch_size), float(n_data), block_chains,
             n_windows, int(k_steps), int(h), s, bias_row, n_inputs,
-            n_extra=n_extra)
+            n_extra=n_extra, noise_impl=noise_impl)
     y_op = jnp.asarray(y_win, jnp.float32)
     theta_new, v_new, xi_new, cost = _family_call(
         RULE_SGNHT, kernel, theta, v, xi, None,
@@ -2230,13 +2338,13 @@ def fused_bnn_multistep_sgnht(
     jax.jit,
     static_argnames=("alpha", "lambda_reg", "scale_grad", "prior_scale",
                      "batch_size", "n_data", "block_chains", "k_steps",
-                     "h", "pair_dots", "interpret"),
+                     "h", "pair_dots", "noise_impl", "interpret"),
 )
 def fused_bnn_multistep_psgld(
     theta, v, x_win, y_win, eps, seed,
     alpha=0.99, lambda_reg=1e-5, scale_grad=1.0, prior_scale=0.0,
     batch_size=20, n_data=100, block_chains=32,
-    k_steps=1, h=50, pair_dots=False, interpret=False,
+    k_steps=1, h=50, pair_dots=False, noise_impl="box_muller", interpret=False,
 ):
     """``k_steps`` fused pSGLD steps in ONE kernel launch, VMEM-resident.
 
@@ -2265,6 +2373,9 @@ def fused_bnn_multistep_psgld(
         jnp.full_like(e, 1.0 / scale_grad),
         jnp.full_like(e, prior_scale)])
     if pair_dots:
+        if noise_impl != "box_muller":
+            raise ValueError(
+                "pair_dots kernels support noise_impl='box_muller' only")
         kernel = _make_multistep_kernel_family_paired(
             RULE_PSGLD, float(batch_size), float(n_data), block_chains,
             n_windows, int(k_steps), int(h), n_inputs)
@@ -2272,7 +2383,7 @@ def fused_bnn_multistep_psgld(
         kernel = _make_multistep_kernel_family(
             RULE_PSGLD, float(batch_size), float(n_data), block_chains,
             n_windows, int(k_steps), int(h), s, bias_row, n_inputs,
-            n_extra=n_extra)
+            n_extra=n_extra, noise_impl=noise_impl)
     y_op = jnp.asarray(y_win, jnp.float32)
     theta_new, v_new, _, cost = _family_call(
         RULE_PSGLD, kernel, theta, v, None, None,
@@ -2287,14 +2398,14 @@ def fused_bnn_multistep_psgld(
     static_argnames=("mass", "speed_of_light", "d_coef", "b_hat",
                      "prior_scale", "batch_size", "n_data", "block_chains",
                      "state_dtype", "k_steps", "h", "pair_dots",
-                     "interpret"),
+                     "noise_impl", "interpret"),
 )
 def fused_bnn_multistep_rsghmc(
     theta, v, x_win, y_win, eps, seed,
     mass=1.0, speed_of_light=1.0, d_coef=1.0, b_hat=0.0, prior_scale=0.0,
     batch_size=20, n_data=100, block_chains=32,
     state_dtype=jnp.bfloat16, k_steps=1, h=50, pair_dots=False,
-    interpret=False,
+    noise_impl="box_muller", interpret=False,
 ):
     """``k_steps`` fused relativistic-SGHMC steps in ONE kernel launch.
 
@@ -2327,6 +2438,9 @@ def fused_bnn_multistep_rsghmc(
         jnp.full_like(e, 1.0 / mass),
         jnp.full_like(e, d_coef)])
     if pair_dots:
+        if noise_impl != "box_muller":
+            raise ValueError(
+                "pair_dots kernels support noise_impl='box_muller' only")
         kernel = _make_multistep_kernel_family_paired(
             RULE_RSGHMC, float(batch_size), float(n_data), block_chains,
             n_windows, int(k_steps), int(h), n_inputs)
@@ -2334,7 +2448,7 @@ def fused_bnn_multistep_rsghmc(
         kernel = _make_multistep_kernel_family(
             RULE_RSGHMC, float(batch_size), float(n_data), block_chains,
             n_windows, int(k_steps), int(h), s, bias_row, n_inputs,
-            n_extra=n_extra)
+            n_extra=n_extra, noise_impl=noise_impl)
     y_op = jnp.asarray(y_win, jnp.float32)
     theta_new, v_new, _, cost = _family_call(
         RULE_RSGHMC, kernel, theta, v, None, None,
@@ -2396,7 +2510,8 @@ def _sgld_burnin_step_math(theta, tau, g, v_hat, grad, valid, eta,
 def _make_multistep_kernel_burnin(batch_size, n_data, block_chains,
                                   n_windows, k_steps, h, s=S,
                                   bias_row=BIAS_ROW, n_inputs=1,
-                                  with_momentum=True, n_extra=1):
+                                  with_momentum=True, n_extra=1,
+                                  noise_impl="box_muller"):
     """Burn-in variant of :func:`_make_multistep_kernel_family`:
     ``k_steps`` self-tuning updates per launch with theta, momentum AND
     the tau/g/v_hat adaptation statistics all resident in the aliased
@@ -2447,6 +2562,8 @@ def _make_multistep_kernel_burnin(batch_size, n_data, block_chains,
         mat_valid, vec_valid = _psgld_valid_masks(
             C, n_inputs, h, s, bias_row)
         masks = [mat_valid, vec_valid] + [mat_valid] * n_extra
+        # hoisted: fori_loop bodies are not loop-invariant-code-motioned
+        hmats = _noise_hmats(noise_impl, s)
 
         def body(t, carry):
             # per-step scalar row: eps, c1 (eps_scaled / a_coef),
@@ -2463,7 +2580,10 @@ def _make_multistep_kernel_burnin(batch_size, n_data, block_chains,
                 bmask, lane3, lane2, s_acts, s_gvec,
                 inv_b, inv_n, n_inputs, C, s, bias_row)
 
-            etas = _block_etas(C, s, n_mats=1 + n_extra)
+            if hmats is None:
+                etas = _block_etas(C, s, n_mats=1 + n_extra)
+            else:
+                etas = _block_etas(C, s, n_mats=1 + n_extra, hmats=hmats)
             grads = [g_w2, g_vec] + list(g_mats)
 
             def upd(sl_t, sl_v, sl_tau, sl_g, sl_vh, grad, eta, valid):
@@ -2690,14 +2810,14 @@ def _make_multistep_kernel_burnin_paired(batch_size, n_data, block_chains,
     jax.jit,
     static_argnames=("mdecay", "scale_grad", "prior_scale", "batch_size",
                      "n_data", "block_chains", "state_dtype", "k_steps",
-                     "h", "pair_dots", "interpret"),
+                     "h", "pair_dots", "noise_impl", "interpret"),
 )
 def fused_bnn_multistep_burnin(
     theta, v, tau, g, v_hat, x_win, y_win, eps, seed,
     mdecay=0.05, scale_grad=1.0, prior_scale=0.0,
     batch_size=20, n_data=100, block_chains=32,
     state_dtype=jnp.bfloat16, k_steps=1, h=50, pair_dots=False,
-    interpret=False,
+    noise_impl="box_muller", interpret=False,
 ):
     """``k_steps`` fused SGHMC BURN-IN steps in ONE kernel launch.
 
@@ -2762,6 +2882,9 @@ def fused_bnn_multistep_burnin(
     # theta/v/tau/g/v_hat alias their outputs; minv outputs are fresh
     aliases = {i + 2: i for i in range(5 * n_group)}
     if pair_dots:
+        if noise_impl != "box_muller":
+            raise ValueError(
+                "pair_dots kernels support noise_impl='box_muller' only")
         kernel = _make_multistep_kernel_burnin_paired(
             float(batch_size), float(n_data), block_chains, n_windows,
             int(k_steps), int(h), with_momentum=True,
@@ -2770,7 +2893,8 @@ def fused_bnn_multistep_burnin(
         kernel = _make_multistep_kernel_burnin(
             float(batch_size), float(n_data), block_chains, n_windows,
             int(k_steps), int(h), s, bias_row, n_inputs,
-            with_momentum=True, n_extra=n_extra)
+            with_momentum=True, n_extra=n_extra,
+            noise_impl=noise_impl)
     interpreter = pltpu.InterpretParams() if interpret else False
     outs = pl.pallas_call(
         kernel,
@@ -2792,13 +2916,13 @@ def fused_bnn_multistep_burnin(
     jax.jit,
     static_argnames=("a_coef", "scale_grad", "prior_scale", "batch_size",
                      "n_data", "block_chains", "k_steps", "h",
-                     "pair_dots", "interpret"),
+                     "pair_dots", "noise_impl", "interpret"),
 )
 def fused_bnn_multistep_burnin_sgld(
     theta, tau, g, v_hat, x_win, y_win, eps, seed,
     a_coef=1.0, scale_grad=1.0, prior_scale=0.0,
     batch_size=20, n_data=100, block_chains=32,
-    k_steps=1, h=50, pair_dots=False, interpret=False,
+    k_steps=1, h=50, pair_dots=False, noise_impl="box_muller", interpret=False,
 ):
     """``k_steps`` fused SGLD BURN-IN steps in ONE kernel launch.
 
@@ -2855,6 +2979,9 @@ def fused_bnn_multistep_burnin_sgld(
     )
     aliases = {i + 2: i for i in range(4 * n_group)}
     if pair_dots:
+        if noise_impl != "box_muller":
+            raise ValueError(
+                "pair_dots kernels support noise_impl='box_muller' only")
         kernel = _make_multistep_kernel_burnin_paired(
             float(batch_size), float(n_data), block_chains, n_windows,
             int(k_steps), int(h), with_momentum=False,
@@ -2863,7 +2990,8 @@ def fused_bnn_multistep_burnin_sgld(
         kernel = _make_multistep_kernel_burnin(
             float(batch_size), float(n_data), block_chains, n_windows,
             int(k_steps), int(h), s, bias_row, n_inputs,
-            with_momentum=False, n_extra=n_extra)
+            with_momentum=False, n_extra=n_extra,
+            noise_impl=noise_impl)
     interpreter = pltpu.InterpretParams() if interpret else False
     outs = pl.pallas_call(
         kernel,

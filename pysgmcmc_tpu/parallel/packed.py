@@ -661,6 +661,7 @@ def sample_chain_fused(
     axis_name=None,
     multistep=False,
     pair_dots=False,
+    noise_impl="auto",
     interpret=False,
 ):
     """Sampling-phase driver over the flash-SGHMC fused step.
@@ -696,7 +697,7 @@ def sample_chain_fused(
                 batch_size=batch_size, keep_every=keep_every,
                 block_chains=block_chains, state_dtype=state_dtype,
                 collect_positions=collect_positions, multistep=multistep,
-                pair_dots=pair_dots, interpret=interpret,
+                pair_dots=pair_dots, noise_impl=noise_impl, interpret=interpret,
             )
 
         return _run_sharded(
@@ -718,6 +719,13 @@ def sample_chain_fused(
         raise ValueError(
             "pair_dots is a multi-step kernel variant; pass "
             "multistep=True")
+
+    # 'auto' = the measured-fastest generator for the path: the MXU-CLT
+    # Hadamard mixer (+66% at H=50, +156% at H=100 over Box-Muller —
+    # docs/performance.md "MXU-CLT noise") everywhere except the paired
+    # kernels, which support Box-Muller only
+    if noise_impl == "auto":
+        noise_impl = "box_muller" if pair_dots else "hadamard_clt"
 
     if isinstance(sampler, SGHMCSampler):
         fkind = "sghmc"
@@ -792,7 +800,7 @@ def sample_chain_fused(
                 prior_scale=sampler.gaussian_prior_scale,
                 batch_size=batch_size, n_data=n_data,
                 block_chains=block_chains, state_dtype=state_dtype,
-                n_inputs=n_inputs, interpret=interpret,
+                n_inputs=n_inputs, noise_impl=noise_impl, interpret=interpret,
             )
         elif fkind == "sgld":
             theta, cost = fused_bnn_step_sgld(
@@ -801,7 +809,7 @@ def sample_chain_fused(
                 prior_scale=sampler.gaussian_prior_scale,
                 batch_size=batch_size, n_data=n_data,
                 block_chains=block_chains,
-                n_inputs=n_inputs, interpret=interpret,
+                n_inputs=n_inputs, noise_impl=noise_impl, interpret=interpret,
             )
         elif fkind == "sgnht":
             theta, v, xi, cost = fused_bnn_step_sgnht(
@@ -810,7 +818,7 @@ def sample_chain_fused(
                 prior_scale=sampler.gaussian_prior_scale,
                 batch_size=batch_size, n_data=n_data,
                 block_chains=block_chains, state_dtype=state_dtype,
-                n_inputs=n_inputs, h=h, interpret=interpret,
+                n_inputs=n_inputs, h=h, noise_impl=noise_impl, interpret=interpret,
             )
         elif fkind == "rsghmc":
             theta, v, cost = fused_bnn_step_rsghmc(
@@ -820,7 +828,7 @@ def sample_chain_fused(
                 prior_scale=sampler.gaussian_prior_scale,
                 batch_size=batch_size, n_data=n_data,
                 block_chains=block_chains, state_dtype=state_dtype,
-                n_inputs=n_inputs, h=h, interpret=interpret,
+                n_inputs=n_inputs, h=h, noise_impl=noise_impl, interpret=interpret,
             )
         else:
             theta, v, cost = fused_bnn_step_psgld(
@@ -830,7 +838,7 @@ def sample_chain_fused(
                 prior_scale=getattr(sampler, "gaussian_prior_scale", 0.0),
                 batch_size=batch_size, n_data=n_data,
                 block_chains=block_chains, state_dtype=jnp.float32,
-                n_inputs=n_inputs, h=h, interpret=interpret,
+                n_inputs=n_inputs, h=h, noise_impl=noise_impl, interpret=interpret,
             )
         return (theta, v, xi, key, step + 1), cost[:, 0]
 
@@ -869,7 +877,7 @@ def sample_chain_fused(
                 batch_size=batch_size, n_data=n_data,
                 block_chains=block_chains, state_dtype=state_dtype,
                 k_steps=keep_every, pair_dots=pair_dots,
-                interpret=interpret,
+                noise_impl=noise_impl, interpret=interpret,
             )
         elif fkind == "sgnht":
             theta, v, xi, cost = fused_bnn_multistep_sgnht(
@@ -880,7 +888,7 @@ def sample_chain_fused(
                 batch_size=batch_size, n_data=n_data,
                 block_chains=block_chains, state_dtype=state_dtype,
                 k_steps=keep_every, h=h, pair_dots=pair_dots,
-                interpret=interpret,
+                noise_impl=noise_impl, interpret=interpret,
             )
         elif fkind == "psgld":
             theta, v, cost = fused_bnn_multistep_psgld(
@@ -892,7 +900,7 @@ def sample_chain_fused(
                 batch_size=batch_size, n_data=n_data,
                 block_chains=block_chains,
                 k_steps=keep_every, h=h, pair_dots=pair_dots,
-                interpret=interpret,
+                noise_impl=noise_impl, interpret=interpret,
             )
         elif fkind == "rsghmc":
             theta, v, cost = fused_bnn_multistep_rsghmc(
@@ -904,7 +912,7 @@ def sample_chain_fused(
                 batch_size=batch_size, n_data=n_data,
                 block_chains=block_chains, state_dtype=state_dtype,
                 k_steps=keep_every, h=h, pair_dots=pair_dots,
-                interpret=interpret,
+                noise_impl=noise_impl, interpret=interpret,
             )
         else:
             theta, cost = fused_bnn_multistep_sgld(
@@ -915,7 +923,7 @@ def sample_chain_fused(
                 batch_size=batch_size, n_data=n_data,
                 block_chains=block_chains,
                 k_steps=keep_every, pair_dots=pair_dots,
-                interpret=interpret,
+                noise_impl=noise_impl, interpret=interpret,
             )
         carry = (theta, v, xi, key, step + keep_every)
         out = unpack_fused(theta, h, n_inputs) if collect_positions else None
@@ -1473,6 +1481,7 @@ def burnin_chain_fused(
     mesh=None,
     axis_name=None,
     pair_dots=False,
+    noise_impl="auto",
     interpret=False,
 ):
     """Burn-in driver on the multi-step VMEM-resident fused kernel.
@@ -1495,6 +1504,9 @@ def burnin_chain_fused(
     """
     if int(n_steps) < 1:
         return states
+    if noise_impl == "auto":
+        # measured-fastest generator (docs/performance.md "MXU-CLT noise")
+        noise_impl = "box_muller" if pair_dots else "hadamard_clt"
     if mesh is not None:
         from pysgmcmc_tpu.parallel.mesh import CHAIN_AXIS
 
@@ -1503,7 +1515,7 @@ def burnin_chain_fused(
                 sampler, local_states, local_key, n_steps, x, y,
                 batch_size=batch_size, block_chains=block_chains,
                 state_dtype=state_dtype, pair_dots=pair_dots,
-                interpret=interpret,
+                noise_impl=noise_impl, interpret=interpret,
             )
 
         return _run_sharded(
@@ -1562,7 +1574,7 @@ def burnin_chain_fused(
             prior_scale=prior_scale, batch_size=batch_size,
             n_data=int(n_data), block_chains=block,
             state_dtype=state_dtype, k_steps=int(n_steps), h=int(h),
-            pair_dots=pair_dots, interpret=interpret,
+            pair_dots=pair_dots, noise_impl=noise_impl, interpret=interpret,
         )
     else:
         theta, tau, g, v_hat, minv, _ = fused_bnn_multistep_burnin_sgld(
@@ -1571,7 +1583,7 @@ def burnin_chain_fused(
             prior_scale=prior_scale, batch_size=batch_size,
             n_data=int(n_data), block_chains=block,
             k_steps=int(n_steps), h=int(h), pair_dots=pair_dots,
-            interpret=interpret,
+            noise_impl=noise_impl, interpret=interpret,
         )
 
     stats = AdaptiveStats(

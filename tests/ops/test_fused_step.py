@@ -1865,3 +1865,131 @@ def test_roofline_ablation_knob_is_live():
     assert not np.array_equal(full, ablated), (
         "ablation knob did not reach the kernel — jit cache reuse?")
     np.testing.assert_array_equal(full, restored)
+
+
+#  MXU-CLT noise generator (noise_impl='hadamard_clt') ------------------------
+
+
+def test_hadamard_pm1_orthogonal():
+    """The +-1 Sylvester-Hadamard mixing matrix: H^T H = n I exactly, so
+    the CLT generator's covariance is the identity by construction."""
+    from pysgmcmc_tpu.ops.fused_step import _hadamard_pm1
+
+    for n in (64, 128, 256):
+        h = np.asarray(_hadamard_pm1(n), np.float32)
+        assert set(np.unique(h).tolist()) == {-1.0, 1.0}
+        np.testing.assert_array_equal(h.T @ h, n * np.eye(n, dtype=np.float32))
+        # Sylvester structure: H[i, j] = (-1)^popcount(i & j)
+        i, j = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+        pop = np.vectorize(lambda v: bin(v).count("1"))(i & j)
+        np.testing.assert_array_equal(h, np.where(pop % 2, -1.0, 1.0))
+
+
+def test_normal_clt_zero_bit_value():
+    """Interpret mode's PRNG yields zero bits -> u = 0 -> the CLT output
+    is exactly -0.5 * sum_i H[i, j] * sqrt(12/n): -sqrt(12 n)/2 on lane 0
+    (H's first column is all ones), 0 elsewhere.  Pins the scale constant
+    and the mixing axis."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from pysgmcmc_tpu.ops.fused_step import _hadamard_pm1, _normal_clt
+
+    def kernel(seed_ref, out_ref):
+        pltpu.prng_seed(seed_ref[0])
+        out_ref[:] = _normal_clt((4, 16, 128), _hadamard_pm1(128))
+
+    out = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, 16, 128), jnp.float32),
+        interpret=pltpu.InterpretParams(),
+    )(jnp.asarray([42], jnp.int32))
+    z = np.asarray(out)
+    expect0 = -0.5 * 128 * np.sqrt(12.0 / 128.0)
+    np.testing.assert_allclose(z[:, :, 0], expect0, rtol=1e-6)
+    np.testing.assert_array_equal(z[:, :, 1:], 0.0)
+
+
+@pytest.mark.slow
+def test_noise_impl_reaches_the_kernel():
+    """The zero-bit discriminator: through the FULL driver stack
+    (sample_chain_fused, multistep), Box-Muller's zero-bit stream is
+    exactly zero noise while the CLT's is a -sqrt(12 n)/2 spike on lane
+    0 — so the two noise_impl settings must produce different states,
+    and box_muller must reproduce today's stream bitwise."""
+    from pysgmcmc_tpu.parallel.packed import sample_chain_fused
+
+    n = 4
+    sampler, positions, select = _workload(n)
+    rng = np.random.RandomState(0)
+    x = rng.uniform(0.0, 1.0, (100, 1)).astype(np.float32)
+    from pysgmcmc_tpu.diagnostics.objective_functions import sinc
+
+    y = np.asarray(sinc(x), np.float32)
+    states = jax.vmap(sampler.init)(
+        positions, jax.random.split(jax.random.PRNGKey(0), n))
+    states, _ = jax.vmap(
+        lambda s, k: sample_chain(
+            sampler, s, k, 1, batch_fn=select,
+            keep_every=sampler.burn_in_steps,
+            collect_costs=False, phase="burn_in")
+    )(states, jax.random.split(jax.random.PRNGKey(1), n))
+
+    def run(noise_impl):
+        st, _, costs = sample_chain_fused(
+            sampler, states, jax.random.PRNGKey(2), 2, x, y,
+            batch_size=20, keep_every=2, block_chains=n,
+            state_dtype=jnp.float32, multistep=True,
+            noise_impl=noise_impl, interpret=True,
+        )
+        assert np.isfinite(np.asarray(costs)).all()
+        return np.asarray(st.position["w2"])
+
+    w2_bm = run("box_muller")
+    w2_bm2 = run("box_muller")
+    w2_clt = run("hadamard_clt")
+    np.testing.assert_array_equal(w2_bm, w2_bm2)
+    assert not np.array_equal(w2_bm, w2_clt), (
+        "noise_impl='hadamard_clt' produced the Box-Muller stream — the "
+        "knob never reached the kernel")
+
+
+def test_noise_impl_error_paths():
+    from pysgmcmc_tpu.models.bayesian_neural_network import (
+        BayesianNeuralNetwork,
+    )
+    from pysgmcmc_tpu.ops.fused_step import _noise_hmats
+
+    with pytest.raises(ValueError, match="noise_impl"):
+        _noise_hmats("wallace", 64)
+    assert _noise_hmats("box_muller", 64) is None
+    with pytest.raises(ValueError, match="noise_impl"):
+        BayesianNeuralNetwork(step_impl="pytree", noise_impl="hadamard_clt")
+    with pytest.raises(ValueError, match="box_muller"):
+        BayesianNeuralNetwork(step_impl="fused", network="dense",
+                              pair_dots=True, noise_impl="hadamard_clt")
+    with pytest.raises(ValueError, match="noise_impl"):
+        BayesianNeuralNetwork(step_impl="fused", network="dense",
+                              noise_impl="clt")
+
+
+def test_noise_impl_rejects_injected_noise():
+    """noise_impl selects the in-kernel PRNG generator; combining it with
+    injected noise arrays must refuse loudly, not silently ignore one."""
+    from pysgmcmc_tpu.models.architectures import dense_network
+
+    init_fn, _ = dense_network(1)
+    params = jax.vmap(init_fn)(jax.random.split(jax.random.PRNGKey(0), 4))
+    theta = pack_fused(params)
+    v = pack_fused(jax.tree_util.tree_map(jnp.zeros_like, params))
+    minv = pack_fused(jax.tree_util.tree_map(jnp.ones_like, params))
+    x_sel = jnp.zeros((4, B_PAD), jnp.float32)
+    y_sel = jnp.zeros((4, B_PAD), jnp.float32)
+    noise = pack_fused(jax.tree_util.tree_map(jnp.zeros_like, params))
+    with pytest.raises(ValueError, match="injected"):
+        fused_bnn_step(
+            theta, v, minv, x_sel, y_sel, 0.01, 0,
+            block_chains=4, state_dtype=jnp.float32, noise=noise,
+            noise_impl="hadamard_clt", interpret=True)
