@@ -15,6 +15,12 @@
 #       visible.
 # full: the whole suite, then every example under examples/ (the analog of
 #       the reference's nbval notebook run, pysgmcmc/Makefile:10-14).
+# kernel: tests/ops + tests/parallel (slow lane INCLUDED — the interpret-
+#       mode parity pins live there) + make mutation.  MANDATORY after any
+#       change to pysgmcmc_tpu/ops/ or pysgmcmc_tpu/parallel/packed.py:
+#       three consecutive rounds ended red because the last kernel commit
+#       shipped without re-running the slow/interpret lane.  Minutes, not
+#       hours — there is no excuse to skip it.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -50,6 +56,9 @@ if [ "$MODE" = "full" ]; then
     # Mutation harness last: kernel refactors that stale its snippets or
     # blunt its kills must break CI here, not rot silently (the round-3
     # failure mode: ba55367 rewrote a kernel line and nothing re-ran this).
+    make mutation
+elif [ "$MODE" = "kernel" ]; then
+    python -m pytest tests/ops/ tests/parallel/ -q
     make mutation
 elif [ "$MODE" = "cov" ]; then
     # fast lane + statement coverage (the reference CI's --cov analog,

@@ -63,6 +63,31 @@ from pysgmcmc_tpu.samplers.sghmc import SGHMCSampler, SGHMCState
 from pysgmcmc_tpu.samplers.sgld import SGLDSampler, SGLDState
 from pysgmcmc_tpu.samplers.sgnht import SGNHTSampler, SGNHTState
 
+# Upper bound on steps advanced by ONE multi-step kernel launch.  The
+# per-step schedule table (ops/fused_step._per_step_table) costs one
+# 128-lane f32 SMEM row per step (512 B); 512 steps = 256 KB of the
+# chip's 1 MiB SMEM, leaving room for the int-scalar table and compiler
+# prefetch buffers.  Drivers asked for longer segments (e.g. a whole
+# 3000-step burn-in in one launch) chunk at this bound.
+MAX_STEPS_PER_LAUNCH = 512
+
+
+def resolve_noise_impl(noise_impl, pair_dots=False):
+    """Resolve ``noise_impl='auto'`` to the generator a fused driver uses.
+
+    The single source of truth for the shipped default: the MXU-CLT
+    Hadamard mixer (measured fastest — docs/performance.md "MXU-CLT
+    noise") everywhere except the paired kernels, which support
+    Box-Muller only.  Benchmark writers record this value in their
+    artifacts and ``tests/test_benchmark_results.py`` pins committed
+    artifacts against it, so a default change can never silently leave
+    headline artifacts describing a stale code path (the round-3/4
+    stale-artifact cycle).
+    """
+    if noise_impl == "auto":
+        return "box_muller" if pair_dots else "hadamard_clt"
+    return noise_impl
+
 
 class PackSpec(NamedTuple):
     """Layout of a pytree packed into 128-aligned lane slots."""
@@ -720,12 +745,10 @@ def sample_chain_fused(
             "pair_dots is a multi-step kernel variant; pass "
             "multistep=True")
 
-    # 'auto' = the measured-fastest generator for the path: the MXU-CLT
-    # Hadamard mixer (+66% at H=50, +156% at H=100 over Box-Muller —
-    # docs/performance.md "MXU-CLT noise") everywhere except the paired
-    # kernels, which support Box-Muller only
-    if noise_impl == "auto":
-        noise_impl = "box_muller" if pair_dots else "hadamard_clt"
+    # 'auto' = the measured-fastest generator for the path (+66% at
+    # H=50, +156% at H=100 over Box-Muller — docs/performance.md
+    # "MXU-CLT noise")
+    noise_impl = resolve_noise_impl(noise_impl, pair_dots)
 
     if isinstance(sampler, SGHMCSampler):
         fkind = "sghmc"
@@ -847,13 +870,13 @@ def sample_chain_fused(
         out = unpack_fused(carry[0], h, n_inputs) if collect_positions else None
         return carry, (out, costs[-1])
 
-    def thinned_multistep(carry, _):
-        # keep_every steps advance INSIDE one kernel launch, VMEM-resident
+    def _multistep_launch(carry, seg):
+        # seg steps advance INSIDE one kernel launch, VMEM-resident
         # (ops/fused_step.fused_bnn_multistep); the kernel draws each
         # chain's minibatch window from its own in-kernel PRNG stream and
         # reports the final step's cost — identical to the thinned scan's
         # costs[-1].  The schedule is evaluated host-side PER INNER STEP
-        # and shipped as a (keep_every,) eps vector (the kernels read a
+        # and shipped as a (seg,) eps vector (the kernels read a
         # per-step SMEM scalar row), so step-varying schedules are exact
         # — same stepsizes the per-step path would use.
         from pysgmcmc_tpu.ops.fused_step import (
@@ -867,7 +890,8 @@ def sample_chain_fused(
         theta, v, xi, key, step = carry
         eps = jax.vmap(
             lambda t: _schedule_eps(sampler, schedule_state0, step + t)
-        )(jnp.arange(keep_every))
+        )(jnp.arange(seg))
+        keep_every = seg
         if fkind == "sghmc":
             theta, v, cost = fused_bnn_multistep(
                 theta, v, minv, x_win, y_win, eps,
@@ -926,8 +950,24 @@ def sample_chain_fused(
                 noise_impl=noise_impl, interpret=interpret,
             )
         carry = (theta, v, xi, key, step + keep_every)
-        out = unpack_fused(theta, h, n_inputs) if collect_positions else None
-        return carry, (out, cost[:, 0])
+        return carry, cost[:, 0]
+
+    # Split each thinning segment into launches of at most
+    # MAX_STEPS_PER_LAUNCH steps: the per-step SMEM schedule table costs
+    # one 128-lane f32 row per step, and a single launch covering a
+    # large keep_every (or a whole burn-in) exceeds the chip's 1 MiB
+    # SMEM at AOT compile time.
+    launch_segs = [MAX_STEPS_PER_LAUNCH] * (
+        keep_every // MAX_STEPS_PER_LAUNCH)
+    if keep_every % MAX_STEPS_PER_LAUNCH:
+        launch_segs.append(keep_every % MAX_STEPS_PER_LAUNCH)
+
+    def thinned_multistep(carry, _):
+        for seg in launch_segs:  # static: unrolled at trace time
+            carry, cost = _multistep_launch(carry, seg)
+        out = (unpack_fused(carry[0], h, n_inputs)
+               if collect_positions else None)
+        return carry, (out, cost)
 
     (theta, v, xi, _, step), (positions, costs) = jax.lax.scan(
         thinned_multistep if multistep else thinned,
@@ -1504,9 +1544,28 @@ def burnin_chain_fused(
     """
     if int(n_steps) < 1:
         return states
-    if noise_impl == "auto":
-        # measured-fastest generator (docs/performance.md "MXU-CLT noise")
-        noise_impl = "box_muller" if pair_dots else "hadamard_clt"
+    noise_impl = resolve_noise_impl(noise_impl, pair_dots)
+    if int(n_steps) > MAX_STEPS_PER_LAUNCH:
+        # The per-step eps table lives in SMEM as a (n_steps, 128-lane)
+        # f32 row per step (ops/fused_step._per_step_table): one launch
+        # covering a full 3000-step burn-in needs 1.5 MB of the chip's
+        # 1 MiB SMEM and fails AOT compilation.  Chunk into bounded
+        # launches; seeds/schedules stay exact because every launch is
+        # keyed on (base_seed + states.step) and evaluates the schedule
+        # from the advanced step counter, the same contract consecutive
+        # sampling-phase launches already rely on.
+        n_left = int(n_steps)
+        while n_left > 0:
+            seg = min(n_left, MAX_STEPS_PER_LAUNCH)
+            key, sub = jax.random.split(key)
+            states = burnin_chain_fused(
+                sampler, states, sub, seg, x, y, batch_size=batch_size,
+                block_chains=block_chains, state_dtype=state_dtype,
+                mesh=mesh, axis_name=axis_name, pair_dots=pair_dots,
+                noise_impl=noise_impl, interpret=interpret,
+            )
+            n_left -= seg
+        return states
     if mesh is not None:
         from pysgmcmc_tpu.parallel.mesh import CHAIN_AXIS
 

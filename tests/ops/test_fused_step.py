@@ -1202,10 +1202,15 @@ def test_multistep_sampling_matches_pytree(kind):
 
     ref = jax.vmap(ref_steps)(states)
 
+    # Pin noise_impl: this A/B's premise is "interpret-mode zero bits =>
+    # zero noise", true for Box-Muller but not the CLT generator (whose
+    # zero-bit output is -sqrt(12n)/2 on lane 0 — see
+    # test_normal_clt_zero_bit_value), and "auto" resolves to the CLT.
     out, pos, costs = sample_chain_fused(
         sampler, states, jax.random.PRNGKey(2), 1, x, y,
         batch_size=20, keep_every=k_steps, block_chains=n,
-        state_dtype=jnp.float32, multistep=True, interpret=True)
+        state_dtype=jnp.float32, multistep=True,
+        noise_impl="box_muller", interpret=True)
 
     assert np.isfinite(np.asarray(costs)).all()
     for key in ref.position:
@@ -1280,10 +1285,14 @@ def test_multistep_single_window_selects_the_data():
         return state, cost
 
     ref, ref_cost = jax.vmap(ref_steps)(states)
+    # box_muller: the zero-noise interpret-mode premise (see
+    # test_multistep_sampling_matches_pytree) does not hold for the CLT
+    # generator that "auto" resolves to
     out, _, costs = sample_chain_fused(
         sampler, states, jax.random.PRNGKey(2), 1, x, y,
         batch_size=20, keep_every=k_steps, block_chains=n,
-        state_dtype=jnp.float32, multistep=True, interpret=True)
+        state_dtype=jnp.float32, multistep=True,
+        noise_impl="box_muller", interpret=True)
 
     # the final-step cost is evaluated on the REAL batch: a mis-gathered
     # (zeroed) batch moves it at O(1), far outside the bf16 slack
@@ -1354,10 +1363,13 @@ def test_multistep_cyclical_schedule_matches_pytree():
         return state
 
     ref = jax.vmap(ref_steps)(states)
+    # box_muller: zero-bit PRNG => zero noise holds only for this
+    # generator (not the "auto"-default CLT)
     out, _, costs = sample_chain_fused(
         sampler, states, jax.random.PRNGKey(2), 1, x, y,
         batch_size=20, keep_every=k_steps, block_chains=n,
-        state_dtype=jnp.float32, multistep=True, interpret=True)
+        state_dtype=jnp.float32, multistep=True,
+        noise_impl="box_muller", interpret=True)
 
     assert np.isfinite(np.asarray(costs)).all()
     # sanity: the schedule really varies inside the segment
@@ -1437,11 +1449,16 @@ def test_multistep_paired_matches_unpaired(kind):
 
     runs = {}
     for paired in (False, True):
+        # Pin noise_impl on BOTH sides: pairing is a dot-formulation A/B,
+        # and "auto" resolves asymmetrically (box_muller when paired,
+        # hadamard_clt when unpaired). The CLT generator also violates
+        # this test's premise — its zero-bit output is -sqrt(12n)/2 on
+        # lane 0, not zero (see test_normal_clt_zero_bit_value).
         out, pos, costs = sample_chain_fused(
             sampler, states, jax.random.PRNGKey(2), 2, x, y,
             batch_size=20, keep_every=k_steps, block_chains=n,
             state_dtype=jnp.float32, multistep=True, pair_dots=paired,
-            interpret=True)
+            noise_impl="box_muller", interpret=True)
         runs[paired] = (out, pos, costs)
 
     out_u, pos_u, costs_u = runs[False]
@@ -1529,10 +1546,13 @@ def test_multistep_burnin_paired_matches_unpaired(kind):
 
     runs = {}
     for paired in (False, True):
+        # pin noise_impl on BOTH sides: pairing is a dot-formulation
+        # A/B, and "auto" resolves asymmetrically (box_muller when
+        # paired, hadamard_clt when unpaired)
         runs[paired] = burnin_chain_fused(
             sampler, states, jax.random.PRNGKey(2), 3, x, y,
             batch_size=20, block_chains=n, state_dtype=jnp.float32,
-            pair_dots=paired, interpret=True)
+            pair_dots=paired, noise_impl="box_muller", interpret=True)
 
     out_u, out_p = runs[False], runs[True]
     for key in out_u.position:
@@ -1760,10 +1780,13 @@ def test_multistep_depth_parity(depth):
         return state
 
     ref = jax.vmap(ref_steps)(states)
+    # box_muller: zero-bit PRNG => zero noise holds only for this
+    # generator (not the "auto"-default CLT)
     out, _, costs = sample_chain_fused(
         sampler, states, jax.random.PRNGKey(2), 1, x, y,
         batch_size=20, keep_every=k_steps, block_chains=n,
-        state_dtype=jnp.float32, multistep=True, interpret=True)
+        state_dtype=jnp.float32, multistep=True,
+        noise_impl="box_muller", interpret=True)
 
     assert np.isfinite(np.asarray(costs)).all()
     for key in ref.position:
@@ -1993,3 +2016,72 @@ def test_noise_impl_rejects_injected_noise():
             theta, v, minv, x_sel, y_sel, 0.01, 0,
             block_chains=4, state_dtype=jnp.float32, noise=noise,
             noise_impl="hadamard_clt", interpret=True)
+
+
+@pytest.mark.slow
+def test_multistep_launch_chunking_matches_single_launch(monkeypatch):
+    """Segments longer than MAX_STEPS_PER_LAUNCH chunk into bounded
+    launches that reproduce the single-launch trajectory.
+
+    The per-step SMEM schedule table costs one 128-lane f32 row per
+    step, so one launch covering a whole 3000-step burn-in asks for
+    1.5 MB of the chip's 1 MiB SMEM and fails AOT compilation (found
+    on-chip: BayesianNeuralNetwork(log_every=None) trains the full
+    burn-in as one segment).  Interpret mode draws zero noise and
+    window 0, so the chunked and unchunked runs are directly
+    comparable — shrink the bound to force chunking and pin both the
+    sampling and burn-in drivers against their one-launch outputs.
+    """
+    from pysgmcmc_tpu.parallel import packed
+    from pysgmcmc_tpu.parallel.packed import (
+        burnin_chain_fused,
+        sample_chain_fused,
+    )
+
+    n, k_steps = 2, 6
+    sampler, positions, _ = _workload(n)
+    rng = np.random.RandomState(0)
+    x = rng.uniform(0.0, 1.0, (100, 1)).astype(np.float32)
+    from pysgmcmc_tpu.diagnostics.objective_functions import sinc
+
+    y = np.asarray(sinc(x), np.float32)
+    states = jax.vmap(sampler.init)(
+        positions, jax.random.split(jax.random.PRNGKey(1), n))
+
+    def run_both(fn):
+        out = {}
+        for bound in (packed.MAX_STEPS_PER_LAUNCH, 2):
+            monkeypatch.setattr(packed, "MAX_STEPS_PER_LAUNCH", bound)
+            out[bound] = fn()
+        return out[packed.MAX_STEPS_PER_LAUNCH], out[2]
+
+    # burn-in driver: 6 steps in one launch vs 3 launches of 2
+    single_b, chunked_b = run_both(lambda: burnin_chain_fused(
+        sampler, states, jax.random.PRNGKey(2), k_steps, x, y,
+        batch_size=20, block_chains=n, state_dtype=jnp.float32,
+        noise_impl="box_muller", interpret=True))
+    assert int(np.asarray(chunked_b.step)[0]) == k_steps
+    for key in single_b.position:
+        np.testing.assert_array_equal(
+            np.asarray(single_b.position[key]),
+            np.asarray(chunked_b.position[key]),
+            err_msg="burn-in position " + key)
+        np.testing.assert_array_equal(
+            np.asarray(single_b.stats.v_hat[key]),
+            np.asarray(chunked_b.stats.v_hat[key]),
+            err_msg="burn-in v_hat " + key)
+
+    # sampling driver: keep_every=6 in one launch vs 3 launches of 2
+    single, chunked = run_both(lambda: sample_chain_fused(
+        sampler, single_b, jax.random.PRNGKey(3), 1, x, y,
+        batch_size=20, keep_every=k_steps, block_chains=n,
+        state_dtype=jnp.float32, multistep=True,
+        noise_impl="box_muller", interpret=True))
+    for key in single[0].position:
+        np.testing.assert_array_equal(
+            np.asarray(single[0].position[key]),
+            np.asarray(chunked[0].position[key]),
+            err_msg="sampling position " + key)
+    np.testing.assert_array_equal(
+        np.asarray(single[2]), np.asarray(chunked[2]),
+        err_msg="final-step costs")
