@@ -38,6 +38,7 @@ examples:
 docs:
 	PYTHONPATH=. JAX_PLATFORMS=cpu python docs/gen_api_docs.py
 	PYTHONPATH=. JAX_PLATFORMS=cpu python docs/gen_getting_started.py
+	PYTHONPATH=. JAX_PLATFORMS=cpu python docs/gen_notebooks.py
 
 # Result figures (the analog of the reference's executed-notebook plots:
 # ESS-vs-stepsize curves and the RSGHMC banana reproduction), rendered
