@@ -206,7 +206,9 @@ def main():
                 "metric": "SGHMC sampling-phase update-steps/sec/chip "
                           "(8192-chain 3x50 BNN, flash-SGHMC multi-step "
                           "Pallas kernel: 200 steps/launch VMEM-resident, "
-                          "in-kernel batch selection + full-width noise, "
+                          "in-kernel batch selection + MXU-CLT Hadamard "
+                          "noise (Irwin-Hall n=64/128, the noise_impl='auto' "
+                          "default since r4; box_muller available), "
                           "bf16 matmul + bf16 momentum/mass state, after "
                           "full 3000-step burn-in)",
                 "value": round(steps_per_sec, 1),

@@ -157,6 +157,14 @@ def main():
             if args.step_impl == "fused"
             else "samplers.base.sample_chain (vmapped pytree)"),
     }
+    if args.step_impl == "fused":
+        # provenance: the generator the default resolved to at measure
+        # time — pinned against the shipped default by
+        # tests/test_benchmark_results.py so this artifact can't go
+        # stale when the default changes
+        from pysgmcmc_tpu.parallel.packed import resolve_noise_impl
+
+        result["noise_impl"] = resolve_noise_impl("auto")
     print(json.dumps({k: result[k] for k in
                       ("metric", "mean_ess", "sampling_wall_seconds",
                        "ess_per_sec")}))

@@ -82,12 +82,17 @@ def main():
             r["depth"], r["ms_per_step"],
             r["steps_per_sec_chip"] / 1e6))
     if not smoke:
+        from pysgmcmc_tpu.parallel.packed import resolve_noise_impl
+
         with open("benchmarks/results_depth_family.json", "w") as f:
             json.dump({
                 "workload": "8192-chain dense BNN H=50, SGHMC multi-step "
                             "fused kernel, 200 steps/launch, v5e",
                 "driver": "parallel.packed.sample_chain_fused"
                           "(multistep=True)",
+                # measure-time default generator, freshness-pinned by
+                # tests/test_benchmark_results.py
+                "noise_impl": resolve_noise_impl("auto"),
                 "rows": rows,
             }, f, indent=1)
         print("wrote benchmarks/results_depth_family.json")

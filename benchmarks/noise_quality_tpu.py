@@ -16,6 +16,7 @@ Run ON THE CHIP (no JAX_PLATFORMS override):
 
 import faulthandler
 import json
+import os
 import sys
 import time
 
@@ -57,7 +58,25 @@ def main():
         print(json.dumps(row), flush=True)
         assert np.isfinite(mse), "non-finite MSE"
         assert mse < 0.01, ("posterior-quality gate FAILED", row)
-    print(json.dumps({"results": results}))
+
+    bm = next(r for r in results if r["noise_impl"] == "box_muller")
+    clt = next(r for r in results if r["noise_impl"] == "hadamard_clt")
+    assert clt["sinc_predictive_mse"] <= 2.0 * bm["sinc_predictive_mse"], (
+        "CLT posterior quality >2x worse than Box-Muller", results)
+    payload = {
+        "metric": "sinc predictive MSE, fused BNN, noise generator A/B",
+        "gate": "both < 0.01 and CLT <= 2x Box-Muller",
+        "workload": "16 chains x 96 nets, 50k iters, burn-in 3000, seed 7",
+        "driver": ("models.BayesianNeuralNetwork(step_impl='fused', "
+                   "noise_impl=...) -> parallel.packed.sample_chain_fused"),
+        "results": results,
+    }
+    out_path = os.path.join(os.path.dirname(__file__),
+                            "results_noise_quality.json")
+    with open(out_path, "w") as fh:
+        json.dump(payload, fh, indent=1)
+        fh.write("\n")
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -111,6 +111,23 @@ class BayesianNeuralNetwork(BaseModel):
     coverage at the same wall-clock; pass ``mesh`` (a
     :func:`pysgmcmc_tpu.parallel.mesh.chain_mesh`) to shard chains over
     devices.
+
+    **Injected-noise generator** (``noise_impl``, fused paths only): with
+    ``step_impl='fused'`` the default ``'auto'`` resolves to
+    ``'hadamard_clt'`` — the sampler's injected Gaussian noise is drawn
+    on the MXU as a CLT sum of fresh uniforms through a +-1 Hadamard
+    matmul (Irwin-Hall marginals, n=64/128 lanes: exact mean/covariance,
+    excess kurtosis ``-1.2/n`` ~ -0.01, bounded support ``+-sqrt(3n)`` ~
+    +-19.6 sigma) instead of Box-Muller's transcendental chain.
+    SG-MCMC's invariant-measure error depends on the injected noise only
+    through its low moments (Chen et al. 2014), so the O(1/n)
+    fourth-moment deficit sits far below the O(eps) discretization bias;
+    the on-chip posterior-quality A/B is committed at
+    ``benchmarks/results_noise_quality.json``.  Pass
+    ``noise_impl='box_muller'`` to reproduce exact-Gaussian draws (the
+    reference's ``tf.random_normal`` analog,
+    ``/root/reference/pysgmcmc/samplers/base_classes.py:199-220``); the
+    pytree/lanes step_impls always use Box-Muller-quality normals.
     """
 
     def __init__(

@@ -90,3 +90,44 @@ def test_bnn_ess_per_sec_fused_improves():
     assert fused["ess_per_sec"] > base["ess_per_sec"]
     # mixing quality is preserved (same protocol, same chain count)
     assert fused["mean_ess"] > 0.9 * base["mean_ess"]
+
+
+@pytest.mark.parametrize("name", [
+    "results_bnn_ess_per_sec_fused.json",
+    "results_depth_family.json",
+])
+def test_fused_artifacts_measured_on_shipped_default(name):
+    """Committed fused-driver artifacts must record the CURRENT default
+    noise generator.
+
+    Rounds 3 AND 4 each regenerated last round's stale headline
+    artifacts and then created new ones when the final perf commit
+    changed the shipped default; this pin breaks the cycle — changing
+    ``resolve_noise_impl``'s 'auto' resolution now fails CI until the
+    artifacts are re-measured through the new default.
+    """
+    from pysgmcmc_tpu.parallel.packed import resolve_noise_impl
+
+    result = _load(name)
+    assert "sample_chain_fused" in result["driver"], name
+    assert result.get("noise_impl") == resolve_noise_impl("auto"), (
+        "artifact {} was measured with noise_impl={!r}; the shipped "
+        "default is now {!r} — re-measure it on chip".format(
+            name, result.get("noise_impl"), resolve_noise_impl("auto")))
+
+
+def test_noise_quality_gate():
+    """The committed on-chip posterior-quality A/B must pass its gate.
+
+    The CLT generator draws a different noise distribution than
+    Box-Muller; the quality evidence is the posterior itself (matches
+    the reference's end-to-end quality discipline,
+    /root/reference/pysgmcmc/tests/bayesian_neural_network/
+    test_train_predict.py:49).
+    """
+    result = _load("results_noise_quality.json")
+    rows = {r["noise_impl"]: r["sinc_predictive_mse"]
+            for r in result["results"]}
+    assert set(rows) == {"box_muller", "hadamard_clt"}
+    assert all(0.0 < v < 0.01 for v in rows.values()), rows
+    assert rows["hadamard_clt"] <= 2.0 * rows["box_muller"], rows
