@@ -18,8 +18,10 @@ one component neutralized:
   likelihood + the window gather they consume
 - ``window``: pinned window 0 — removes the per-step PRNG draw + masked
   gather of the minibatch
-- ``noise``: constant etas — removes the uniform bits + Box-Muller
-  transcendentals (the downstream sigma*eta arithmetic remains)
+- ``noise``: constant etas — removes the whole injected-noise generator
+  (uniform bits + Box-Muller transcendentals, or uniform bits + the
+  MXU-CLT Hadamard dots under the shipped ``noise_impl='auto'`` →
+  ``hadamard_clt`` default; the downstream sigma*eta arithmetic remains)
 - ``rulemath``: plain SGD-style update — removes the EMA/mass-matrix/
   momentum chain (grads and etas stay live)
 
@@ -59,14 +61,14 @@ ABLATIONS = [
     ("full", None),
     ("no fwd/bwd (dots+tanh+loss+gather)", "fwdbwd"),
     ("pinned window (no PRNG/gather)", "window"),
-    ("constant noise (no Box-Muller)", "noise"),
+    ("constant noise (no generator)", "noise"),
     ("plain-SGD update (no EMA/minv)", "rulemath"),
     # Composites: single ablations cannot separate "component is cheap"
     # from "component overlaps another unit's critical path" (MXU dots
     # can hide under VPU noise and vice versa).  Removing both at once
     # exposes the co-issue structure; the floor is the irreducible
     # skeleton (slab load/store + loop + cost row).
-    ("no dots AND no Box-Muller", "fwdbwd+noise"),
+    ("no dots AND no noise generator", "fwdbwd+noise"),
     ("floor (skeleton only)", "fwdbwd+noise+rulemath"),
 ]
 
@@ -162,10 +164,13 @@ def main():
     results = [measure((100, 100, 100), "H=100 multi-step SGHMC")]
     if "--flagship" in sys.argv:
         results.append(measure((50, 50, 50), "H=50 multi-step SGHMC"))
+    from pysgmcmc_tpu.parallel.packed import resolve_noise_impl
+
     with open("benchmarks/results_wide_roofline.json", "w") as handle:
         json.dump({"driver":
                    "parallel.packed.sample_chain_fused(multistep=True)"
                    " with ops.fused_step._ABLATE variants",
+                   "noise_impl": resolve_noise_impl("auto"),
                    "results": results}, handle, indent=1)
     print("wrote benchmarks/results_wide_roofline.json")
 

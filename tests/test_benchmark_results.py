@@ -131,3 +131,20 @@ def test_noise_quality_gate():
     assert set(rows) == {"box_muller", "hadamard_clt"}
     assert all(0.0 < v < 0.01 for v in rows.values()), rows
     assert rows["hadamard_clt"] <= 2.0 * rows["box_muller"], rows
+
+
+def test_float64_on_chip_artifact():
+    """The committed on-chip float64 run must show real f64 execution.
+
+    SURVEY §7 hard part (c): "f64-on-TPU option" is a measured statement,
+    not an asserted one — the artifact records bitwise seed-determinism of
+    an 8-chain f64 banana run and the software-emulation cost multiplier
+    of the f64 BNN sampling scan on the chip (benchmarks/float64_tpu.py).
+    """
+    result = _load("results_float64.json")
+    banana = result["banana_f64"]
+    assert banana["dtype"] == "float64"
+    assert banana["deterministic_bitwise"] is True
+    mult = result["bnn_scan"]["f64_cost_multiplier"]
+    # emulation costs real time (>1x) but must stay usable (<100x)
+    assert 1.0 < mult < 100.0, mult
