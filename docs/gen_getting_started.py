@@ -28,6 +28,13 @@ import matplotlib
 matplotlib.use("Agg")
 import matplotlib.pyplot as plt  # noqa: E402
 
+# The axon sitecustomize re-pins JAX_PLATFORMS after import: without this
+# the executed cells run EAGER over the TPU tunnel (pathologically slow,
+# and racing any on-chip benchmark).  Force the host platform for real.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 STYLE = """
 body { font-family: -apple-system, 'Segoe UI', Roboto, sans-serif;
        max-width: 54rem; margin: 2rem auto; padding: 0 1rem;

@@ -19,6 +19,14 @@ import sys
 sys.path.insert(0, os.path.dirname(__file__))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# The env var alone is NOT enough in this environment: the axon
+# sitecustomize re-pins platforms after import, so notebook execution
+# would silently run EAGER over the TPU tunnel (pathologically slow and
+# racing any on-chip benchmark).  Force the host platform for real.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 from nbgen import run_notebook, write_notebook  # noqa: E402
 
 RELATIVISTIC_SGHMC = [
@@ -375,6 +383,207 @@ EFFECTIVE_SAMPLE_SIZES = [
 ]
 
 
+API_QUICKSTART = [
+    ("""
+     ## API quickstart
+
+     A tour of the framework surface, section for section the counterpart
+     of the reference's `docs/source/notebooks/api_quickstart.ipynb` —
+     with the TF-1 session/graph machinery replaced by pure functions:
+     a sampler is an `init/step` pair, a chain is one `jax.lax.scan`,
+     and everything composes with `jit`/`vmap`/`shard_map`.
+     """,
+     """
+     import itertools
+
+     import jax
+     import jax.numpy as jnp
+     import numpy as np
+     import matplotlib.pyplot as plt
+     """),
+    ("""
+     ### 1. Instantiating a sampler
+
+     Two ingredients (exactly as in the reference):
+
+     1. **target parameters** — here any JAX pytree (a bare array, a list
+        of arrays like the reference's `tf.Variable` list, or a nested
+        dict of weights), and
+     2. **a cost function** mapping those parameters to a scalar cost
+        (the negative log likelihood, in MCMC terms $-\\log p(\\theta)$).
+
+     Instantiate directly or through the `Sampler` enum factory
+     (`pysgmcmc_tpu.sampling.Sampler.get_sampler`, the reference's
+     reflection factory).  There is no session: `sampler.init` builds the
+     chain state, `sampler.step` advances it.
+     """,
+     """
+     from pysgmcmc_tpu import Sampler
+     from pysgmcmc_tpu.diagnostics.objective_functions import (
+         banana_log_likelihood,
+         to_negative_log_likelihood,
+     )
+
+     banana_nll = to_negative_log_likelihood(banana_log_likelihood)
+
+     sampler = Sampler.get_sampler(
+         Sampler.SGHMC, cost_fn=banana_nll,
+         stepsize_schedule=0.1, burn_in_steps=500)
+
+     state = sampler.init(jnp.zeros(2))
+     state, info = sampler.step(state, jax.random.PRNGKey(0))
+     print("one step:", np.asarray(state.position),
+           "cost", float(info.cost))
+     print("available samplers:", [s.value for s in Sampler
+                                   if Sampler.is_supported(s)])
+     """),
+    ("""
+     ### Using data minibatches
+
+     Stochastic-gradient MCMC subsamples the dataset each step.  The
+     reference feeds host-side generator batches through placeholders;
+     here `data_batches.batch_fn` builds a *pure on-device selector*
+     `key -> (x_batch, y_batch)` that the sampler draws from inside the
+     compiled chain (host generators are also supported for API parity).
+     """,
+     """
+     from pysgmcmc_tpu.data_batches import batch_fn
+     from pysgmcmc_tpu.diagnostics.objective_functions import sinc
+
+     rng = np.random.RandomState(0)
+     x_train = jnp.asarray(rng.uniform(0, 1, (100, 1)), jnp.float32)
+     y_train = jnp.asarray(np.asarray(sinc(np.asarray(x_train))),
+                           jnp.float32)
+     select_batch = batch_fn(x_train, y_train, batch_size=20)
+     xb, yb = select_batch(jax.random.PRNGKey(3))
+     print("one minibatch:", xb.shape, yb.shape)
+     """),
+    ("""
+     ### Sampler hyperparameters
+
+     Each sampler documents its update rule and hyperparameters in its
+     docstring (`help(SGHMCSampler)` for the full text); the constructor
+     surface mirrors the reference's.
+     """,
+     """
+     import inspect
+
+     from pysgmcmc_tpu.samplers.sghmc import SGHMCSampler
+
+     print("SGHMCSampler", inspect.signature(SGHMCSampler.__init__))
+     """),
+    ("""
+     ### 2. Extracting samples
+
+     The reference's iterator protocol is preserved verbatim by
+     `IterativeSampler`: `sample, cost = next(sampler)`, `itertools`
+     composition, infinite `for` loops.  Each `next` is one jitted step
+     — fine for interactive use.
+     """,
+     """
+     from pysgmcmc_tpu.samplers import IterativeSampler
+
+     # a list of parameters, exactly like the reference's tf.Variable list
+     it = IterativeSampler(
+         sampler, [jnp.zeros(()), jnp.zeros(())], key=1)
+     sample, cost = next(it)
+     print("next(sampler) ->", [float(s) for s in sample], float(cost))
+
+     samples = [s for s, _ in itertools.islice(it, 5)]
+     print("islice gave", len(samples), "samples")
+     """),
+    ("""
+     For throughput, extract a whole chain as ONE compiled program
+     instead: `sample_chain` runs the entire loop as a `jax.lax.scan`
+     on device (the difference is not cosmetic — per-`next` dispatch is
+     what limited the reference to one host round trip per step).
+     """,
+     """
+     from pysgmcmc_tpu.samplers import sample_chain
+
+     state = sampler.init(jnp.zeros(2))
+     state, positions, costs = sample_chain(
+         sampler, state, jax.random.PRNGKey(2), 3000)
+     print("chain:", positions.shape, "finite:",
+           bool(np.isfinite(np.asarray(positions)).all()))
+     """),
+    ("""
+     ### 3. Analyzing chains
+
+     Multiple chains are one `vmap` (and, on a pod slice, one
+     `shard_map` over the device mesh).  Diagnostics are native and
+     on-device — effective sample size (FFT autocovariance + Geyer
+     truncation) and the Gelman-Rubin potential scale reduction factor —
+     and any trace exports to ArviZ `InferenceData` for the wider
+     ecosystem (the modern counterpart of the reference's pymc3
+     `MultiTrace` interop).
+     """,
+     """
+     from pysgmcmc_tpu.diagnostics.sampler_diagnostics import (
+         effective_sample_size,
+         gelman_rubin,
+     )
+
+     def one_chain(key):
+         k1, k2 = jax.random.split(key)
+         st = sampler.init(jnp.zeros(2), k1)
+         _, pos, _ = sample_chain(sampler, st, k2, 3000)
+         return pos
+
+     chains = jax.vmap(one_chain)(
+         jax.random.split(jax.random.PRNGKey(4), 4))  # (4, 3000, 2)
+     kept = chains[:, 500:]
+     print("ESS  ", np.asarray(effective_sample_size(kept)).round(1))
+     print("R-hat", np.asarray(gelman_rubin(kept)).round(3))
+
+     fig, axes = plt.subplots(1, 2, figsize=(10, 3.6))
+     for c in range(kept.shape[0]):
+         axes[0].plot(np.asarray(kept[c, :, 1]), lw=0.4, alpha=0.7)
+     axes[0].set_title("trace of $\\\\theta_2$, 4 chains")
+     axes[1].hist2d(*np.asarray(kept.reshape(-1, 2)).T, bins=60,
+                    cmap="viridis")
+     axes[1].set_title("pooled banana posterior")
+     plt.tight_layout()
+     """),
+    ("""
+     ### 4. A sampler-trained Bayesian neural network
+
+     `BayesianNeuralNetwork` trains the reference's 3x50-tanh
+     heteroscedastic architecture with any of the samplers; training is
+     compiled scans (optionally thousands of parallel chains through the
+     fused Pallas kernels — `step_impl="fused"`, see `docs/intro.md`),
+     prediction is one vmap over the sampled ensemble.
+     """,
+     """
+     from pysgmcmc_tpu.models.bayesian_neural_network import (
+         BayesianNeuralNetwork,
+     )
+
+     rng = np.random.RandomState(1)
+     x = rng.uniform(0, 1, (32, 1))
+     y = np.asarray(sinc(x))
+
+     bnn = BayesianNeuralNetwork(
+         n_nets=40, burn_in_steps=1000, n_iters=3000,
+         sample_steps=50, seed=0)
+     bnn.train(x, y)
+     grid = np.linspace(0, 1, 120)[:, None]
+     mean, var = bnn.predict(grid)
+
+     plt.figure(figsize=(7.5, 4))
+     plt.plot(grid, np.asarray(sinc(grid)), "k--", lw=1, label="sinc")
+     plt.plot(x, y, "ko", ms=4, label="train data")
+     plt.plot(grid, mean, lw=1.5, label="posterior mean")
+     plt.fill_between(grid[:, 0], mean - np.sqrt(var),
+                      mean + np.sqrt(var), alpha=0.25,
+                      label="$\\\\pm\\\\sigma$")
+     plt.legend()
+     plt.title("SGHMC-trained BNN on sinc")
+     plt.tight_layout()
+     """),
+]
+
+
 def main():
     out_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         os.path.dirname(__file__), "notebooks")
@@ -382,6 +591,7 @@ def main():
     repo_root = os.path.join(os.path.dirname(__file__), "..")
     os.chdir(repo_root)  # notebooks read benchmarks/*.json relative paths
     for name, cells in [
+        ("api_quickstart", API_QUICKSTART),
         ("Relativistic_SGHMC", RELATIVISTIC_SGHMC),
         ("SVGD", SVGD),
         ("Effective_Sample_Sizes", EFFECTIVE_SAMPLE_SIZES),
