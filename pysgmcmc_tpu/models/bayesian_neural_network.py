@@ -300,14 +300,17 @@ class BayesianNeuralNetwork(BaseModel):
         # 'box_muller' (VPU transcendentals) or 'hadamard_clt' (the
         # MXU mixing generator, ops/fused_step._normal_clt; measured
         # +66%/+156% at H=50/H=100, docs/performance.md "MXU-CLT
-        # noise").  'auto' picks hadamard_clt on the fused path (the
-        # paired kernels support box_muller only).  Fused step_impl
-        # only; the pytree/lanes paths keep their own streams.
-        if noise_impl == "auto":
-            noise_impl = ("hadamard_clt"
-                          if step_impl == "fused" and not pair_dots
-                          else "box_muller")
-        if noise_impl not in ("box_muller", "hadamard_clt"):
+        # noise").  'auto' stays unresolved here: the drivers resolve it
+        # per call via parallel.packed.resolve_noise_impl, which needs
+        # the interpret flag — under interpret (CPU) 'auto' must mean
+        # Box-Muller, whose zero-PRNG-bits output is zero noise; eagerly
+        # resolving to hadamard_clt here injected its zero-bit CONSTANT
+        # (-sqrt(12n)/2 on lane 0) as a persistent per-step bias into
+        # every CPU training run.  Fused step_impl only; the
+        # pytree/lanes paths keep their own streams.
+        if noise_impl == "auto" and (step_impl != "fused" or pair_dots):
+            noise_impl = "box_muller"
+        if noise_impl not in ("auto", "box_muller", "hadamard_clt"):
             raise ValueError(
                 "noise_impl must be 'box_muller' or 'hadamard_clt'; got "
                 + repr(noise_impl))
@@ -814,9 +817,26 @@ class BayesianNeuralNetwork(BaseModel):
                     "n_chains ({}) must be divisible by the mesh size "
                     "({})".format(n_chains, mesh_size))
             local_chains = n_chains // mesh_size
+        # Larger kernel blocks amortize the per-grid-instance skeleton
+        # (k-step loop, slab residency, cost row) over more chains:
+        # measured +6% at the flagship (block 128 vs 32, H=50 —
+        # benchmarks/results_block_ab.json).  VMEM bounds the block: the
+        # depth-4 slab set at block 128 needs 113 MB against the
+        # kernels' 100 MB scoped budget (measured OOM on chip), and the
+        # wide 128-slot layout (H > 50) carries 4x the per-chain VMEM —
+        # both fall back (64 / 32 respectively).
+        from pysgmcmc_tpu.ops.fused_step import BIAS_ROW
+
+        if max(self.units) > BIAS_ROW:
+            max_block = 32
+        elif len(self.units) >= 4:
+            max_block = 64
+        else:
+            max_block = 128
         block = local_chains
-        for cand in (32, 16, 8, 4, 2, 1):
-            if local_chains % cand == 0 and cand <= local_chains:
+        for cand in (128, 64, 32, 16, 8, 4, 2, 1):
+            if cand <= max_block and local_chains % cand == 0 \
+                    and cand <= local_chains:
                 block = cand
                 break
 

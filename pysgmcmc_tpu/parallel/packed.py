@@ -72,7 +72,7 @@ from pysgmcmc_tpu.samplers.sgnht import SGNHTSampler, SGNHTState
 MAX_STEPS_PER_LAUNCH = 512
 
 
-def resolve_noise_impl(noise_impl, pair_dots=False):
+def resolve_noise_impl(noise_impl, pair_dots=False, interpret=False):
     """Resolve ``noise_impl='auto'`` to the generator a fused driver uses.
 
     The single source of truth for the shipped default: the MXU-CLT
@@ -83,9 +83,19 @@ def resolve_noise_impl(noise_impl, pair_dots=False):
     artifacts against it, so a default change can never silently leave
     headline artifacts describing a stale code path (the round-3/4
     stale-artifact cycle).
+
+    Under ``interpret=True`` (the CPU test/debug path — no TPU PRNG, all
+    random bits read as zero) ``'auto'`` resolves to Box-Muller, whose
+    zero-bit output is *zero noise*: the convention every interpret-mode
+    parity test and CPU model-training test relies on.  The CLT
+    generator's zero-bit output is the constant ``-sqrt(12n)/2`` on lane
+    0 (~-19.6 at n=128) — under interpret it would inject that as a
+    persistent per-step bias and wreck CPU training runs.  Explicitly
+    passing ``noise_impl='hadamard_clt'`` still exercises the CLT path
+    in interpret mode (the ops tests pin its zero-bit constant).
     """
     if noise_impl == "auto":
-        return "box_muller" if pair_dots else "hadamard_clt"
+        return "box_muller" if (pair_dots or interpret) else "hadamard_clt"
     return noise_impl
 
 
@@ -748,7 +758,7 @@ def sample_chain_fused(
     # 'auto' = the measured-fastest generator for the path (+66% at
     # H=50, +156% at H=100 over Box-Muller — docs/performance.md
     # "MXU-CLT noise")
-    noise_impl = resolve_noise_impl(noise_impl, pair_dots)
+    noise_impl = resolve_noise_impl(noise_impl, pair_dots, interpret)
 
     if isinstance(sampler, SGHMCSampler):
         fkind = "sghmc"
@@ -1544,7 +1554,7 @@ def burnin_chain_fused(
     """
     if int(n_steps) < 1:
         return states
-    noise_impl = resolve_noise_impl(noise_impl, pair_dots)
+    noise_impl = resolve_noise_impl(noise_impl, pair_dots, interpret)
     if int(n_steps) > MAX_STEPS_PER_LAUNCH:
         # The per-step eps table lives in SMEM as a (n_steps, 128-lane)
         # f32 row per step (ops/fused_step._per_step_table): one launch

@@ -665,3 +665,31 @@ def test_lanes_rsghmc_samples_gaussian():
     assert abs(draws.mean() - ref.mean()) < 0.15
     assert abs(draws.std() - ref.std()) < 0.25 * ref.std()
     assert int(states2.step[0]) == 200 + 400 * 5
+
+
+def test_resolve_noise_impl_rules():
+    """'auto' resolution: CLT on the real fused path, Box-Muller under
+    interpret (zero PRNG bits must mean ZERO noise — the CLT generator's
+    zero-bit output is a -sqrt(12n)/2 lane-0 constant that, eagerly
+    resolved, injected a persistent per-step bias into every CPU model
+    training run) and for the paired kernels (box_muller only)."""
+    from pysgmcmc_tpu.parallel.packed import resolve_noise_impl
+
+    assert resolve_noise_impl("auto") == "hadamard_clt"
+    assert resolve_noise_impl("auto", pair_dots=True) == "box_muller"
+    assert resolve_noise_impl("auto", interpret=True) == "box_muller"
+    assert resolve_noise_impl("box_muller") == "box_muller"
+    assert resolve_noise_impl("hadamard_clt", interpret=True) == \
+        "hadamard_clt"
+
+
+def test_model_keeps_noise_impl_unresolved():
+    """The model must NOT resolve 'auto' at construction: the drivers
+    resolve per call with the interpret flag (regression: bc9b8ee)."""
+    from pysgmcmc_tpu.models.bayesian_neural_network import (
+        BayesianNeuralNetwork,
+    )
+
+    bnn = BayesianNeuralNetwork(network="dense", step_impl="fused")
+    assert bnn.noise_impl == "auto"
+    assert BayesianNeuralNetwork().noise_impl == "box_muller"
