@@ -46,9 +46,15 @@ def default_network(n_inputs, units=(50, 50, 50), dtype=jnp.float32):
         for i, (fan_in, fan_out) in enumerate(
             zip(layer_sizes[:-1], layer_sizes[1:])
         ):
+            # f64 draws go through f32: the truncated-normal sampler's
+            # nextafter lowers to an s64 bitcast that TPU's x64 rewrite
+            # does not implement (init randomness needs no extra
+            # mantissa; the cast is exact)
+            draw_dtype = (
+                jnp.float32 if jnp.dtype(dtype).itemsize > 4 else dtype)
             params["w{}".format(i + 1)] = he_normal(
-                keys[i], (fan_in, fan_out), dtype
-            )
+                keys[i], (fan_in, fan_out), draw_dtype
+            ).astype(dtype)
             params["b{}".format(i + 1)] = jnp.zeros((fan_out,), dtype)
         params["log_variance_bias"] = jnp.full(
             (1, 1), np.log(1e-3), dtype=dtype
