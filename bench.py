@@ -170,7 +170,10 @@ def main():
             sampler, states, key, 1, x_data, y_data,
             batch_size=20,
             keep_every=scan_steps,
-            block_chains=32,
+            # 128-chain blocks amortize the per-instance skeleton:
+            # 1.843 vs 1.957 ms/step at block 32
+            # (benchmarks/results_block_ab.json)
+            block_chains=128,
             state_dtype=jnp.bfloat16,
             collect_positions=False,
             multistep=True,

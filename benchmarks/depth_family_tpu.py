@@ -49,7 +49,10 @@ def measure(depth, n_chains, scan_steps, interpret=False):
     def f(states, key):
         states, _, costs = sample_chain_fused(
             sampler, states, key, 1, x, y, batch_size=20,
-            keep_every=scan_steps, block_chains=min(32, n_chains),
+            # depth 4's slab set OOMs the 100 MB scoped VMEM at block
+            # 128 (113 MB measured); it runs at 64
+            keep_every=scan_steps,
+            block_chains=min(128 if depth <= 3 else 64, n_chains),
             state_dtype=jnp.bfloat16, collect_positions=False,
             multistep=True, interpret=interpret)
         return states, costs
