@@ -202,6 +202,14 @@ def _block_etas(c, s=None, bias_row=None, n_mats=2, hmats=None):
 
 
 S = 64        # per-chain matrix slot (both dims); fits H = 50
+
+# Scoped VMEM budget for the whole-step kernels.  v5e has 128 MB of
+# physical VMEM; the compiler's default 16 MB scoped budget is too tight
+# for the double-buffered state slabs plus dot temporaries at useful
+# block sizes.  100 MB admits the flagship (depth 3, H=50) at 128-chain
+# blocks; the depth-4 slab set needs 113 MB there and runs at block 64
+# instead (measured OOM — benchmarks/results_block_ab.json context).
+VMEM_LIMIT_BYTES = 100 * 1024 * 1024
 B_PAD = 24    # padded batch rows (B = 20)
 BIAS_ROW = 50  # biases ride row 50 of their weight matrix (ones-lane trick)
 VEC_ROWS = 8  # [w1 (n_inputs rows), b1, w4, (b4, lvb), 0...]
@@ -1927,7 +1935,7 @@ def _family_call(rule, kernel, theta, aux, xi, minv, data_ops, data_specs,
         # scoped budget is too tight for the double-buffered state slabs
         # plus the kernel's dot temporaries at useful block sizes
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
         interpret=interpreter,
     )(int_scalars, float_scalars, *operands)
     theta_new = tuple(outs[0:n_group])
@@ -2902,7 +2910,7 @@ def fused_bnn_multistep_burnin(
         out_shape=out_shape,
         input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
         interpret=interpreter,
     )(int_scalars, float_scalars, *operands)
     groups = [tuple(outs[i * n_group:(i + 1) * n_group])
@@ -2999,7 +3007,7 @@ def fused_bnn_multistep_burnin_sgld(
         out_shape=out_shape,
         input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
         interpret=interpreter,
     )(int_scalars, float_scalars, *operands)
     groups = [tuple(outs[i * n_group:(i + 1) * n_group])
