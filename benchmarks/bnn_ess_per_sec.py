@@ -115,7 +115,10 @@ def main():
                 return state
 
             states = jax.vmap(burn_one)(chain_keys)
-            block = 32 if args.n_chains % 32 == 0 else args.n_chains
+            # 128-chain blocks amortize the per-instance skeleton
+            # (benchmarks/results_block_ab.json)
+            block = next((b for b in (128, 32)
+                          if args.n_chains % b == 0), args.n_chains)
             # multi-step kernel: each keep_every-step thinning segment is
             # ONE VMEM-resident launch (the round-3+ fast path; the
             # round-2 artifact was measured per-step)
