@@ -1,0 +1,123 @@
+"""Serving throughput: ensemble predict on a trained flagship BNN.
+
+The reference serves predictions one ``session.run`` per ensemble member
+(``/root/reference/pysgmcmc/models/bayesian_neural_network.py:602-606``)
+— E host round trips per query batch.  Here the whole E-member ensemble
+forward is ONE jitted batched program (``vmap`` over the stacked
+posterior pytree), and ``predict(compute_dtype=jnp.bfloat16)`` adds a
+serving fast path: MXU-native bf16 matmuls with the predictive
+mean/variance reduction kept in f32.
+
+This measures the steady-state serving rate of the jitted ensemble
+forward (device-resident inputs, ``block_until_ready``) for f32 vs bf16
+over a query-batch sweep, and gates the bf16 path's quality: its
+predictive-mean deviation from the f32 ensemble must sit well below the
+posterior ensemble's own predictive spread (the model's stated
+uncertainty — deviations far under it are statistically invisible).
+
+Run ON THE CHIP:
+    PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/predict_throughput_tpu.py
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+
+from pysgmcmc_tpu.diagnostics.objective_functions import sinc
+from pysgmcmc_tpu.models.bayesian_neural_network import BayesianNeuralNetwork
+
+E = 100  # ensemble size — the reference's n_nets default
+BATCHES = (1024, 16384, 131072)
+
+
+def main():
+    rng = np.random.RandomState(0)
+    x = rng.uniform(0.0, 1.0, (100, 1))
+    y = np.asarray(sinc(x))
+
+    # the shipped default fast path (fused kernels, CLT noise), shortened
+    # schedule — predict throughput is weight-value independent; the real
+    # posterior matters only for the quality A/B's predictive spread
+    bnn = BayesianNeuralNetwork(
+        n_nets=E, n_chains=20, n_iters=10_000, burn_in_steps=3_000,
+        sample_steps=100, step_impl="fused", network="dense", seed=1,
+    )
+    t0 = time.time()
+    bnn.train(x, y)
+    train_s = time.time() - t0
+
+    # quality A/B on a dense grid
+    x_grid = np.linspace(0.0, 1.0, 1024).reshape(-1, 1)
+    m32, v32 = bnn.predict(x_grid)
+    mbf, _ = bnn.predict(x_grid, compute_dtype=jnp.bfloat16)
+    spread = float(np.sqrt(np.mean(v32)))
+    max_dev = float(np.max(np.abs(m32 - mbf)))
+    mean_dev = float(np.mean(np.abs(m32 - mbf)))
+    assert max_dev < 0.5 * spread and mean_dev < 0.1 * spread, (
+        "bf16 serving deviates beyond the ensemble's own spread: "
+        "max %.4g mean %.4g spread %.4g" % (max_dev, mean_dev, spread)
+    )
+
+    rows = []
+    for batch in BATCHES:
+        xq = jnp.asarray(
+            np.random.RandomState(1).uniform(0.0, 1.0, (batch, 1)),
+            jnp.float32)
+        for name, fn, xdev in (
+            ("float32", bnn._ensemble_fn, xq),
+            ("bfloat16", bnn._serving_fn(jnp.bfloat16),
+             xq.astype(jnp.bfloat16)),
+        ):
+            out = fn(bnn.samples, xdev)
+            jax.block_until_ready(out)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                out = fn(bnn.samples, xdev)
+                jax.block_until_ready(out)
+                best = min(best, time.perf_counter() - t0)
+            rows.append({
+                "compute_dtype": name,
+                "batch": batch,
+                "ms": round(best * 1e3, 4),
+                "queries_per_sec": int(batch / best),
+                "member_evals_per_sec": int(E * batch / best),
+            })
+            print("B=%6d %-8s %.3f ms  %.3g queries/s" % (
+                batch, name, best * 1e3, batch / best), flush=True)
+
+    result = {
+        "workload": "100-member flagship BNN ensemble predict (3x50 tanh "
+                    "heteroscedastic, 1-D sinc posterior), device-resident "
+                    "query batches",
+        "driver": "models.bayesian_neural_network.BayesianNeuralNetwork"
+                  ".predict / _serving_fn(compute_dtype)",
+        "device": str(jax.devices()[0]),
+        "train_s": round(train_s, 1),
+        "quality": {
+            "predictive_spread_sd": round(spread, 6),
+            "bf16_max_abs_mean_dev": round(max_dev, 6),
+            "bf16_mean_abs_mean_dev": round(mean_dev, 6),
+        },
+        "rows": rows,
+    }
+    out_path = os.path.join(os.path.dirname(__file__),
+                            "results_predict_throughput.json")
+    with open(out_path, "w") as handle:
+        json.dump(result, handle, indent=1)
+    print(json.dumps({"metric": "ensemble predict member-evals/sec, "
+                                "bf16 serving path, largest batch",
+                      "value": rows[-1]["member_evals_per_sec"],
+                      "unit": "evals/sec"}))
+
+
+if __name__ == "__main__":
+    main()

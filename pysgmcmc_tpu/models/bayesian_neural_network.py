@@ -333,6 +333,7 @@ class BayesianNeuralNetwork(BaseModel):
 
         self.samples = None  # stacked pytree, leading axis n_nets
         self.is_trained = False
+        self._serving_fns = {}  # predict(compute_dtype=...) jit cache
 
     #  Likelihood ------------------------------------------------------------
 
@@ -447,6 +448,10 @@ class BayesianNeuralNetwork(BaseModel):
         self._ensemble_fn = jax.jit(
             jax.vmap(apply_fn, in_axes=(0, None))
         )
+        # serving fast paths (predict(compute_dtype=...)) are rebuilt lazily
+        # against the trained architecture — drop any stale ones
+        self._n_inputs = n_inputs
+        self._serving_fns = {}
 
         def cost_fn(params, batch):
             x_batch, y_batch = batch
@@ -1166,12 +1171,58 @@ class BayesianNeuralNetwork(BaseModel):
         """Forward pass of one weight sample (cf. ``:535-557``)."""
         return self._apply_fn(params, jnp.asarray(input_data, self.dtype))
 
+    def _serving_fn(self, compute_dtype):
+        """Jitted ensemble forward in ``compute_dtype`` (serving fast path).
+
+        Rebuilds the trained built-in architecture at the requested compute
+        precision and casts the posterior-sample pytree per call (the cast is
+        ~E x n_params elements — negligible against the batched forward).
+        The predictive mean/variance reduction stays in float32: outputs are
+        upcast in-device before leaving the jit.
+        """
+        key = jnp.dtype(compute_dtype).name
+        if key not in self._serving_fns:
+            if self.get_net is not None:
+                raise ValueError(
+                    "predict(compute_dtype=...) supports the built-in "
+                    "architectures only (get_net is custom; its apply "
+                    "closes over its own precision)"
+                )
+            if self.network == "dense":
+                from pysgmcmc_tpu.models.architectures import dense_network
+
+                _, apply_cd = dense_network(
+                    self._n_inputs, units=self.units, dtype=compute_dtype)
+            else:
+                _, apply_cd = default_network(
+                    self._n_inputs, units=self.units, dtype=compute_dtype)
+
+            def ensemble(samples, x):
+                cast = jax.tree_util.tree_map(
+                    lambda leaf: leaf.astype(compute_dtype), samples
+                )
+                out = jax.vmap(apply_cd, in_axes=(0, None))(cast, x)
+                return out.astype(jnp.float32)
+
+            self._serving_fns[key] = jax.jit(ensemble)
+        return self._serving_fns[key]
+
     @BaseModel._check_shapes_predict
-    def predict(self, X_test, return_individual_predictions=False, *args, **kwargs):
+    def predict(self, X_test, return_individual_predictions=False,
+                compute_dtype=None, *args, **kwargs):
         """Ensemble predictive mean and variance at ``X_test``.
 
         One ``vmap`` over the stacked posterior samples replaces the
         reference's per-member ``session.run`` loop (``:602-606``).
+
+        ``compute_dtype`` selects a serving fast path: the ensemble forward
+        runs at that precision (e.g. ``jnp.bfloat16`` — MXU-native matmuls,
+        half the HBM traffic) while the mean/variance reduction stays in
+        float32.  Measured on a v5e chip the bf16 path serves the 100-member
+        flagship ensemble ~2x faster at large batch with predictive-mean
+        error far below the posterior ensemble's own spread
+        (``benchmarks/results_predict_throughput.json``).  Default ``None``
+        keeps the model's training precision end to end.
         """
         if not self.is_trained:
             raise ValueError(
@@ -1185,9 +1236,17 @@ class BayesianNeuralNetwork(BaseModel):
             x_test, _, _ = zero_mean_unit_var_normalization(
                 x_test, self.x_mean, self.x_std
             )
-        x_dev = jnp.asarray(x_test, self.dtype)
 
-        outputs = self._ensemble_fn(self.samples, x_dev)
+        if compute_dtype is not None and (
+            jnp.dtype(compute_dtype) != jnp.dtype(self.dtype)
+        ):
+            ensemble_fn = self._serving_fn(compute_dtype)
+            x_dev = jnp.asarray(x_test, compute_dtype)
+        else:
+            ensemble_fn = self._ensemble_fn
+            x_dev = jnp.asarray(x_test, self.dtype)
+
+        outputs = ensemble_fn(self.samples, x_dev)
         f_out = np.asarray(outputs[:, :, 0])
         theta_noise = np.exp(np.asarray(outputs[:, :, 1]))
 

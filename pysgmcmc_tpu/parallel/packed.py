@@ -71,6 +71,44 @@ from pysgmcmc_tpu.samplers.sgnht import SGNHTSampler, SGNHTState
 # 3000-step burn-in in one launch) chunk at this bound.
 MAX_STEPS_PER_LAUNCH = 512
 
+# Smallest chain count the fused kernels compile for on real TPUs: Mosaic
+# rejects sub-sublane (esp. 1-row) chain blocks with "Not implemented:
+# Offset change" on the per-chain cost reduction (measured on v5e; 4 rows
+# compile, 1 does not — 8 is the f32 sublane tile and a safe floor).  The
+# fused drivers transparently pad smaller chain counts up to this and
+# slice the results back.
+MIN_FUSED_CHAINS = 8
+
+
+def _pad_chain_axis(tree, n_chains, n_to):
+    """Pad every per-chain leaf (leading axis ``n_chains``) to ``n_to``
+    chains by replicating the last chain.  Padded chains are discarded by
+    :func:`_slice_chain_axis`; real chains compute independently (the
+    kernels' per-chain PRNG streams are keyed by absolute chain index,
+    which padding-at-the-end does not shift)."""
+
+    def pad(leaf):
+        leaf = jnp.asarray(leaf)
+        if leaf.ndim >= 1 and leaf.shape[0] == n_chains:
+            tail = jnp.broadcast_to(
+                leaf[-1:], (n_to - n_chains,) + leaf.shape[1:])
+            return jnp.concatenate([leaf, tail], axis=0)
+        return leaf
+
+    return jax.tree_util.tree_map(pad, tree)
+
+
+def _slice_chain_axis(tree, n_from, n_chains):
+    """Inverse of :func:`_pad_chain_axis`: keep the first ``n_chains``
+    rows of every leaf whose leading axis is ``n_from``."""
+
+    def take(leaf):
+        if jnp.ndim(leaf) >= 1 and jnp.shape(leaf)[0] == n_from:
+            return leaf[:n_chains]
+        return leaf
+
+    return jax.tree_util.tree_map(take, tree)
+
 
 def resolve_noise_impl(noise_impl, pair_dots=False, interpret=False):
     """Resolve ``noise_impl='auto'`` to the generator a fused driver uses.
@@ -780,6 +818,26 @@ def sample_chain_fused(
     n_chains = states.position["w2"].shape[0]
     w1 = states.position["w1"]
     n_inputs = 1 if w1.ndim == 2 else w1.shape[1]
+    if n_chains < MIN_FUSED_CHAINS:
+        # Mosaic rejects 1-row chain blocks on real TPUs ("Not
+        # implemented: Offset change" on the per-chain cost reduction);
+        # pad the chain axis to the sublane minimum and slice back.
+        # Real chains are bit-identical: in-kernel PRNG streams are
+        # chain-index keyed, and the host-side window draw is
+        # prefix-stable under a longer draw shape (threefry counters).
+        new_states, positions, costs = sample_chain_fused(
+            sampler, _pad_chain_axis(states, n_chains, MIN_FUSED_CHAINS),
+            key, n_samples, x, y, batch_size=batch_size,
+            keep_every=keep_every, block_chains=block_chains,
+            state_dtype=state_dtype, collect_positions=collect_positions,
+            multistep=multistep, pair_dots=pair_dots,
+            noise_impl=noise_impl, interpret=interpret)
+        new_states = _slice_chain_axis(
+            new_states, MIN_FUSED_CHAINS, n_chains)
+        if positions is not None:
+            positions = jax.tree_util.tree_map(
+                lambda l: l[:n_chains], positions)
+        return new_states, positions, costs[:n_chains]
     n_data = jnp.asarray(x).shape[0]
     x_win, y_win = data_windows(x, y, batch_size)
     n_windows = x_win.shape[0]
@@ -1613,6 +1671,16 @@ def burnin_chain_fused(
     n_chains = states.position["w2"].shape[0]
     w1 = states.position["w1"]
     n_inputs = 1 if w1.ndim == 2 else w1.shape[1]
+    if n_chains < MIN_FUSED_CHAINS:
+        # see sample_chain_fused: 1-row chain blocks fail Mosaic
+        # compilation on real TPUs; pad to the sublane minimum
+        new_states = burnin_chain_fused(
+            sampler, _pad_chain_axis(states, n_chains, MIN_FUSED_CHAINS),
+            key, n_steps, x, y, batch_size=batch_size,
+            block_chains=block_chains, state_dtype=state_dtype,
+            pair_dots=pair_dots, noise_impl=noise_impl,
+            interpret=interpret)
+        return _slice_chain_axis(new_states, MIN_FUSED_CHAINS, n_chains)
     n_data = jnp.asarray(x).shape[0]
     x_win, y_win = data_windows(x, y, batch_size)
     block = min(block_chains, n_chains)

@@ -2085,3 +2085,87 @@ def test_multistep_launch_chunking_matches_single_launch(monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(single[2]), np.asarray(chunked[2]),
         err_msg="final-step costs")
+
+
+@pytest.mark.slow
+def test_small_chain_pad_guard_bitwise():
+    """n_chains < MIN_FUSED_CHAINS pads transparently and bit-exactly.
+
+    Mosaic rejects 1-row chain blocks on real TPUs ("Not implemented:
+    Offset change" on the per-chain cost reduction — found when
+    ``BayesianNeuralNetwork(step_impl='fused')`` with the default
+    ``n_chains=1`` failed to compile on a v5e while every CPU test
+    passed).  The fused drivers now pad the chain axis to the sublane
+    minimum and slice back; this pins the guard's correctness claim:
+    the real chains of a padded run are BITWISE the first chains of the
+    equivalent explicitly-padded MIN_FUSED_CHAINS-chain run (per-chain
+    PRNG streams are chain-index keyed; the host-side window draw is
+    prefix-stable).
+    """
+    from pysgmcmc_tpu.diagnostics.objective_functions import sinc
+    from pysgmcmc_tpu.parallel.packed import (
+        MIN_FUSED_CHAINS,
+        _pad_chain_axis,
+        burnin_chain_fused,
+        sample_chain_fused,
+    )
+
+    n = 2
+    sampler, positions, _ = _workload(MIN_FUSED_CHAINS)
+    pos2 = jax.tree_util.tree_map(lambda l: l[:n], positions)
+    rng = np.random.RandomState(0)
+    x = rng.uniform(0.0, 1.0, (100, 1)).astype(np.float32)
+    y = np.asarray(sinc(x), np.float32)
+
+    states2 = jax.vmap(sampler.init)(
+        pos2, jax.random.split(jax.random.PRNGKey(0), n))
+    states8 = _pad_chain_axis(states2, n, MIN_FUSED_CHAINS)
+
+    b2 = burnin_chain_fused(
+        sampler, states2, jax.random.PRNGKey(1), 20, x, y,
+        batch_size=20, interpret=True)
+    b8 = burnin_chain_fused(
+        sampler, states8, jax.random.PRNGKey(1), 20, x, y,
+        batch_size=20, interpret=True)
+    for name, l2, l8 in zip(
+        range(10**9),
+        jax.tree_util.tree_leaves(b2),
+        jax.tree_util.tree_leaves(b8),
+    ):
+        l8s = np.asarray(l8)
+        if np.ndim(l8s) >= 1 and l8s.shape[0] == MIN_FUSED_CHAINS:
+            l8s = l8s[:n]
+        np.testing.assert_array_equal(
+            np.asarray(l2), l8s, err_msg="burn-in leaf {}".format(name))
+
+    for multistep in (False, True):
+        s2, p2, c2 = sample_chain_fused(
+            sampler, b2, jax.random.PRNGKey(2), 3, x, y,
+            batch_size=20, keep_every=2, multistep=multistep,
+            interpret=True)
+        s8, p8, c8 = sample_chain_fused(
+            sampler, b8, jax.random.PRNGKey(2), 3, x, y,
+            batch_size=20, keep_every=2, multistep=multistep,
+            interpret=True)
+        assert c2.shape == (n, 3)
+        np.testing.assert_array_equal(
+            np.asarray(c2), np.asarray(c8)[:n],
+            err_msg="costs multistep={}".format(multistep))
+        for key in p2:
+            np.testing.assert_array_equal(
+                np.asarray(p2[key]), np.asarray(p8[key])[:n],
+                err_msg="positions {} multistep={}".format(key, multistep))
+
+    # n_chains=1 (the reported config) runs end to end
+    pos1 = jax.tree_util.tree_map(lambda l: l[:1], positions)
+    states1 = jax.vmap(sampler.init)(
+        pos1, jax.random.split(jax.random.PRNGKey(0), 1))
+    b1 = burnin_chain_fused(
+        sampler, states1, jax.random.PRNGKey(1), 5, x, y,
+        batch_size=20, interpret=True)
+    s1, p1, c1 = sample_chain_fused(
+        sampler, b1, jax.random.PRNGKey(2), 2, x, y,
+        batch_size=20, multistep=True, interpret=True)
+    assert c1.shape == (1, 2)
+    assert np.isfinite(np.asarray(c1)).all()
+    assert p1["w2"].shape[0] == 1
