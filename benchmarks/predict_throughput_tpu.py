@@ -66,24 +66,36 @@ def main():
         "max %.4g mean %.4g spread %.4g" % (max_dev, mean_dev, spread)
     )
 
+    # Steady-state rate: K query batches served inside ONE jitted scan —
+    # a single dispatch amortizes the host->tunnel launch latency (~25 ms
+    # per call in this environment), which otherwise dominates and hides
+    # the actual on-device serving rate.
+    K = 16
     rows = []
     for batch in BATCHES:
-        xq = jnp.asarray(
-            np.random.RandomState(1).uniform(0.0, 1.0, (batch, 1)),
+        xs = jnp.asarray(
+            np.random.RandomState(1).uniform(0.0, 1.0, (K, batch, 1)),
             jnp.float32)
         for name, fn, xdev in (
-            ("float32", bnn._ensemble_fn, xq),
+            ("float32", bnn._ensemble_fn, xs),
             ("bfloat16", bnn._serving_fn(jnp.bfloat16),
-             xq.astype(jnp.bfloat16)),
+             xs.astype(jnp.bfloat16)),
         ):
-            out = fn(bnn.samples, xdev)
+            @jax.jit
+            def serve_k(samples, xs, _fn=fn):
+                def one(acc, x):
+                    out = _fn(samples, x)
+                    return acc + jnp.sum(out[:, :, 0]), None
+                total, _ = jax.lax.scan(one, jnp.float32(0.0), xs)
+                return total
+            out = serve_k(bnn.samples, xdev)
             jax.block_until_ready(out)
             best = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
-                out = fn(bnn.samples, xdev)
+                out = serve_k(bnn.samples, xdev)
                 jax.block_until_ready(out)
-                best = min(best, time.perf_counter() - t0)
+                best = min(best, (time.perf_counter() - t0) / K)
             rows.append({
                 "compute_dtype": name,
                 "batch": batch,
@@ -101,6 +113,8 @@ def main():
         "driver": "models.bayesian_neural_network.BayesianNeuralNetwork"
                   ".predict / _serving_fn(compute_dtype)",
         "device": str(jax.devices()[0]),
+        "protocol": {"ensemble": E, "k_batches_per_dispatch": K,
+                     "timing": "best of 3, per-batch = dispatch/K"},
         "train_s": round(train_s, 1),
         "quality": {
             "predictive_spread_sd": round(spread, 6),

@@ -1217,12 +1217,15 @@ class BayesianNeuralNetwork(BaseModel):
 
         ``compute_dtype`` selects a serving fast path: the ensemble forward
         runs at that precision (e.g. ``jnp.bfloat16`` — MXU-native matmuls,
-        half the HBM traffic) while the mean/variance reduction stays in
-        float32.  Measured on a v5e chip the bf16 path serves the 100-member
-        flagship ensemble ~2x faster at large batch with predictive-mean
-        error far below the posterior ensemble's own spread
-        (``benchmarks/results_predict_throughput.json``).  Default ``None``
-        keeps the model's training precision end to end.
+        half the activation traffic) while the mean/variance reduction stays
+        in float32.  Measured on a v5e chip
+        (``benchmarks/results_predict_throughput.json``): the 100-member
+        flagship ensemble serves 12.8M queries/sec steady-state at batch
+        131k; bf16 is ~27% faster at latency-relevant batch sizes (1k) and
+        at parity once the chip saturates, with mean predictive-mean
+        deviation ~4% of the ensemble's own predictive spread (statistically
+        invisible).  Default ``None`` keeps the model's training precision
+        end to end.
         """
         if not self.is_trained:
             raise ValueError(

