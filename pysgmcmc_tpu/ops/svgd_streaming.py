@@ -66,11 +66,16 @@ def _kernel(scalar_ref, x_i_ref, x_j_ref, g_j_ref, phi_ref, acc_ref):
         - 2.0 * jnp.dot(x_i, x_j.T, preferred_element_type=jnp.float32)
     )
     kernel = jnp.exp(-jnp.maximum(d2, 0.0) * inv_two_h2)  # (TI, TJ)
-    # zero out padded columns so they contribute to no reduction
-    col_ids = jnp.float32(j * tile_j) + jax.lax.broadcasted_iota(
-        jnp.float32, kernel.shape, dimension=1
+    # zero out padded columns so they contribute to no reduction.  The
+    # iota must be INTEGER-typed: tpu.iota only admits integer results
+    # (an f32 broadcasted_iota used to lower via an implicit cast and
+    # now fails Mosaic verification), so compare in int32 and let the
+    # where() select on the bool mask.
+    col_ids = j * tile_j + jax.lax.broadcasted_iota(
+        jnp.int32, kernel.shape, dimension=1
     )
-    kernel = jnp.where(col_ids < n_valid, kernel, 0.0)
+    kernel = jnp.where(
+        col_ids.astype(jnp.float32) < n_valid, kernel, 0.0)
 
     d = x_i.shape[1]
     acc_ref[:, :d] += jnp.dot(

@@ -80,6 +80,31 @@ MAX_STEPS_PER_LAUNCH = 512
 MIN_FUSED_CHAINS = 8
 
 
+def _effective_block(block_chains, n_chains, interpret=False):
+    """The kernel grid block: caller's ``block_chains`` clamped to a
+    divisor of ``n_chains``, raised to the Mosaic floor on the compile
+    path.
+
+    Sub-sublane blocks fail TPU compilation even when ``n_chains`` is
+    large (a caller passing ``block_chains=1`` gets 1-row grid
+    instances), so when the divide-down lands below
+    :data:`MIN_FUSED_CHAINS` the block is raised to the smallest divisor
+    of ``n_chains`` at or above it — correctness over the caller's
+    tuning knob (the kernels' per-chain streams are chain-index keyed,
+    so the block size never changes unpaired trajectories).  Interpret
+    mode has no Mosaic and keeps the caller's block: the floor is purely
+    a compile-time constraint, and raising it would multiply the
+    interpret path's (already slow) per-instance work."""
+    block = min(block_chains, n_chains)
+    while n_chains % block:
+        block //= 2
+    if not interpret and block < MIN_FUSED_CHAINS <= n_chains:
+        for cand in range(MIN_FUSED_CHAINS, n_chains + 1):
+            if n_chains % cand == 0:
+                return cand
+    return block
+
+
 def _pad_chain_axis(tree, n_chains, n_to):
     """Pad every per-chain leaf (leading axis ``n_chains``) to ``n_to``
     chains by replicating the last chain.  Padded chains are discarded by
@@ -818,13 +843,15 @@ def sample_chain_fused(
     n_chains = states.position["w2"].shape[0]
     w1 = states.position["w1"]
     n_inputs = 1 if w1.ndim == 2 else w1.shape[1]
-    if n_chains < MIN_FUSED_CHAINS:
+    if n_chains < MIN_FUSED_CHAINS and not interpret:
         # Mosaic rejects 1-row chain blocks on real TPUs ("Not
         # implemented: Offset change" on the per-chain cost reduction);
         # pad the chain axis to the sublane minimum and slice back.
         # Real chains are bit-identical: in-kernel PRNG streams are
         # chain-index keyed, and the host-side window draw is
         # prefix-stable under a longer draw shape (threefry counters).
+        # Interpret mode has no Mosaic and runs unpadded (the bitwise
+        # test of the pad's safety claim compares exactly these two).
         new_states, positions, costs = sample_chain_fused(
             sampler, _pad_chain_axis(states, n_chains, MIN_FUSED_CHAINS),
             key, n_samples, x, y, batch_size=batch_size,
@@ -843,10 +870,9 @@ def sample_chain_fused(
     n_windows = x_win.shape[0]
     # clamp the grid block to a divisor of the (local) chain count, like
     # burnin_chain_fused: under a mesh this body sees only the shard's
-    # chains, which can be smaller than the caller's block_chains
-    block_chains = min(block_chains, n_chains)
-    while n_chains % block_chains:
-        block_chains //= 2
+    # chains, which can be smaller than the caller's block_chains —
+    # raised to the Mosaic sub-sublane floor where needed
+    block_chains = _effective_block(block_chains, n_chains, interpret)
 
     theta = pack_fused(states.position)
     if fkind == "sghmc":
@@ -1671,7 +1697,7 @@ def burnin_chain_fused(
     n_chains = states.position["w2"].shape[0]
     w1 = states.position["w1"]
     n_inputs = 1 if w1.ndim == 2 else w1.shape[1]
-    if n_chains < MIN_FUSED_CHAINS:
+    if n_chains < MIN_FUSED_CHAINS and not interpret:
         # see sample_chain_fused: 1-row chain blocks fail Mosaic
         # compilation on real TPUs; pad to the sublane minimum
         new_states = burnin_chain_fused(
@@ -1683,9 +1709,7 @@ def burnin_chain_fused(
         return _slice_chain_axis(new_states, MIN_FUSED_CHAINS, n_chains)
     n_data = jnp.asarray(x).shape[0]
     x_win, y_win = data_windows(x, y, batch_size)
-    block = min(block_chains, n_chains)
-    while n_chains % block:
-        block //= 2
+    block = _effective_block(block_chains, n_chains, interpret)
 
     theta = pack_fused(states.position)
     tau = pack_fused(states.stats.tau)

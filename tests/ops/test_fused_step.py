@@ -2095,12 +2095,13 @@ def test_small_chain_pad_guard_bitwise():
     Offset change" on the per-chain cost reduction — found when
     ``BayesianNeuralNetwork(step_impl='fused')`` with the default
     ``n_chains=1`` failed to compile on a v5e while every CPU test
-    passed).  The fused drivers now pad the chain axis to the sublane
-    minimum and slice back; this pins the guard's correctness claim:
-    the real chains of a padded run are BITWISE the first chains of the
-    equivalent explicitly-padded MIN_FUSED_CHAINS-chain run (per-chain
-    PRNG streams are chain-index keyed; the host-side window draw is
-    prefix-stable).
+    passed).  On the compile path the fused drivers pad the chain axis
+    to the sublane minimum and slice back (interpret mode has no Mosaic
+    and runs unpadded); this pins the claim that makes the pad safe:
+    an UNPADDED small run is BITWISE the first chains of the equivalent
+    explicitly-padded MIN_FUSED_CHAINS-chain run (per-chain PRNG streams
+    are chain-index keyed; the host-side window draw is prefix-stable
+    under a longer draw shape).
     """
     from pysgmcmc_tpu.diagnostics.objective_functions import sinc
     from pysgmcmc_tpu.parallel.packed import (

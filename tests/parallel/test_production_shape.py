@@ -56,21 +56,33 @@ def _bench_workload():
 
 
 def _run(mesh):
+    # Both phases run UNDER jax.jit, exactly like production (bench.py,
+    # the model's _train_fused): one compiled program per phase instead
+    # of op-by-op eager dispatch through the shard_map trace — which is
+    # both the shape users run and the cure for an intermittent
+    # eager-dispatch stall this test hit on a loaded single-CPU host.
     sampler, positions, x, y = _bench_workload()
     states = jax.vmap(sampler.init)(
         positions, jax.random.split(jax.random.PRNGKey(0), N_CHAINS))
     # phase 1: the full self-tuning burn-in, fused driver
-    states = burnin_chain_fused(
-        sampler, states, jax.random.PRNGKey(1), BURN_IN, x, y,
+    states = jax.jit(lambda s, k: burnin_chain_fused(
+        sampler, s, k, BURN_IN, x, y,
         batch_size=20, block_chains=2, state_dtype=jnp.float32,
-        mesh=mesh, interpret=True)
+        mesh=mesh, interpret=True))(states, jax.random.PRNGKey(1))
     # phase 2: steady-state sampling, multi-step kernel, shipped default
     # noise generator (noise_impl='auto' -> hadamard_clt)
-    states, chains, costs = sample_chain_fused(
-        sampler, states, jax.random.PRNGKey(2), N_SAMPLES, x, y,
+    states, chains, costs = jax.jit(lambda s, k: sample_chain_fused(
+        sampler, s, k, N_SAMPLES, x, y,
         batch_size=20, keep_every=KEEP_EVERY, block_chains=2,
         state_dtype=jnp.float32, multistep=True, mesh=mesh,
-        interpret=True)
+        interpret=True))(states, jax.random.PRNGKey(2))
+    # Fully drain this program before the caller dispatches the next:
+    # the multi-device interpret machinery simulates cross-device
+    # barriers with io_callback clock updates, and two overlapping
+    # async-dispatched mesh programs can stall each other's barriers
+    # (observed as a zero-CPU futex hang on this single-CPU host).
+    jax.block_until_ready((states, chains, costs))
+    jax.effects_barrier()
     return states, chains, costs
 
 

@@ -174,3 +174,22 @@ def test_predict_throughput_artifact():
     # the whole point of one batched program vs the reference's
     # per-member session.run loop: seven-figure query rates
     assert by[("bfloat16", largest)]["queries_per_sec"] > 1_000_000
+
+
+def test_defaults_sweep_artifact():
+    """Hardware defaults sweep: every user-facing surface ran on the chip.
+
+    Round-5 lesson: an all-green CPU suite (interpret-mode kernels
+    included) can still hide TPU-only compile failures in default user
+    configurations — this artifact is the "the shipped defaults actually
+    run on hardware" statement.
+    """
+    result = _load("results_defaults_sweep.json")
+    assert result["n_fail"] == 0
+    assert result["n_surfaces"] >= 12
+    names = {r["surface"] for r in result["rows"]}
+    # the three surfaces whose chip-only failures round 5 fixed
+    assert "bnn_fused_single_chain" in names
+    assert "svgd_streaming_kernel" in names
+    for row in result["rows"]:
+        assert row["ok"], row
